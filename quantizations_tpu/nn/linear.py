@@ -1,0 +1,216 @@
+"""Linear4bit — the module layer.
+
+TPU-native equivalent of the reference's module layer (modules.py:67-151
+``Linear4bit`` + core.py:91-190 ``Params4bit``), redesigned as immutable
+pytrees:
+
+- ``Params4bit`` holds the packed weight in the TPU runtime layout
+  (int32 words, a pure bitcast of the bnb byte layout) together with
+  *pre-resolved* fp32 scales — the double-quant decode happens once at
+  quantize/load time, not per forward call (the reference re-decoded the
+  nested absmax on every decode GEMV, core.py:467).
+- ``Linear4bit`` mirrors the bnb constructor surface
+  (modules.py:86-96): in/out features, bias, compute_dtype,
+  compress_statistics, quant_type — and honors ``compress_statistics``
+  (the reference accepted but ignored it, modules.py:80).
+- Forward dispatch mirrors modules.py:28-64: a single decode-shaped
+  token row goes through the fused dequant+GEMV Pallas kernel; larger
+  inputs take the dequant + MXU matmul path. On non-TPU backends both
+  fall back to pure-XLA implementations so the same code runs in CPU
+  tests and under ``shard_map`` dry-runs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..quant.codebooks import get_4bit_code
+from ..quant.functional import (
+    dequantize_absmax,
+    quantize_4bit,
+)
+from ..quant.state import QuantState
+from ..ops.gemv import gemv_4bit_pallas, pack_i32_rows, permute_activation
+from ..ops.lut import make_lut
+
+__all__ = ["Params4bit", "Linear4bit", "GEMV_MAX_TOKENS"]
+
+# Decode dispatch threshold: at most this many token rows go through the
+# fused GEMV kernel (the reference's test is exactly one vector,
+# modules.py:56; small decode batches also profit from the fused path).
+GEMV_MAX_TOKENS = 4
+
+_SHIFTS = tuple(8 * (j // 2) + (4 - 4 * (j % 2)) for j in range(8))
+
+
+def dequantize_permuted(
+    wp: jnp.ndarray, scales: jnp.ndarray, quant_type: str,
+    dtype: Any = jnp.bfloat16, lut: Optional[str] = None,
+) -> jnp.ndarray:
+    """Dequantize packed words to a column-permuted weight ``[M, K]``
+    where column ``j*K/8 + c`` holds original element ``k = 8c + j``.
+
+    The permutation avoids any nibble interleave (TPU layouts punish
+    size-2 minor axes); matmul callers permute the activation columns
+    with :func:`permute_cols` instead, which is O(K) per row.
+    """
+    if lut is None:
+        lut = "fp4_bits" if quant_type == "fp4" else "tree"
+    lut_fn = make_lut(lut, get_4bit_code(quant_type))
+    k8 = wp.shape[1]
+    planes = [lut_fn((wp >> s) & 15) for s in _SHIFTS]
+    w = jnp.concatenate(planes, axis=1)  # [M, K] permuted
+    srep = jnp.tile(jnp.repeat(scales, 8, axis=1), (1, 8))  # [M, K]
+    return (w * srep).astype(dtype)
+
+
+def permute_cols(x: jnp.ndarray) -> jnp.ndarray:
+    """Permute activation columns to match :func:`dequantize_permuted`:
+    ``[..., K] -> [..., K]`` with out[..., j*K/8 + c] = x[..., 8c + j]."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    return (
+        x.reshape(*lead, K // 8, 8).swapaxes(-1, -2).reshape(*lead, K)
+    )
+
+
+@struct.dataclass
+class Params4bit:
+    """Quantized parameter: packed codes + resolved scales + QuantState.
+
+    ``wp`` is the int32-word view of the bnb packed bytes (bitcast, same
+    memory contents); ``scales`` are the per-64-block fp32 absmax with
+    double quantization already inverted. ``quant_state`` retains the
+    bnb-serializable form (uint8 nested absmax etc.).
+    """
+
+    wp: jnp.ndarray        # int32 [out_features, in_features // 8]
+    scales: jnp.ndarray    # float32 [out_features, in_features // 64]
+    quant_state: QuantState
+
+    @property
+    def shape(self):
+        return self.quant_state.shape
+
+    @classmethod
+    def quantize(
+        cls,
+        W: jnp.ndarray,
+        blocksize: int = 64,
+        quant_type: str = "fp4",
+        compress_statistics: bool = True,
+    ) -> "Params4bit":
+        """Quantize a ``[out, in]`` weight (the reference quantizes on
+        device placement, core.py:139-161; here it is an explicit pure
+        function, jittable and shardable)."""
+        out_f, in_f = W.shape
+        if in_f % max(blocksize, 8):
+            raise ValueError(
+                f"in_features={in_f} must be a multiple of blocksize "
+                f"{blocksize} for the packed TPU layout"
+            )
+        packed, state = quantize_4bit(
+            W, blocksize=blocksize, quant_type=quant_type,
+            compress_statistics=compress_statistics,
+        )
+        wp = pack_i32_rows(packed, out_f, in_f)
+        scales = dequantize_absmax(state).reshape(out_f, in_f // blocksize)
+        if blocksize != 64:
+            # The GEMV kernel assumes 64-element blocks; expand other
+            # block sizes to the per-64 granularity it expects.
+            rep = blocksize // 64
+            scales = jnp.repeat(scales, rep, axis=1)
+        return cls(wp=wp, scales=scales, quant_state=state)
+
+    def packed_u8(self) -> jnp.ndarray:
+        """bnb byte-layout view ``[(n+1)//2, 1]`` of the packed codes."""
+        u8 = jax.lax.bitcast_convert_type(self.wp, jnp.uint8)
+        return u8.reshape(-1, 1)
+
+
+@struct.dataclass
+class Linear4bit:
+    """bnb-compatible 4-bit linear layer (reference modules.py:67-151).
+
+    Construct with :meth:`create` (quantizes a full-precision weight) or
+    assemble directly from loaded checkpoint parts. Callable on inputs of
+    shape ``[..., in_features]``.
+    """
+
+    weight: Params4bit
+    bias: Optional[jnp.ndarray] = None
+    compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def in_features(self) -> int:
+        return self.weight.shape[1]
+
+    @property
+    def out_features(self) -> int:
+        return self.weight.shape[0]
+
+    @property
+    def quant_state(self) -> QuantState:
+        return self.weight.quant_state
+
+    @classmethod
+    def create(
+        cls,
+        W: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        compute_dtype: Any = jnp.bfloat16,
+        compress_statistics: bool = True,
+        quant_type: str = "fp4",
+        blocksize: int = 64,
+        use_pallas: bool = True,
+    ) -> "Linear4bit":
+        params = Params4bit.quantize(
+            W, blocksize=blocksize, quant_type=quant_type,
+            compress_statistics=compress_statistics,
+        )
+        return cls(weight=params, bias=bias, compute_dtype=compute_dtype,
+                   use_pallas=use_pallas)
+
+    # -- forward ----------------------------------------------------------
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward: decode-shaped inputs take the fused GEMV kernel,
+        everything else dequant + MXU matmul (reference modules.py:28-64
+        dispatch). Input is cast to ``compute_dtype`` and the output cast
+        back to the input dtype (modules.py:136-149)."""
+        in_dtype = x.dtype
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        tokens = int(np.prod(lead)) if lead else 1
+        x2 = x.reshape(tokens, K)
+
+        on_tpu = self.use_pallas and jax.default_backend() == "tpu"
+        qt = self.quant_state.quant_type
+        if tokens <= GEMV_MAX_TOKENS and on_tpu:
+            out = gemv_4bit_pallas(
+                self.weight.wp, self.weight.scales,
+                x2.astype(self.compute_dtype), quant_type=qt,
+            )
+        else:
+            W = dequantize_permuted(
+                self.weight.wp, self.weight.scales, qt,
+                dtype=self.compute_dtype,
+            )
+            xp = permute_cols(x2.astype(self.compute_dtype))
+            # fp32 compute_dtype means the caller wants fp32 numerics:
+            # force the 3-pass MXU mode (default precision would silently
+            # round operands to bf16).
+            prec = (jax.lax.Precision.HIGHEST
+                    if jnp.dtype(self.compute_dtype) == jnp.float32
+                    else None)
+            out = jnp.dot(xp, W.T, preferred_element_type=jnp.float32,
+                          precision=prec)
+        if self.bias is not None:
+            out = out + self.bias.astype(out.dtype)
+        return out.reshape(*lead, self.out_features).astype(in_dtype)

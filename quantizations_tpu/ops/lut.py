@@ -1,0 +1,91 @@
+"""In-kernel 16-entry codebook lookup strategies for 4-bit codes.
+
+The GPU reference resolves codes through a scalar decision tree
+(``dDequantizeFP4Tree``, reference kernels.cu:70-111) or a shared-memory
+gather (``quant_map`` in the GEMV kernel, kernels.cu:1115-1121). Neither
+maps to the TPU: the VPU has no per-lane gather from arbitrary tables, so
+the lookup must be expressed as vectorized arithmetic/select ops over
+(8,128) tiles. Several exact strategies are implemented here and raced in
+``benchmarks/kernel_bakeoff.py`` on real hardware; the GEMV kernel takes
+the strategy as a parameter.
+
+All strategies take an int32 array of codes in [0, 15] and return float32
+decoded values, bit-exact to ``table[codes]``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["lut_tree", "lut_fp4_bits", "lut_take", "make_lut", "LUT_NAMES"]
+
+
+def lut_tree(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:
+    """Balanced 4-level select tree: 15 vector selects, works for any
+    16-entry table (the NF4 path). Exact."""
+    t = [jnp.float32(v) for v in table]
+    # level 0: select by bit 0 between adjacent entries -> 8 candidates
+    b0 = (codes & 1) != 0
+    l0 = [jnp.where(b0, t[2 * i + 1], t[2 * i]) for i in range(8)]
+    b1 = (codes & 2) != 0
+    l1 = [jnp.where(b1, l0[2 * i + 1], l0[2 * i]) for i in range(4)]
+    b2 = (codes & 4) != 0
+    l2 = [jnp.where(b2, l1[2 * i + 1], l1[2 * i]) for i in range(2)]
+    b3 = (codes & 8) != 0
+    return jnp.where(b3, l2[1], l2[0])
+
+
+def lut_fp4_bits(codes: jnp.ndarray, table: Sequence[float] = ()) -> jnp.ndarray:
+    """FP4-specific exact decode by constructing fp32 bit patterns.
+
+    FP4 (S1E2M1, bias 3 — reference kernels.cu:29-67) decodes, after the
+    codebook's /12 normalization, to:
+
+        e = (code >> 1) & 3, m = code & 1, s = code & 8
+        e >= 1 -> +-2^(4-e) * (1 + m/2) / 12
+        e == 0 -> +-m * 2^-4 / 12
+
+    For e >= 1 the fp32 bit pattern is affine in (e, m): exponent field
+    131 - e, mantissa bit 22 = m. The e == 0 case needs one select. The
+    /12 is folded into a final constant multiply (exact: both factors are
+    fp32-representable and the products are the fp32-rounded codebook
+    values — verified against the table in tests).
+    """
+    e = (codes >> 1) & 3
+    m22 = (codes & 1) << 22
+    sign = (codes & 8) << 28
+    bits_ge1 = ((131 - e) << 23) | m22 | sign
+    # e == 0: value is m * 2^-4 (bit pattern 0x3D800000 when m == 1)
+    bits_e0 = jnp.where(m22 != 0, jnp.int32(0x3D800000) | sign, sign)
+    bits = jnp.where(e == 0, bits_e0, bits_ge1)
+    raw = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return raw * jnp.float32(1.0 / 12.0)
+
+
+def lut_take(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:
+    """Direct gather — lets the compiler pick the lowering. Works under
+    XLA everywhere; in Mosaic kernels support depends on the backend
+    (raced in the bakeoff; may fail to lower on some generations)."""
+    tbl = jnp.asarray(np.asarray(table, dtype=np.float32))
+    return jnp.take(tbl, codes, axis=0)
+
+
+_LUTS = {"tree": lut_tree, "fp4_bits": lut_fp4_bits, "take": lut_take}
+LUT_NAMES = tuple(_LUTS)
+
+
+def make_lut(name: str, table: Sequence[float]):
+    """Bind a strategy name + table into a ``codes -> values`` function."""
+    fn = _LUTS[name]
+    table = tuple(float(v) for v in table)
+    if name == "fp4_bits":
+        # Only valid for the FP4 table.
+        from ..quant.codebooks import FP4_CODE
+
+        if not np.allclose(table, FP4_CODE, rtol=0, atol=0):
+            raise ValueError("lut 'fp4_bits' is only exact for the FP4 codebook")
+    return lambda codes: fn(codes, table)

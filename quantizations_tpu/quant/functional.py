@@ -127,17 +127,36 @@ _CODES_FN = {"fp4": quantize_fp4_codes, "nf4": quantize_nf4_codes}
 
 def pack_4bit(codes: jnp.ndarray) -> jnp.ndarray:
     """Pack flat uint8 codes (0..15), length 2n, into n bytes:
-    ``byte[i] = codes[2i] << 4 | codes[2i+1]``."""
-    codes = codes.reshape(-1, 2)
-    return (codes[:, 0] << 4 | codes[:, 1]).astype(jnp.uint8)
+    ``byte[i] = codes[2i] << 4 | codes[2i+1]``.
+
+    TPU note: pairing is done with stride-2 lane slices on a 2D
+    lane-aligned view — a ``reshape(-1, 2)`` would be padded 64x by the
+    TPU tiled layout and OOM on large weights.
+    """
+    flat = codes.reshape(-1)
+    n = flat.shape[0]
+    assert n % 2 == 0
+    cols = 512 if n % 512 == 0 else 2
+    c2 = flat.reshape(-1, cols)
+    return (c2[:, 0::2] << 4 | c2[:, 1::2]).astype(jnp.uint8).reshape(-1)
 
 
 def unpack_4bit(packed: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`pack_4bit`: n bytes -> 2n codes."""
-    packed = packed.reshape(-1)
-    hi = (packed >> 4) & 0xF
-    lo = packed & 0xF
-    return jnp.stack([hi, lo], axis=-1).reshape(-1)
+    """Inverse of :func:`pack_4bit`: n bytes -> 2n codes.
+
+    The even/odd interleave is built by bitcasting a u16 lane array
+    (little-endian: low byte first) instead of stacking along a size-2
+    minor axis, for the same TPU tiled-layout reason as pack_4bit.
+    """
+    flat = packed.reshape(-1)
+    n2 = flat.shape[0]
+    cols = 256 if n2 % 256 == 0 else 1
+    b2 = flat.reshape(-1, cols)
+    hi = (b2 >> 4) & 0xF  # even elements
+    lo = b2 & 0xF         # odd elements
+    u16 = hi.astype(jnp.uint16) | (lo.astype(jnp.uint16) << 8)
+    pairs = jax.lax.bitcast_convert_type(u16, jnp.uint8)  # [..., cols, 2]
+    return pairs.reshape(-1)
 
 
 # --------------------------------------------------------------------------

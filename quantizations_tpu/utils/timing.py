@@ -1,0 +1,55 @@
+"""Reliable device timing on asynchronously-dispatched backends.
+
+Naive ``time() ... block_until_ready()`` loops are unreliable through
+remote/tunneled runtimes (dispatch batching and caching make impossible
+>SOL bandwidths appear). ``time_scan_chain`` times N *data-dependent*
+iterations inside a single jitted ``lax.scan``: each step consumes a
+scalar derived from the previous step's output (through an
+``optimization_barrier``, so XLA cannot hoist or elide the body), and the
+result is fetched to host. Per-iteration time = total / N, with the
+one-time dispatch overhead amortized away.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["time_scan_chain"]
+
+
+def time_scan_chain(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    iters: int = 100,
+    trials: int = 3,
+) -> float:
+    """Return best per-iteration seconds for ``fn`` called ``iters`` times
+    with serialized data dependencies.
+
+    ``fn`` maps an array x to any array; each step perturbs x by an
+    epsilon-scaled scalar of the output so the chain is sequential but
+    numerically a no-op.
+    """
+
+    def body(x, _):
+        o = fn(x)
+        o = jax.lax.optimization_barrier(o)
+        eps = jnp.sum(o.astype(jnp.float32)) * jnp.float32(1e-30)
+        return x + eps.astype(x.dtype), ()
+
+    @jax.jit
+    def chain(x):
+        xf, _ = jax.lax.scan(body, x, (), length=iters)
+        return jnp.sum(xf.astype(jnp.float32))
+
+    float(chain(x0))  # compile + warm up
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(chain(x0))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
