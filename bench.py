@@ -1,0 +1,112 @@
+"""Headline benchmark: Llama3-8B 4-bit batch-1 decode TPS on one chip.
+
+Mirrors the reference's bench protocol (reference README.md:90-127):
+batch 1, 60 forced new tokens, 5 timed iterations — but the whole
+generate is one jitted device program instead of per-token Python
+dispatch. Weights are random (TPS is value-independent); shapes are
+Llama3-8B-Instruct exactly.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tps, "unit": "tokens/s", "vs_baseline": ...}
+
+vs_baseline compares against the reference's published quantized
+result — 37.5 TPS on an RTX A6000 (reference README.md:26).
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+REFERENCE_QUANT_TPS = 37.5   # reference README.md:26 (FP4, A6000)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="8b", choices=["8b", "tiny"],
+                   help="tiny = smoke-test shapes")
+    p.add_argument("--new-tokens", type=int, default=60)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--prompt-len", type=int, default=16)
+    p.add_argument("--max-seq", type=int, default=128)
+    p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+
+    from quantizations_tpu.config import QuantConfig, ServeConfig
+    from quantizations_tpu.models.llama import (
+        KVCache,
+        LLAMA3_8B,
+        TINY_LLAMA,
+        init_llama_params,
+    )
+    from quantizations_tpu.serve.generate import make_generate_fn
+
+    import dataclasses
+
+    base = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
+    cfg = dataclasses.replace(
+        base, quant=QuantConfig(quant_type=args.quant_type))
+    serve = ServeConfig(
+        max_seq_len=args.max_seq, max_new_tokens=args.new_tokens,
+        temperature=0.0, donate_cache=True,
+    )
+
+    dev = jax.devices()[0]
+    t0 = time.perf_counter()
+    params = init_llama_params(cfg, seed=0)
+    jax.block_until_ready(params)
+    init_s = time.perf_counter() - t0
+
+    gen = make_generate_fn(cfg, serve)
+    ids = (jnp.arange(args.prompt_len, dtype=jnp.int32)[None, :] * 7 + 11
+           ) % cfg.vocab_size
+    key = jax.random.PRNGKey(0)
+
+    def run():
+        cache = KVCache.create(cfg, 1, serve.max_seq_len)
+        t0 = time.perf_counter()
+        toks, cache = gen(params, ids, cache, key)
+        toks.block_until_ready()
+        return time.perf_counter() - t0, toks
+
+    compile_t, _ = run()          # warmup / compile
+    times = []
+    for _ in range(args.iters):
+        dt, toks = run()
+        times.append(dt)
+    med = statistics.median(times)
+    tps = args.new_tokens / med
+
+    mem = {}
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if stats:
+        mem = {"peak_hbm_gb": round(
+            stats.get("peak_bytes_in_use", 0) / 2**30, 3)}
+
+    line = {
+        "metric": f"decode_tps_llama3_{args.preset}_{args.quant_type}_b1",
+        "value": round(tps, 3),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / REFERENCE_QUANT_TPS, 4),
+        "median_iter_s": round(med, 4),
+        "all_iters_s": [round(t, 4) for t in times],
+        "compile_plus_first_s": round(compile_t, 2),
+        "init_s": round(init_s, 2),
+        "new_tokens": args.new_tokens,
+        "device": str(dev.device_kind),
+        "backend": jax.default_backend(),
+        **mem,
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,71 @@
+"""Single-source-of-truth configuration dataclasses.
+
+The reference hardcodes its constants in several places (blocksize 64 at
+core.py:102, double-quant blocksize 256 at core.py:565, the allowed
+blocksize list duplicated at core.py:350/408/549/603). Here every knob
+lives in one validated dataclass (SURVEY.md §5, config subsystem).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+__all__ = ["QuantConfig", "ServeConfig", "VALID_BLOCKSIZES"]
+
+# Blocksizes the blockwise kernels accept (reference core.py:350).
+VALID_BLOCKSIZES = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """How weights are quantized.
+
+    Mirrors the knobs of ``quantize_4bit`` (reference core.py:507-578) and
+    the ``Linear4bit`` constructor (reference modules.py:86-96), with
+    ``compress_statistics`` actually honored.
+    """
+
+    quant_type: str = "fp4"            # "fp4" | "nf4"
+    blocksize: int = 64
+    compress_statistics: bool = True   # double-quant the absmax
+    stats_blocksize: int = 256         # nested 8-bit blocksize (core.py:565)
+    compute_dtype: Any = jnp.bfloat16
+    quantize_lm_head: bool = True      # bnb leaves lm_head dense; 4-bit it
+                                       # (decode is HBM-bound; the dense
+                                       # head would be ~20% of bytes/token)
+
+    def __post_init__(self):
+        if self.quant_type not in ("fp4", "nf4"):
+            raise ValueError(f"quant_type {self.quant_type!r} not supported")
+        if self.blocksize not in VALID_BLOCKSIZES:
+            raise ValueError(
+                f"blocksize {self.blocksize} not in {VALID_BLOCKSIZES}"
+            )
+        if self.stats_blocksize not in VALID_BLOCKSIZES:
+            raise ValueError(
+                f"stats_blocksize {self.stats_blocksize} not in "
+                f"{VALID_BLOCKSIZES}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    """Serving/runtime knobs: mesh shape, batching, generation limits."""
+
+    mesh_shape: Tuple[int, ...] = (1,)       # (tp,) or (dp, tp)
+    mesh_axes: Tuple[str, ...] = ("tp",)
+    batch_size: int = 1
+    max_seq_len: int = 2048
+    max_new_tokens: int = 60                 # reference bench: 60 tokens
+    temperature: float = 0.0                 # 0 => greedy
+    top_k: int = 0                           # 0 => no top-k mask
+    seed: int = 0
+    donate_cache: bool = True
+
+    @property
+    def tp(self) -> int:
+        return self.mesh_shape[self.mesh_axes.index("tp")] \
+            if "tp" in self.mesh_axes else 1

@@ -1,0 +1,416 @@
+"""Llama3 in pure JAX with 4-bit quantized projections.
+
+The reference library never owns the model — it monkey-patches its
+``Linear4bit`` into HF transformers (reference README.md:55-86) and rides
+``model.generate()``. That costs it 448 kernel launches per decoded token
+(SURVEY.md §3.2). Here the whole decode step is ONE jitted function: the
+32 decoder layers run under a single ``lax.scan`` over stacked layer
+parameters, each projection dispatching to the fused dequant+GEMV Pallas
+kernel, and the KV cache is a donated carry updated in place.
+
+Architecture (Llama3-8B-Instruct, the reference's only tested model,
+reference README.md:10): RMSNorm, rotary embeddings (HF non-interleaved
+convention), grouped-query attention, SwiGLU MLP.
+
+Sharding: every forward function is written shard-agnostic — head counts
+and row counts are derived from the (possibly per-shard) weight shapes,
+and an optional ``axis_name`` triggers the tensor-parallel ``psum`` after
+the row-parallel projections (o_proj, down_proj). The same code therefore
+runs single-chip under ``jit`` and per-shard under ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import QuantConfig
+from ..nn.linear import apply_4bit
+from ..quant.functional import dequantize_absmax, quantize_4bit
+from ..ops.gemv import pack_i32_rows
+
+__all__ = [
+    "LlamaConfig",
+    "QLinear",
+    "LlamaLayer",
+    "LlamaParams",
+    "KVCache",
+    "quantize_linear",
+    "init_llama_params",
+    "prefill",
+    "decode_step",
+    "LLAMA3_8B",
+    "TINY_LLAMA",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Static model hyperparameters (HF ``config.json`` field names)."""
+
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = False
+    quant: QuantConfig = QuantConfig()
+
+    @property
+    def q_size(self) -> int:
+        return self.num_attention_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_key_value_heads * self.head_dim
+
+
+LLAMA3_8B = LlamaConfig()
+
+# Tiny config for tests and mesh dry-runs: every tensor-parallel shard (up
+# to tp=8) keeps K a multiple of the 64-element quant block.
+TINY_LLAMA = LlamaConfig(
+    vocab_size=1024,
+    hidden_size=512,
+    intermediate_size=1024,
+    num_hidden_layers=2,
+    num_attention_heads=8,
+    num_key_value_heads=8,
+    head_dim=64,
+    rope_theta=10000.0,
+    max_position_embeddings=256,
+)
+
+
+@struct.dataclass
+class QLinear:
+    """A 4-bit linear weight in the TPU runtime layout: packed int32
+    words + resolved fp32 scales (double-quant already inverted — the
+    load-time hoist of reference core.py:467)."""
+
+    wp: jnp.ndarray       # int32 [out, in // 8]
+    scales: jnp.ndarray   # float32 [out, in // 64]
+
+    @property
+    def out_features(self) -> int:
+        return self.wp.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.wp.shape[1] * 8
+
+
+@struct.dataclass
+class LlamaLayer:
+    """One decoder layer's parameters. In :class:`LlamaParams` every leaf
+    carries a leading ``[num_layers]`` axis and is consumed by
+    ``lax.scan``."""
+
+    attn_norm: jnp.ndarray   # [hidden]
+    q: QLinear
+    k: QLinear
+    v: QLinear
+    o: QLinear
+    mlp_norm: jnp.ndarray    # [hidden]
+    gate: QLinear
+    up: QLinear
+    down: QLinear
+
+
+@struct.dataclass
+class LlamaParams:
+    embed: jnp.ndarray       # [vocab, hidden] bf16 (kept dense, like bnb)
+    layers: LlamaLayer       # stacked: every leaf has leading [L]
+    final_norm: jnp.ndarray  # [hidden]
+    lm_head: Any             # QLinear (quantize_lm_head) or bf16 [vocab, hidden]
+
+
+@struct.dataclass
+class KVCache:
+    """Preallocated paged-less KV cache: ``[L, B, max_seq, kv_heads, head_dim]``.
+
+    Functional updates via ``dynamic_update_slice`` on a donated carry —
+    XLA performs them in place, so decode does not rewrite the cache.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, batch: int, max_seq: int,
+               kv_heads: Optional[int] = None,
+               dtype: Any = jnp.bfloat16) -> "KVCache":
+        kv = kv_heads if kv_heads is not None else cfg.num_key_value_heads
+        shape = (cfg.num_hidden_layers, batch, max_seq, kv, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+# --------------------------------------------------------------------------
+# Parameter construction
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("blocksize", "quant_type", "compress_statistics")
+)
+def quantize_linear(
+    W: jnp.ndarray,
+    blocksize: int = 64,
+    quant_type: str = "fp4",
+    compress_statistics: bool = True,
+) -> QLinear:
+    """Quantize a ``[out, in]`` weight into the runtime :class:`QLinear`
+    form (packed words + resolved scales). The full bnb ``QuantState`` is
+    produced/consumed at the checkpoint layer; the model runtime keeps
+    only what the kernels need."""
+    out_f, in_f = W.shape
+    packed, state = quantize_4bit(
+        W, blocksize=blocksize, quant_type=quant_type,
+        compress_statistics=compress_statistics,
+    )
+    wp = pack_i32_rows(packed, out_f, in_f)
+    scales = dequantize_absmax(state).reshape(out_f, in_f // blocksize)
+    if blocksize != 64:
+        scales = jnp.repeat(scales, blocksize // 64, axis=1)
+    return QLinear(wp=wp, scales=scales)
+
+
+def init_llama_params(
+    cfg: LlamaConfig, seed: int = 0, scale: float = 0.02
+) -> LlamaParams:
+    """Random-initialized quantized model (bench/tests; real checkpoints
+    come from :mod:`quantizations_tpu.models.hf_loader`). Weights are
+    generated and quantized layer-by-layer on device to keep peak memory
+    at one dense layer."""
+    q = cfg.quant
+    key = jax.random.PRNGKey(seed)
+
+    def qlin(key, out_f, in_f):
+        W = jax.random.normal(key, (out_f, in_f), jnp.float32) * scale
+        return quantize_linear(
+            W, blocksize=q.blocksize, quant_type=q.quant_type,
+            compress_statistics=q.compress_statistics,
+        )
+
+    h, qs, kvs, inter = (cfg.hidden_size, cfg.q_size, cfg.kv_size,
+                         cfg.intermediate_size)
+    per_layer = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(jax.random.fold_in(key, i), 7)
+        per_layer.append(LlamaLayer(
+            attn_norm=jnp.ones((h,), jnp.bfloat16),
+            q=qlin(ks[0], qs, h),
+            k=qlin(ks[1], kvs, h),
+            v=qlin(ks[2], kvs, h),
+            o=qlin(ks[3], h, qs),
+            mlp_norm=jnp.ones((h,), jnp.bfloat16),
+            gate=qlin(ks[4], inter, h),
+            up=qlin(ks[5], inter, h),
+            down=qlin(ks[6], h, inter),
+        ))
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+    ke, kh = jax.random.split(jax.random.fold_in(key, 10**6))
+    embed = (jax.random.normal(ke, (cfg.vocab_size, h), jnp.float32)
+             * scale).astype(jnp.bfloat16)
+    if q.quantize_lm_head:
+        lm_head = qlin(kh, cfg.vocab_size, h)
+    else:
+        lm_head = (jax.random.normal(kh, (cfg.vocab_size, h), jnp.float32)
+                   * scale).astype(jnp.bfloat16)
+    return LlamaParams(
+        embed=embed, layers=layers,
+        final_norm=jnp.ones((h,), jnp.bfloat16), lm_head=lm_head,
+    )
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm in fp32 (matching HF Llama numerics), output bf16-castable."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)) * w.astype(jnp.float32)
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int,
+                 theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables ``[T, head_dim]`` (HF non-interleaved convention:
+    the table is the half-table tiled twice)."""
+    inv = 1.0 / (theta ** (
+        jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    ang = positions.astype(jnp.float32)[:, None] * inv[None, :]  # [T, D/2]
+    ang = jnp.concatenate([ang, ang], axis=-1)                   # [T, D]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
+               sin: jnp.ndarray) -> jnp.ndarray:
+    """``x [B, T, H, D]`` with cos/sin ``[T, D]`` — HF ``rotate_half``."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return x * c + rot * s
+
+
+def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig) -> jnp.ndarray:
+    return apply_4bit(
+        x2, lin.wp, lin.scales, qcfg.quant_type,
+        compute_dtype=qcfg.compute_dtype,
+    )
+
+
+def _layer_forward(
+    x: jnp.ndarray,              # [B, T, hidden]
+    layer: LlamaLayer,           # single layer (no L axis)
+    cache_k: jnp.ndarray,        # [B, S, KV, D] this layer's cache
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,            # scalar int32: write offset
+    cos: jnp.ndarray,            # [T, D]
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,           # [T, S] bool: True = attend
+    cfg: LlamaConfig,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder layer. Head counts derive from the (per-shard) weight
+    shapes so the same code runs under shard_map."""
+    B, T, h = x.shape
+    D = cfg.head_dim
+    n_q = layer.q.out_features // D     # per-shard query heads
+    n_kv = layer.k.out_features // D    # per-shard kv heads
+    G = n_q // n_kv
+    qcfg = cfg.quant
+
+    # -- attention --
+    xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
+    x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
+    q = _ql(x2, layer.q, qcfg).reshape(B, T, n_q, D)
+    k = _ql(x2, layer.k, qcfg).reshape(B, T, n_kv, D)
+    v = _ql(x2, layer.v, qcfg).reshape(B, T, n_kv, D)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, k.astype(cache_k.dtype), (0, pos, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, v.astype(cache_v.dtype), (0, pos, 0, 0))
+
+    qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
+    kf = cache_k.astype(jnp.float32)
+    vf = cache_v.astype(jnp.float32)
+    scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) * (D ** -0.5)
+    scores = jnp.where(mask[None, :, None, None, :], scores, -1e30)
+    w = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.einsum("btkgs,bskd->btkgd", w, vf)
+    attn = attn.reshape(B * T, n_q * D)
+
+    o = _ql(attn, layer.o, qcfg)
+    if axis_name is not None:
+        o = jax.lax.psum(o, axis_name)
+    x = x + o.reshape(B, T, h).astype(x.dtype)
+
+    # -- MLP (SwiGLU) --
+    xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
+    x2 = xm.astype(qcfg.compute_dtype).reshape(B * T, h)
+    g = _ql(x2, layer.gate, qcfg)
+    u = _ql(x2, layer.up, qcfg)
+    act = jax.nn.silu(g) * u
+    d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg)
+    if axis_name is not None:
+        d = jax.lax.psum(d, axis_name)
+    x = x + d.reshape(B, T, h).astype(x.dtype)
+    return x, cache_k, cache_v
+
+
+def _forward(
+    params: LlamaParams,
+    token_ids: jnp.ndarray,      # [B, T]
+    cache: KVCache,
+    pos: jnp.ndarray,            # scalar int32
+    cfg: LlamaConfig,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Shared prefill/decode forward: embeds ``T`` tokens written at cache
+    positions ``pos .. pos+T``, returns logits ``[B, T, vocab(_shard)]``
+    and the updated cache. One ``lax.scan`` over the stacked layers."""
+    B, T = token_ids.shape
+    S = cache.max_seq
+    x = params.embed[token_ids].astype(jnp.bfloat16)   # [B, T, hidden]
+
+    positions = pos + jnp.arange(T, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    # mask[t, s]: attend iff s is a written position not after query t.
+    key_pos = jnp.arange(S, dtype=jnp.int32)
+    mask = key_pos[None, :] <= positions[:, None]
+
+    def body(carry, inputs):
+        x, ck, cv = carry
+        layer, i = inputs
+        x, ck_i, cv_i = _layer_forward(
+            x, layer, ck[i], cv[i], pos, cos, sin, mask, cfg,
+            axis_name=axis_name,
+        )
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, ck_i[None], i, axis=0)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, cv_i[None], i, axis=0)
+        return (x, ck, cv), None
+
+    idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v),
+                                  (params.layers, idx))
+
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    if isinstance(params.lm_head, QLinear):
+        logits = _ql(
+            x.astype(cfg.quant.compute_dtype).reshape(B * T, -1),
+            params.lm_head, cfg.quant,
+        ).reshape(B, T, -1)
+    else:
+        logits = jnp.einsum(
+            "bth,vh->btv", x.astype(jnp.bfloat16),
+            params.lm_head, preferred_element_type=jnp.float32,
+        )
+    if axis_name is not None:
+        # lm_head is vocab-sharded (column-parallel): gather the shards.
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+    return logits, KVCache(k=ck, v=cv)
+
+
+def prefill(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,
+            cfg: LlamaConfig, pos: Optional[jnp.ndarray] = None,
+            axis_name: Optional[str] = None) -> Tuple[jnp.ndarray, KVCache]:
+    """Process a prompt chunk; returns (logits [B, T, vocab], cache)."""
+    if pos is None:
+        pos = jnp.int32(0)
+    return _forward(params, token_ids, cache, pos, cfg, axis_name=axis_name)
+
+
+def decode_step(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,
+                pos: jnp.ndarray, cfg: LlamaConfig,
+                axis_name: Optional[str] = None,
+                ) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step: ``token_ids [B, 1]`` at position ``pos``.
+    Returns (logits [B, vocab], cache). This is the hot loop — under jit
+    it is one fused program (vs the reference's 448 launches/token,
+    SURVEY.md §3.2)."""
+    logits, cache = _forward(params, token_ids, cache, pos, cfg,
+                             axis_name=axis_name)
+    return logits[:, -1, :], cache

@@ -38,7 +38,7 @@ from ..quant.state import QuantState
 from ..ops.gemv import gemv_4bit_pallas, pack_i32_rows, permute_activation
 from ..ops.lut import make_lut
 
-__all__ = ["Params4bit", "Linear4bit", "GEMV_MAX_TOKENS"]
+__all__ = ["Params4bit", "Linear4bit", "apply_4bit", "GEMV_MAX_TOKENS"]
 
 # Decode dispatch threshold: at most this many token rows go through the
 # fused GEMV kernel (the reference's test is exactly one vector,
@@ -77,6 +77,40 @@ def permute_cols(x: jnp.ndarray) -> jnp.ndarray:
     return (
         x.reshape(*lead, K // 8, 8).swapaxes(-1, -2).reshape(*lead, K)
     )
+
+
+def apply_4bit(
+    x2: jnp.ndarray,
+    wp: jnp.ndarray,
+    scales: jnp.ndarray,
+    quant_type: str,
+    compute_dtype: Any = jnp.bfloat16,
+    use_pallas: bool = True,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Core 4-bit matmul dispatch shared by :class:`Linear4bit` and the
+    model layer: ``x2 [T, K] @ dequant(wp, scales).T -> [T, M]`` fp32.
+
+    Decode-shaped inputs (few token rows) take the fused dequant+GEMV
+    Pallas kernel; everything else dequantizes to ``compute_dtype`` and
+    uses the MXU (reference modules.py:28-64 dispatch). ``axis_name`` set
+    means we are inside ``shard_map`` — Pallas stays enabled (per-shard
+    shapes are static) but the caller is responsible for the reduction.
+    """
+    tokens = x2.shape[0]
+    on_tpu = use_pallas and jax.default_backend() == "tpu"
+    if tokens <= GEMV_MAX_TOKENS and on_tpu:
+        return gemv_4bit_pallas(
+            wp, scales, x2.astype(compute_dtype), quant_type=quant_type,
+        )
+    W = dequantize_permuted(wp, scales, quant_type, dtype=compute_dtype)
+    xp = permute_cols(x2.astype(compute_dtype))
+    # fp32 compute_dtype means the caller wants fp32 numerics: force the
+    # 3-pass MXU mode (default precision would round operands to bf16).
+    prec = (jax.lax.Precision.HIGHEST
+            if jnp.dtype(compute_dtype) == jnp.float32 else None)
+    return jnp.dot(xp, W.T, preferred_element_type=jnp.float32,
+                   precision=prec)
 
 
 @struct.dataclass
@@ -189,28 +223,11 @@ class Linear4bit:
         K = x.shape[-1]
         tokens = int(np.prod(lead)) if lead else 1
         x2 = x.reshape(tokens, K)
-
-        on_tpu = self.use_pallas and jax.default_backend() == "tpu"
-        qt = self.quant_state.quant_type
-        if tokens <= GEMV_MAX_TOKENS and on_tpu:
-            out = gemv_4bit_pallas(
-                self.weight.wp, self.weight.scales,
-                x2.astype(self.compute_dtype), quant_type=qt,
-            )
-        else:
-            W = dequantize_permuted(
-                self.weight.wp, self.weight.scales, qt,
-                dtype=self.compute_dtype,
-            )
-            xp = permute_cols(x2.astype(self.compute_dtype))
-            # fp32 compute_dtype means the caller wants fp32 numerics:
-            # force the 3-pass MXU mode (default precision would silently
-            # round operands to bf16).
-            prec = (jax.lax.Precision.HIGHEST
-                    if jnp.dtype(self.compute_dtype) == jnp.float32
-                    else None)
-            out = jnp.dot(xp, W.T, preferred_element_type=jnp.float32,
-                          precision=prec)
+        out = apply_4bit(
+            x2, self.weight.wp, self.weight.scales,
+            self.quant_state.quant_type,
+            compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+        )
         if self.bias is not None:
             out = out + self.bias.astype(out.dtype)
         return out.reshape(*lead, self.out_features).astype(in_dtype)

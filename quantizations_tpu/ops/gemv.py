@@ -47,9 +47,17 @@ _SHIFTS = tuple(8 * (j // 2) + (4 - 4 * (j % 2)) for j in range(8))
 
 def pack_i32_rows(packed_u8: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     """bnb flat packed bytes ``[rows*cols/2(,1)]`` -> int32 words
-    ``[rows, cols/8]`` (pure bitcast; bytes are little-endian on TPU)."""
-    b = packed_u8.reshape(rows, cols // 8, 4)
-    return jax.lax.bitcast_convert_type(b, jnp.int32)
+    ``[rows, cols/8]``, little-endian (same memory contents as a bitcast).
+
+    Built from stride-4 lane slices rather than a ``[..., 4]`` minor-axis
+    bitcast: TPU tiled layouts pad a size-4 minor dim to 128 lanes (32x
+    memory — an 8B lm_head would transiently allocate 33 GB)."""
+    b = packed_u8.reshape(rows, cols // 2)
+    b0 = b[:, 0::4].astype(jnp.int32)
+    b1 = b[:, 1::4].astype(jnp.int32)
+    b2 = b[:, 2::4].astype(jnp.int32)
+    b3 = b[:, 3::4].astype(jnp.int32)
+    return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
 def permute_activation(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,142 @@
+"""Tensor-parallel shardings for the Llama model (Megatron-style, TPU-native).
+
+Layout over the "tp" mesh axis:
+
+- q/k/v/gate/up projections: **column-parallel** — packed words ``wp
+  [L, M, K/8]`` and scales ``[L, M, K/64]`` sharded on the output-row
+  axis M. Attention heads (and KV heads) land whole on shards; the
+  64-element quant blocks are untouched because only rows split.
+- o/down projections: **row-parallel** — sharded on the K axis. The
+  packed K/8 and scale K/64 axes shard congruently as long as
+  ``K / tp`` is a multiple of the 64-element block (asserted below), so
+  no quant block ever straddles a shard boundary.
+- KV cache: sharded on the kv-heads axis (same split as k/v outputs —
+  the cache is written by shard-local projections, no resharding).
+- embed + norms: replicated. lm_head: column-parallel on vocab.
+
+Inside ``shard_map`` the forward runs on per-shard shapes; the only
+collectives are one ``psum`` after o_proj, one after down_proj (partial
+row-parallel sums) and one tiled ``all_gather`` of the vocab-sharded
+logits — all riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ServeConfig
+from ..models.llama import KVCache, LlamaConfig, LlamaLayer, LlamaParams, QLinear
+from ..serve.generate import _generate_impl
+
+__all__ = [
+    "llama_param_pspecs",
+    "cache_pspec",
+    "shard_llama_params",
+    "make_sharded_generate_fn",
+    "validate_tp",
+]
+
+AXIS = "tp"
+
+
+def validate_tp(cfg: LlamaConfig, tp: int) -> None:
+    """Check the model divides over ``tp`` shards without splitting
+    attention heads or 64-element quant blocks."""
+    bs = max(cfg.quant.blocksize, 64)
+    checks = [
+        (cfg.num_key_value_heads % tp == 0,
+         f"kv_heads {cfg.num_key_value_heads} % tp {tp}"),
+        (cfg.num_attention_heads % tp == 0,
+         f"q_heads {cfg.num_attention_heads} % tp {tp}"),
+        ((cfg.q_size // tp) % bs == 0, "o_proj K shard vs quant block"),
+        ((cfg.intermediate_size // tp) % bs == 0,
+         "down_proj K shard vs quant block"),
+        (cfg.intermediate_size % tp == 0, "intermediate % tp"),
+        (cfg.vocab_size % tp == 0, "vocab % tp"),
+    ]
+    bad = [msg for ok, msg in checks if not ok]
+    if bad:
+        raise ValueError(f"config does not shard over tp={tp}: {bad}")
+
+
+def _col(lead_l: bool) -> QLinear:
+    """Column-parallel spec: shard output rows."""
+    pre = (None,) if lead_l else ()
+    return QLinear(wp=P(*pre, AXIS, None), scales=P(*pre, AXIS, None))
+
+
+def _row(lead_l: bool) -> QLinear:
+    """Row-parallel spec: shard the packed input axis."""
+    pre = (None,) if lead_l else ()
+    return QLinear(wp=P(*pre, None, AXIS), scales=P(*pre, None, AXIS))
+
+
+def llama_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
+    """PartitionSpec pytree matching :class:`LlamaParams`."""
+    layer = LlamaLayer(
+        attn_norm=P(None, None),
+        q=_col(True), k=_col(True), v=_col(True), o=_row(True),
+        mlp_norm=P(None, None),
+        gate=_col(True), up=_col(True), down=_row(True),
+    )
+    lm_head = (_col(False) if cfg.quant.quantize_lm_head
+               else P(AXIS, None))
+    return LlamaParams(
+        embed=P(None, None), layers=layer,
+        final_norm=P(None), lm_head=lm_head,
+    )
+
+
+def cache_pspec() -> KVCache:
+    # [L, B, S, KV, D] — shard kv heads.
+    return KVCache(k=P(None, None, None, AXIS, None),
+                   v=P(None, None, None, AXIS, None))
+
+
+def shard_llama_params(params: LlamaParams, mesh: Mesh,
+                       cfg: LlamaConfig) -> LlamaParams:
+    """Place a (host or single-device) param pytree onto the mesh."""
+    validate_tp(cfg, mesh.shape[AXIS])
+    specs = llama_param_pspecs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+    )
+
+
+def make_sharded_generate_fn(
+    cfg: LlamaConfig,
+    serve: ServeConfig,
+    mesh: Mesh,
+) -> Callable:
+    """shard_map + jit the full generate loop over the mesh.
+
+    Returns ``(params, prompt_ids, cache, key) -> (tokens, cache)`` where
+    params/cache are mesh-sharded (see :func:`shard_llama_params`) and
+    prompt/key/tokens are replicated.
+    """
+    validate_tp(cfg, mesh.shape[AXIS])
+    pspecs = llama_param_pspecs(cfg)
+    cspec = cache_pspec()
+
+    body = functools.partial(
+        _generate_impl,
+        cfg=cfg,
+        max_new_tokens=serve.max_new_tokens,
+        temperature=serve.temperature,
+        top_k=serve.top_k,
+        axis_name=AXIS,
+    )
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, P(None, None), cspec, P(None)),
+        out_specs=(P(None, None), cspec),
+        check_vma=False,
+    )
+    donate = (2,) if serve.donate_cache else ()
+    return jax.jit(mapped, donate_argnums=donate)

@@ -1,0 +1,96 @@
+"""Model-layer tests (SURVEY.md §4 config 4, scaled to a tiny model).
+
+Validates the KV-cache/generate machinery: decode-with-cache must
+reproduce full-prefill logits, and the jitted generate loop must be
+deterministic under greedy sampling.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizations_tpu.config import ServeConfig
+from quantizations_tpu.models.llama import (
+    KVCache,
+    TINY_LLAMA,
+    decode_step,
+    init_llama_params,
+    prefill,
+)
+from quantizations_tpu.serve.generate import make_generate_fn
+
+CFG = TINY_LLAMA
+MAX_SEQ = 32
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_llama_params(CFG, seed=0)
+
+
+def test_prefill_shapes(params):
+    B, P = 2, 8
+    cache = KVCache.create(CFG, B, MAX_SEQ)
+    ids = jnp.arange(B * P, dtype=jnp.int32).reshape(B, P) % CFG.vocab_size
+    logits, cache = jax.jit(
+        functools.partial(prefill, cfg=CFG)
+    )(params, ids, cache)
+    assert logits.shape == (B, P, CFG.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # cache written at positions [0, P): the P-1 row must be nonzero
+    assert float(jnp.abs(cache.k[0, 0, P - 1]).max()) > 0
+    assert float(jnp.abs(cache.k[0, 0, P]).max()) == 0
+
+
+def test_decode_matches_prefill(params):
+    """Prefill of N tokens == prefill of P then N-P cached decode steps.
+
+    This is the correctness proof of the cache indexing, RoPE positions
+    and attention mask."""
+    B, P, N = 1, 5, 9
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, N)), jnp.int32)
+
+    full_logits, _ = jax.jit(functools.partial(prefill, cfg=CFG))(
+        params, ids, KVCache.create(CFG, B, MAX_SEQ))
+
+    logits_p, cache = jax.jit(functools.partial(prefill, cfg=CFG))(
+        params, ids[:, :P], KVCache.create(CFG, B, MAX_SEQ))
+    step = jax.jit(functools.partial(decode_step, cfg=CFG))
+    got = [logits_p[:, -1, :]]
+    for t in range(P, N):
+        logits_t, cache = step(params, ids[:, t:t + 1], cache, jnp.int32(t))
+        got.append(logits_t)
+    # got[i] is the logits after token P-1+i == full_logits[:, P-1+i]
+    for i, g in enumerate(got[:-1]):
+        ref = full_logits[:, P - 1 + i, :]
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(ref), rtol=0, atol=2e-2,
+        )
+
+
+def test_generate_greedy_deterministic(params):
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=6,
+                        temperature=0.0)
+    gen = make_generate_fn(CFG, serve)
+    ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    t1, _ = gen(params, ids, KVCache.create(CFG, 1, MAX_SEQ), key)
+    t2, _ = gen(params, ids, KVCache.create(CFG, 1, MAX_SEQ), key)
+    assert t1.shape == (1, 6)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert int(t1.max()) < CFG.vocab_size and int(t1.min()) >= 0
+
+
+def test_generate_sampled_in_range(params):
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=5,
+                        temperature=0.8, top_k=10)
+    gen = make_generate_fn(CFG, serve)
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    toks, _ = gen(params, ids, KVCache.create(CFG, 1, MAX_SEQ),
+                  jax.random.PRNGKey(7))
+    assert toks.shape == (1, 5)
+    assert int(toks.max()) < CFG.vocab_size and int(toks.min()) >= 0

@@ -1,0 +1,93 @@
+"""Mesh/collective tests on the simulated 8-device CPU platform
+(SURVEY.md §4 config 5). The TP-sharded generate must produce the same
+tokens — and near-identical logits — as the single-device path."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizations_tpu.config import ServeConfig
+from quantizations_tpu.models.llama import (
+    KVCache,
+    TINY_LLAMA,
+    init_llama_params,
+    prefill,
+)
+from quantizations_tpu.parallel import (
+    make_mesh,
+    make_sharded_generate_fn,
+    shard_llama_params,
+)
+from quantizations_tpu.parallel.shard import cache_pspec, validate_tp
+from quantizations_tpu.serve.generate import make_generate_fn
+
+CFG = TINY_LLAMA
+MAX_SEQ = 32
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_llama_params(CFG, seed=0)
+
+
+def _sharded_cache(mesh, batch):
+    from jax.sharding import NamedSharding
+
+    cache = KVCache.create(CFG, batch, MAX_SEQ)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        cache, cache_pspec(),
+    )
+
+
+@pytest.mark.parametrize("tp", [2, 8])
+def test_tp_generate_matches_single_device(params, tp):
+    if len(jax.devices()) < tp:
+        pytest.skip(f"needs {tp} devices")
+    validate_tp(CFG, tp)
+    mesh = make_mesh((tp,), ("tp",))
+
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=5,
+                        temperature=0.0, donate_cache=False)
+    ids = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    ref_gen = make_generate_fn(CFG, serve)
+    ref_toks, _ = ref_gen(params, ids, KVCache.create(CFG, 1, MAX_SEQ), key)
+
+    sharded = shard_llama_params(params, mesh, CFG)
+    gen = make_sharded_generate_fn(CFG, serve, mesh)
+    toks, cache = gen(sharded, ids, _sharded_cache(mesh, 1), key)
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+
+def test_tp_prefill_logits_close(params):
+    """Direct logits comparison single-device vs tp=4 shard_map."""
+    tp = 4
+    if len(jax.devices()) < tp:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh((tp,), ("tp",))
+    ids = jnp.asarray([[2, 7, 1, 8]], jnp.int32)
+
+    ref_logits, _ = jax.jit(functools.partial(prefill, cfg=CFG))(
+        params, ids, KVCache.create(CFG, 1, MAX_SEQ))
+
+    from quantizations_tpu.parallel.shard import llama_param_pspecs
+
+    sharded = shard_llama_params(params, mesh, CFG)
+    body = functools.partial(prefill, cfg=CFG, axis_name="tp")
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(llama_param_pspecs(CFG), P(None, None), cache_pspec()),
+        out_specs=(P(None, None, None), cache_pspec()),
+        check_vma=False,
+    ))
+    logits, _ = fn(sharded, ids, _sharded_cache(mesh, 1))
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=0, atol=2e-2)
