@@ -70,12 +70,17 @@ def main() -> None:
            ) % cfg.vocab_size
     key = jax.random.PRNGKey(0)
 
+    import numpy as np
+
     def run():
         cache = KVCache.create(cfg, 1, serve.max_seq_len)
         t0 = time.perf_counter()
         toks, cache = gen(params, ids, cache, key)
-        toks.block_until_ready()
-        return time.perf_counter() - t0, toks
+        # Force a device->host transfer: over the axon tunnel
+        # block_until_ready() does not reliably await (or surface errors
+        # from) the async execution — fetching the values does.
+        toks_np = np.asarray(toks)
+        return time.perf_counter() - t0, toks_np
 
     compile_t, _ = run()          # warmup / compile
     times = []

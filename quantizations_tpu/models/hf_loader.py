@@ -1,0 +1,281 @@
+"""HuggingFace checkpoint loading: safetensors -> quantized LlamaParams.
+
+The reference rides HF ``from_pretrained(load_in_4bit=True)`` and
+quantizes lazily on device placement (reference core.py:139-161,
+README.md:112). Here HF is only a *format*: ``config.json`` +
+safetensors shards are read directly (per-tensor streaming via
+``safe_open`` — peak host memory is one dense tensor), each weight is
+quantized on device by the jitted quantizer, and the result is placed
+directly into its mesh sharding when one is given.
+
+Also implements the bnb-schema pre-quantized checkpoint save/load the
+reference only defines keys for (``valid_qs_keys``, reference
+core.py:29-42, has no save/load code): ``save_quantized`` /
+``load_quantized`` round-trip packed payloads + absmax statistics
+through safetensors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QuantConfig
+from .llama import (
+    KVCache,
+    LlamaConfig,
+    LlamaLayer,
+    LlamaParams,
+    QLinear,
+    quantize_linear,
+)
+
+__all__ = [
+    "config_from_hf",
+    "load_hf_llama",
+    "save_quantized",
+    "load_quantized",
+]
+
+
+def config_from_hf(model_dir: str,
+                   quant: Optional[QuantConfig] = None) -> LlamaConfig:
+    """Build :class:`LlamaConfig` from an HF ``config.json``."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    rs = hf.get("rope_scaling") or None
+    rope_scaling = None
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        rope_scaling = (
+            float(rs["factor"]),
+            float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            int(rs["original_max_position_embeddings"]),
+        )
+    head_dim = hf.get("head_dim") or (
+        hf["hidden_size"] // hf["num_attention_heads"])
+    return LlamaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get(
+            "num_key_value_heads", hf["num_attention_heads"]),
+        head_dim=head_dim,
+        rope_theta=float(hf.get("rope_theta", 500000.0)),
+        rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        max_position_embeddings=hf.get("max_position_embeddings", 8192),
+        tie_word_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        rope_scaling=rope_scaling,
+        quant=quant or QuantConfig(),
+    )
+
+
+def _tensor_reader(model_dir: str) -> Callable[[str], jnp.ndarray]:
+    """Per-tensor streaming reader over the model's safetensors shard(s)."""
+    from safetensors import safe_open
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    name2file: Dict[str, str] = {}
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            name2file = json.load(f)["weight_map"]
+    else:
+        single = os.path.join(model_dir, "model.safetensors")
+        if not os.path.exists(single):
+            raise FileNotFoundError(f"no safetensors in {model_dir}")
+        from safetensors import safe_open as _so
+
+        with _so(single, framework="flax") as f:
+            for k in f.keys():
+                name2file[k] = "model.safetensors"
+
+    handles: Dict[str, Any] = {}
+
+    def read(name: str) -> jnp.ndarray:
+        fname = name2file[name]
+        if fname not in handles:
+            handles[fname] = safe_open(
+                os.path.join(model_dir, fname), framework="flax")
+        return handles[fname].get_tensor(name)
+
+    read.names = set(name2file)  # type: ignore[attr-defined]
+    return read
+
+
+def load_hf_llama(
+    model_dir: str,
+    quant: Optional[QuantConfig] = None,
+    mesh=None,
+    dtype: Any = jnp.bfloat16,
+) -> Tuple[LlamaConfig, LlamaParams]:
+    """Load + quantize an HF Llama checkpoint.
+
+    Weights stream one tensor at a time through host memory, are
+    quantized on device (jitted ``quantize_linear``), and when ``mesh``
+    is given each quantized tensor is placed into its TP sharding
+    immediately — the dense model never materializes anywhere.
+    """
+    cfg = config_from_hf(model_dir, quant)
+    q = cfg.quant
+    read = _tensor_reader(model_dir)
+
+    specs = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.shard import llama_param_pspecs
+
+        specs = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                             llama_param_pspecs(cfg))
+
+    def place(x, spec_path=None):
+        if specs is None or spec_path is None:
+            return x
+        return jax.device_put(x, spec_path)
+
+    def qlin(name: str, spec=None) -> QLinear:
+        W = read(name).astype(jnp.float32)
+        ql = quantize_linear(
+            W, blocksize=q.blocksize, quant_type=q.quant_type,
+            compress_statistics=q.compress_statistics,
+        )
+        if spec is not None:
+            ql = QLinear(wp=jax.device_put(ql.wp, spec.wp),
+                         scales=jax.device_put(ql.scales, spec.scales))
+        return ql
+
+    lspec = specs.layers if specs is not None else None
+
+    def layer_slice(attr):
+        # per-layer sharding spec: drop the leading L axis from the spec
+        if lspec is None:
+            return None
+        from jax.sharding import NamedSharding
+
+        s = getattr(lspec, attr)
+        if isinstance(s, QLinear):
+            return QLinear(
+                wp=NamedSharding(mesh, jax.sharding.PartitionSpec(
+                    *s.wp.spec[1:])),
+                scales=NamedSharding(mesh, jax.sharding.PartitionSpec(
+                    *s.scales.spec[1:])),
+            )
+        return None
+
+    per_layer = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        per_layer.append(LlamaLayer(
+            attn_norm=read(p + "input_layernorm.weight").astype(jnp.bfloat16),
+            q=qlin(p + "self_attn.q_proj.weight", layer_slice("q")),
+            k=qlin(p + "self_attn.k_proj.weight", layer_slice("k")),
+            v=qlin(p + "self_attn.v_proj.weight", layer_slice("v")),
+            o=qlin(p + "self_attn.o_proj.weight", layer_slice("o")),
+            mlp_norm=read(p + "post_attention_layernorm.weight"
+                          ).astype(jnp.bfloat16),
+            gate=qlin(p + "mlp.gate_proj.weight", layer_slice("gate")),
+            up=qlin(p + "mlp.up_proj.weight", layer_slice("up")),
+            down=qlin(p + "mlp.down_proj.weight", layer_slice("down")),
+        ))
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    if specs is not None:
+        layers = jax.tree.map(jax.device_put, layers, specs.layers)
+
+    embed = read("model.embed_tokens.weight").astype(jnp.bfloat16)
+    if cfg.tie_word_embeddings or "lm_head.weight" not in read.names:
+        head_w = embed.astype(jnp.float32)
+    else:
+        head_w = read("lm_head.weight").astype(jnp.float32)
+    if q.quantize_lm_head:
+        lm_head = quantize_linear(
+            head_w, blocksize=q.blocksize, quant_type=q.quant_type,
+            compress_statistics=q.compress_statistics,
+        )
+        if specs is not None:
+            lm_head = QLinear(
+                wp=jax.device_put(lm_head.wp, specs.lm_head.wp),
+                scales=jax.device_put(lm_head.scales, specs.lm_head.scales),
+            )
+    else:
+        lm_head = head_w.astype(jnp.bfloat16)
+        if specs is not None:
+            lm_head = jax.device_put(lm_head, specs.lm_head)
+
+    final_norm = read("model.norm.weight").astype(jnp.bfloat16)
+    if specs is not None:
+        embed = jax.device_put(embed, specs.embed)
+        final_norm = jax.device_put(final_norm, specs.final_norm)
+
+    params = LlamaParams(embed=embed, layers=layers,
+                         final_norm=final_norm, lm_head=lm_head)
+    return cfg, params
+
+
+# --------------------------------------------------------------------------
+# Pre-quantized checkpoints (bnb key schema, reference core.py:29-42)
+# --------------------------------------------------------------------------
+
+def _iter_qlinears(params: LlamaParams) -> Iterator[Tuple[str, Any]]:
+    yield "embed", params.embed
+    yield "final_norm", params.final_norm
+    yield "layers.attn_norm", params.layers.attn_norm
+    yield "layers.mlp_norm", params.layers.mlp_norm
+    for attr in ("q", "k", "v", "o", "gate", "up", "down"):
+        yield f"layers.{attr}", getattr(params.layers, attr)
+    yield "lm_head", params.lm_head
+
+
+def save_quantized(params: LlamaParams, path: str) -> None:
+    """Save quantized params to one safetensors file.
+
+    QLinear tensors use bnb-style key pairs ``<name>.weight.packed`` /
+    ``<name>.weight.absmax`` (scales here are the *resolved* fp32 absmax
+    — the runtime layout; the bnb nested/uint8 form is an export concern
+    of the module layer's ``QuantState.as_dict``).
+    """
+    from safetensors.numpy import save_file
+
+    tensors: Dict[str, np.ndarray] = {}
+    for name, leaf in _iter_qlinears(params):
+        if isinstance(leaf, QLinear):
+            tensors[name + ".weight.packed"] = np.asarray(leaf.wp)
+            tensors[name + ".weight.absmax"] = np.asarray(leaf.scales)
+        else:
+            tensors[name] = np.asarray(
+                leaf.astype(jnp.float32) if leaf.dtype == jnp.bfloat16
+                else leaf)
+    save_file(tensors, path)
+
+
+def load_quantized(path: str, cfg: LlamaConfig) -> LlamaParams:
+    """Inverse of :func:`save_quantized`."""
+    from safetensors.numpy import load_file
+
+    t = load_file(path)
+
+    def get(name):
+        if name + ".weight.packed" in t:
+            return QLinear(
+                wp=jnp.asarray(t[name + ".weight.packed"]),
+                scales=jnp.asarray(t[name + ".weight.absmax"]),
+            )
+        return jnp.asarray(t[name]).astype(jnp.bfloat16)
+
+    layers = LlamaLayer(
+        attn_norm=get("layers.attn_norm"),
+        q=get("layers.q"), k=get("layers.k"), v=get("layers.v"),
+        o=get("layers.o"),
+        mlp_norm=get("layers.mlp_norm"),
+        gate=get("layers.gate"), up=get("layers.up"), down=get("layers.down"),
+    )
+    return LlamaParams(
+        embed=get("embed"), layers=layers,
+        final_norm=get("final_norm"), lm_head=get("lm_head"),
+    )

@@ -65,6 +65,9 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = False
+    # HF "llama3"-type rope scaling: (factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings). None = off.
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None
     quant: QuantConfig = QuantConfig()
 
     @property
@@ -193,11 +196,17 @@ def init_llama_params(
     cfg: LlamaConfig, seed: int = 0, scale: float = 0.02
 ) -> LlamaParams:
     """Random-initialized quantized model (bench/tests; real checkpoints
-    come from :mod:`quantizations_tpu.models.hf_loader`). Weights are
-    generated and quantized layer-by-layer on device to keep peak memory
-    at one dense layer."""
+    come from :mod:`quantizations_tpu.models.hf_loader`).
+
+    Memory discipline: layers are generated+quantized one at a time and
+    written into a preallocated stacked buffer with a donated in-place
+    update — peak HBM is the final model plus ONE dense layer (a naive
+    build-then-stack holds 2x the transformer weights, which together
+    with generate's footprint exceeds a v5e's 16 GB for 8B)."""
     q = cfg.quant
     key = jax.random.PRNGKey(seed)
+    h, qs, kvs, inter = (cfg.hidden_size, cfg.q_size, cfg.kv_size,
+                         cfg.intermediate_size)
 
     def qlin(key, out_f, in_f):
         W = jax.random.normal(key, (out_f, in_f), jnp.float32) * scale
@@ -206,12 +215,9 @@ def init_llama_params(
             compress_statistics=q.compress_statistics,
         )
 
-    h, qs, kvs, inter = (cfg.hidden_size, cfg.q_size, cfg.kv_size,
-                         cfg.intermediate_size)
-    per_layer = []
-    for i in range(cfg.num_hidden_layers):
+    def make_layer(i: int) -> LlamaLayer:
         ks = jax.random.split(jax.random.fold_in(key, i), 7)
-        per_layer.append(LlamaLayer(
+        return LlamaLayer(
             attn_norm=jnp.ones((h,), jnp.bfloat16),
             q=qlin(ks[0], qs, h),
             k=qlin(ks[1], kvs, h),
@@ -221,17 +227,31 @@ def init_llama_params(
             gate=qlin(ks[4], inter, h),
             up=qlin(ks[5], inter, h),
             down=qlin(ks[6], h, inter),
-        ))
-    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write_layer(stacked, layer, i):
+        return jax.tree.map(
+            lambda s, l: jax.lax.dynamic_update_slice_in_dim(
+                s, l[None], i, axis=0),
+            stacked, layer)
+
+    layer0 = make_layer(0)
+    L = cfg.num_hidden_layers
+    layers = jax.tree.map(
+        lambda x: jnp.zeros((L,) + x.shape, x.dtype), layer0)
+    layers = write_layer(layers, layer0, jnp.int32(0))
+    del layer0
+    for i in range(1, L):
+        layers = write_layer(layers, make_layer(i), jnp.int32(i))
 
     ke, kh = jax.random.split(jax.random.fold_in(key, 10**6))
-    embed = (jax.random.normal(ke, (cfg.vocab_size, h), jnp.float32)
-             * scale).astype(jnp.bfloat16)
+    embed = jax.random.normal(ke, (cfg.vocab_size, h), jnp.bfloat16) * scale
     if q.quantize_lm_head:
         lm_head = qlin(kh, cfg.vocab_size, h)
     else:
-        lm_head = (jax.random.normal(kh, (cfg.vocab_size, h), jnp.float32)
-                   * scale).astype(jnp.bfloat16)
+        lm_head = jax.random.normal(
+            kh, (cfg.vocab_size, h), jnp.bfloat16) * scale
     return LlamaParams(
         embed=embed, layers=layers,
         final_norm=jnp.ones((h,), jnp.bfloat16), lm_head=lm_head,
@@ -249,12 +269,27 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * jax.lax.rsqrt(var + eps)) * w.astype(jnp.float32)
 
 
-def rope_cos_sin(positions: jnp.ndarray, head_dim: int,
-                 theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float,
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """cos/sin tables ``[T, head_dim]`` (HF non-interleaved convention:
-    the table is the half-table tiled twice)."""
+    the table is the half-table tiled twice). ``rope_scaling`` applies the
+    HF "llama3" frequency rescaling used by the Llama3 Instruct
+    checkpoints."""
     inv = 1.0 / (theta ** (
         jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if rope_scaling is not None:
+        factor, low_f, high_f, orig_max = rope_scaling
+        wavelen = 2.0 * jnp.pi / inv
+        low_wl = orig_max / low_f
+        high_wl = orig_max / high_f
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        smoothed = (1 - smooth) * inv / factor + smooth * inv
+        inv = jnp.where(
+            wavelen > low_wl, inv / factor,
+            jnp.where(wavelen < high_wl, inv, smoothed),
+        )
     ang = positions.astype(jnp.float32)[:, None] * inv[None, :]  # [T, D/2]
     ang = jnp.concatenate([ang, ang], axis=-1)                   # [T, D]
     return jnp.cos(ang), jnp.sin(ang)
@@ -348,16 +383,21 @@ def _forward(
     pos: jnp.ndarray,            # scalar int32
     cfg: LlamaConfig,
     axis_name: Optional[str] = None,
+    last_token_only: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared prefill/decode forward: embeds ``T`` tokens written at cache
     positions ``pos .. pos+T``, returns logits ``[B, T, vocab(_shard)]``
-    and the updated cache. One ``lax.scan`` over the stacked layers."""
+    (``T=1`` when ``last_token_only`` — generation never needs prompt
+    logits, and the 128k-vocab head over the full prompt is the largest
+    transient of the prefill) and the updated cache. One ``lax.scan``
+    over the stacked layers."""
     B, T = token_ids.shape
     S = cache.max_seq
     x = params.embed[token_ids].astype(jnp.bfloat16)   # [B, T, hidden]
 
     positions = pos + jnp.arange(T, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            cfg.rope_scaling)
     # mask[t, s]: attend iff s is a written position not after query t.
     key_pos = jnp.arange(S, dtype=jnp.int32)
     mask = key_pos[None, :] <= positions[:, None]
@@ -377,6 +417,9 @@ def _forward(
     (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v),
                                   (params.layers, idx))
 
+    if last_token_only:
+        x = x[:, -1:, :]
+        B, T = x.shape[0], 1
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     if isinstance(params.lm_head, QLinear):
         logits = _ql(
@@ -396,11 +439,13 @@ def _forward(
 
 def prefill(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,
             cfg: LlamaConfig, pos: Optional[jnp.ndarray] = None,
-            axis_name: Optional[str] = None) -> Tuple[jnp.ndarray, KVCache]:
+            axis_name: Optional[str] = None,
+            last_token_only: bool = False) -> Tuple[jnp.ndarray, KVCache]:
     """Process a prompt chunk; returns (logits [B, T, vocab], cache)."""
     if pos is None:
         pos = jnp.int32(0)
-    return _forward(params, token_ids, cache, pos, cfg, axis_name=axis_name)
+    return _forward(params, token_ids, cache, pos, cfg, axis_name=axis_name,
+                    last_token_only=last_token_only)
 
 
 def decode_step(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,

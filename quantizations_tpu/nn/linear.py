@@ -62,11 +62,14 @@ def dequantize_permuted(
     if lut is None:
         lut = "fp4_bits" if quant_type == "fp4" else "tree"
     lut_fn = make_lut(lut, get_4bit_code(quant_type))
-    k8 = wp.shape[1]
-    planes = [lut_fn((wp >> s) & 15) for s in _SHIFTS]
-    w = jnp.concatenate(planes, axis=1)  # [M, K] permuted
-    srep = jnp.tile(jnp.repeat(scales, 8, axis=1), (1, 8))  # [M, K]
-    return (w * srep).astype(dtype)
+    # Scale per plane before the concat: keeps the fp32 transient at
+    # [M, K/8] instead of materializing a full [M, K] fp32 scale array
+    # (2 GB for a 128k-vocab lm_head).
+    srep8 = jnp.repeat(scales, 8, axis=1)  # [M, K/8] fp32
+    planes = [
+        (lut_fn((wp >> s) & 15) * srep8).astype(dtype) for s in _SHIFTS
+    ]
+    return jnp.concatenate(planes, axis=1)  # [M, K] permuted
 
 
 def permute_cols(x: jnp.ndarray) -> jnp.ndarray:

@@ -61,7 +61,7 @@ def _generate_impl(
     """Prefill + scan-decode. Returns (tokens [B, max_new_tokens], cache)."""
     B, P = prompt_ids.shape
     logits, cache = prefill(params, prompt_ids, cache, cfg,
-                            axis_name=axis_name)
+                            axis_name=axis_name, last_token_only=True)
     key, sub = jax.random.split(key)
     tok = sample_logits(logits[:, -1, :], sub, temperature, top_k)
 

@@ -1,0 +1,119 @@
+"""Checkpoint tests (SURVEY.md §5 checkpoint/resume): a synthesized tiny
+HF safetensors checkpoint loads + quantizes to the same params as direct
+quantization, and pre-quantized save/load round-trips exactly."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizations_tpu.config import QuantConfig
+from quantizations_tpu.models.hf_loader import (
+    config_from_hf,
+    load_hf_llama,
+    load_quantized,
+    save_quantized,
+)
+from quantizations_tpu.models.llama import KVCache, prefill
+
+H, INTER, LAYERS, HEADS, KV, HD, VOCAB = 128, 256, 2, 2, 2, 64, 256
+
+
+@pytest.fixture(scope="module")
+def hf_dir(tmp_path_factory):
+    """Write a tiny HF-Llama-format checkpoint to disk."""
+    from safetensors.numpy import save_file
+
+    d = tmp_path_factory.mktemp("hf_tiny")
+    cfgj = {
+        "architectures": ["LlamaForCausalLM"],
+        "vocab_size": VOCAB, "hidden_size": H,
+        "intermediate_size": INTER, "num_hidden_layers": LAYERS,
+        "num_attention_heads": HEADS, "num_key_value_heads": KV,
+        "head_dim": HD, "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+        "max_position_embeddings": 64, "tie_word_embeddings": False,
+        "rope_scaling": {
+            "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 64,
+        },
+    }
+    (d / "config.json").write_text(json.dumps(cfgj))
+
+    rng = np.random.default_rng(0)
+
+    def w(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    tensors = {
+        "model.embed_tokens.weight": w(VOCAB, H),
+        "model.norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": w(VOCAB, H),
+    }
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        tensors[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        tensors[p + "post_attention_layernorm.weight"] = np.ones(
+            H, np.float32)
+        tensors[p + "self_attn.q_proj.weight"] = w(HEADS * HD, H)
+        tensors[p + "self_attn.k_proj.weight"] = w(KV * HD, H)
+        tensors[p + "self_attn.v_proj.weight"] = w(KV * HD, H)
+        tensors[p + "self_attn.o_proj.weight"] = w(H, HEADS * HD)
+        tensors[p + "mlp.gate_proj.weight"] = w(INTER, H)
+        tensors[p + "mlp.up_proj.weight"] = w(INTER, H)
+        tensors[p + "mlp.down_proj.weight"] = w(H, INTER)
+    save_file(tensors, str(d / "model.safetensors"))
+    return str(d)
+
+
+def test_config_from_hf(hf_dir):
+    cfg = config_from_hf(hf_dir)
+    assert cfg.hidden_size == H
+    assert cfg.num_key_value_heads == KV
+    assert cfg.rope_scaling == (8.0, 1.0, 4.0, 64)
+
+
+def test_load_and_forward(hf_dir):
+    cfg, params = load_hf_llama(hf_dir, quant=QuantConfig(quant_type="nf4"))
+    assert params.layers.q.wp.shape == (LAYERS, HEADS * HD, H // 8)
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    import functools
+
+    logits, _ = jax.jit(functools.partial(prefill, cfg=cfg))(
+        params, ids, KVCache.create(cfg, 1, 16))
+    assert logits.shape == (1, 3, VOCAB)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_quantized_roundtrip(hf_dir, tmp_path):
+    cfg, params = load_hf_llama(hf_dir)
+    path = str(tmp_path / "quantized.safetensors")
+    save_quantized(params, path)
+    loaded = load_quantized(path, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.layers.q.wp), np.asarray(params.layers.q.wp))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.layers.down.scales),
+        np.asarray(params.layers.down.scales))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.lm_head.wp), np.asarray(params.lm_head.wp))
+    # embed round-trips through fp32 -> bf16 (it was bf16 already)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.embed, dtype=np.float32),
+        np.asarray(params.embed, dtype=np.float32))
+
+
+def test_load_onto_mesh(hf_dir):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from quantizations_tpu.parallel import make_mesh
+
+    mesh = make_mesh((2,), ("tp",))
+    cfg, params = load_hf_llama(hf_dir, mesh=mesh)
+    # column-parallel q: sharded over rows
+    shard_shapes = [s.data.shape
+                    for s in params.layers.q.wp.addressable_shards]
+    assert all(ss[1] == HEADS * HD // 2 for ss in shard_shapes)
