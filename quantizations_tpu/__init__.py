@@ -9,6 +9,7 @@ kernels, a Llama3 generate path, and mesh-sharded multi-chip serving.
 
 __version__ = "0.1.0"
 
+from .config import QuantConfig, ServeConfig
 from .quant import (
     QuantState,
     dequantize_4bit,
@@ -19,8 +20,12 @@ from .quant import (
 
 __all__ = [
     "QuantState",
+    "QuantConfig",
+    "ServeConfig",
     "quantize_4bit",
     "dequantize_4bit",
     "quantize_blockwise",
     "dequantize_blockwise",
+    # Submodules (imported lazily to keep `import quantizations_tpu` light):
+    # .nn (Linear4bit), .models (Llama), .serve (generate), .parallel (TP).
 ]

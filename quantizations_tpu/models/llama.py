@@ -290,19 +290,19 @@ def rope_cos_sin(
             wavelen > low_wl, inv / factor,
             jnp.where(wavelen < high_wl, inv, smoothed),
         )
-    ang = positions.astype(jnp.float32)[:, None] * inv[None, :]  # [T, D/2]
-    ang = jnp.concatenate([ang, ang], axis=-1)                   # [T, D]
+    ang = positions.astype(jnp.float32)[..., None] * inv  # [..., D/2]
+    ang = jnp.concatenate([ang, ang], axis=-1)             # [..., D]
     return jnp.cos(ang), jnp.sin(ang)
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
                sin: jnp.ndarray) -> jnp.ndarray:
-    """``x [B, T, H, D]`` with cos/sin ``[T, D]`` — HF ``rotate_half``."""
+    """``x [B, T, H, D]`` with cos/sin ``[B, T, D]`` — HF ``rotate_half``."""
     d2 = x.shape[-1] // 2
     x1, x2 = x[..., :d2], x[..., d2:]
     rot = jnp.concatenate([-x2, x1], axis=-1)
-    c = cos[None, :, None, :].astype(x.dtype)
-    s = sin[None, :, None, :].astype(x.dtype)
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
     return x * c + rot * s
 
 
@@ -318,15 +318,16 @@ def _layer_forward(
     layer: LlamaLayer,           # single layer (no L axis)
     cache_k: jnp.ndarray,        # [B, S, KV, D] this layer's cache
     cache_v: jnp.ndarray,
-    pos: jnp.ndarray,            # scalar int32: write offset
-    cos: jnp.ndarray,            # [T, D]
+    pos: jnp.ndarray,            # [B] int32: per-slot write offsets
+    cos: jnp.ndarray,            # [B, T, D]
     sin: jnp.ndarray,
-    mask: jnp.ndarray,           # [T, S] bool: True = attend
+    mask: jnp.ndarray,           # [B, T, S] bool: True = attend
     cfg: LlamaConfig,
     axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. Head counts derive from the (per-shard) weight
-    shapes so the same code runs under shard_map."""
+    shapes so the same code runs under shard_map. ``pos`` is per-batch-slot
+    (continuous batching: every slot sits at its own sequence offset)."""
     B, T, h = x.shape
     D = cfg.head_dim
     n_q = layer.q.out_features // D     # per-shard query heads
@@ -335,44 +336,46 @@ def _layer_forward(
     qcfg = cfg.quant
 
     # -- attention --
-    xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
-    x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
-    q = _ql(x2, layer.q, qcfg).reshape(B, T, n_q, D)
-    k = _ql(x2, layer.k, qcfg).reshape(B, T, n_kv, D)
-    v = _ql(x2, layer.v, qcfg).reshape(B, T, n_kv, D)
+    with jax.named_scope("attn"):
+        xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
+        x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
+        q = _ql(x2, layer.q, qcfg).reshape(B, T, n_q, D)
+        k = _ql(x2, layer.k, qcfg).reshape(B, T, n_kv, D)
+        v = _ql(x2, layer.v, qcfg).reshape(B, T, n_kv, D)
 
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
-    cache_k = jax.lax.dynamic_update_slice(
-        cache_k, k.astype(cache_k.dtype), (0, pos, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(
-        cache_v, v.astype(cache_v.dtype), (0, pos, 0, 0))
+        upd = jax.vmap(
+            lambda c, kn, p: jax.lax.dynamic_update_slice(c, kn, (p, 0, 0)))
+        cache_k = upd(cache_k, k.astype(cache_k.dtype), pos)
+        cache_v = upd(cache_v, v.astype(cache_v.dtype), pos)
 
-    qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
-    kf = cache_k.astype(jnp.float32)
-    vf = cache_v.astype(jnp.float32)
-    scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) * (D ** -0.5)
-    scores = jnp.where(mask[None, :, None, None, :], scores, -1e30)
-    w = jax.nn.softmax(scores, axis=-1)
-    attn = jnp.einsum("btkgs,bskd->btkgd", w, vf)
-    attn = attn.reshape(B * T, n_q * D)
+        qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
+        kf = cache_k.astype(jnp.float32)
+        vf = cache_v.astype(jnp.float32)
+        scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) * (D ** -0.5)
+        scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
+        w = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("btkgs,bskd->btkgd", w, vf)
+        attn = attn.reshape(B * T, n_q * D)
 
-    o = _ql(attn, layer.o, qcfg)
-    if axis_name is not None:
-        o = jax.lax.psum(o, axis_name)
-    x = x + o.reshape(B, T, h).astype(x.dtype)
+        o = _ql(attn, layer.o, qcfg)
+        if axis_name is not None:
+            o = jax.lax.psum(o, axis_name)
+        x = x + o.reshape(B, T, h).astype(x.dtype)
 
     # -- MLP (SwiGLU) --
-    xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
-    x2 = xm.astype(qcfg.compute_dtype).reshape(B * T, h)
-    g = _ql(x2, layer.gate, qcfg)
-    u = _ql(x2, layer.up, qcfg)
-    act = jax.nn.silu(g) * u
-    d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg)
-    if axis_name is not None:
-        d = jax.lax.psum(d, axis_name)
-    x = x + d.reshape(B, T, h).astype(x.dtype)
+    with jax.named_scope("mlp"):
+        xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
+        x2 = xm.astype(qcfg.compute_dtype).reshape(B * T, h)
+        g = _ql(x2, layer.gate, qcfg)
+        u = _ql(x2, layer.up, qcfg)
+        act = jax.nn.silu(g) * u
+        d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg)
+        if axis_name is not None:
+            d = jax.lax.psum(d, axis_name)
+        x = x + d.reshape(B, T, h).astype(x.dtype)
     return x, cache_k, cache_v
 
 
@@ -380,13 +383,14 @@ def _forward(
     params: LlamaParams,
     token_ids: jnp.ndarray,      # [B, T]
     cache: KVCache,
-    pos: jnp.ndarray,            # scalar int32
+    pos: jnp.ndarray,            # scalar int32 or [B] (per-slot offsets)
     cfg: LlamaConfig,
     axis_name: Optional[str] = None,
     last_token_only: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared prefill/decode forward: embeds ``T`` tokens written at cache
-    positions ``pos .. pos+T``, returns logits ``[B, T, vocab(_shard)]``
+    positions ``pos .. pos+T`` (``pos`` may be per-batch-slot, the
+    continuous-batching case), returns logits ``[B, T, vocab(_shard)]``
     (``T=1`` when ``last_token_only`` — generation never needs prompt
     logits, and the 128k-vocab head over the full prompt is the largest
     transient of the prefill) and the updated cache. One ``lax.scan``
@@ -395,12 +399,13 @@ def _forward(
     S = cache.max_seq
     x = params.embed[token_ids].astype(jnp.bfloat16)   # [B, T, hidden]
 
-    positions = pos + jnp.arange(T, dtype=jnp.int32)
+    pos = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (B,))
+    positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
-                            cfg.rope_scaling)
-    # mask[t, s]: attend iff s is a written position not after query t.
+                            cfg.rope_scaling)               # [B, T, D]
+    # mask[b, t, s]: attend iff s is a written position not after query t.
     key_pos = jnp.arange(S, dtype=jnp.int32)
-    mask = key_pos[None, :] <= positions[:, None]
+    mask = key_pos[None, None, :] <= positions[:, :, None]  # [B, T, S]
 
     def body(carry, inputs):
         x, ck, cv = carry

@@ -1,0 +1,201 @@
+"""Continuous-batching serving engine.
+
+No reference analogue (the reference is strictly batch-1 single-GPU,
+SURVEY.md §2.3) — this is the new TPU-native serving design required by
+BASELINE.json config 5: a slot-based engine where every batch slot holds
+an independent request at its own sequence position. Decode steps run
+the whole batch through ONE jitted program (per-slot positions are a
+vector, see models/llama.py); finished slots are refilled from the queue
+without stopping the others.
+
+Single-host here; the multi-host path runs the same engine per host with
+the TP-sharded step function (parallel/shard.py) and replicated host
+queues — decode steps are synchronized by the collectives themselves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from collections import deque
+from typing import Any, Callable, Deque, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ServeConfig
+from ..models.llama import (
+    KVCache,
+    LlamaConfig,
+    LlamaParams,
+    decode_step,
+    prefill,
+)
+from .generate import sample_logits
+
+__all__ = ["Request", "Engine"]
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt_ids: List[int]
+    max_new_tokens: int
+    eos_id: Optional[int] = None
+    # filled by the engine:
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class Engine:
+    """Slot-based continuous batching over a fixed-shape KV cache.
+
+    ``slots`` concurrent sequences; prompts are bucketed to
+    ``prefill_buckets`` lengths so the jitted prefill has a small, fixed
+    set of shapes (XLA needs static shapes; bucketing is the standard
+    TPU answer to variable-length prompts).
+    """
+
+    def __init__(
+        self,
+        params: LlamaParams,
+        cfg: LlamaConfig,
+        serve: ServeConfig,
+        slots: int = 4,
+        prefill_buckets: tuple = (16, 64, 256),
+        temperature: float = 0.0,
+        top_k: int = 0,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.serve = serve
+        self.slots = slots
+        self.buckets = tuple(sorted(prefill_buckets))
+        self.max_seq = serve.max_seq_len
+
+        self.cache = KVCache.create(cfg, slots, self.max_seq)
+        self.pos = np.zeros(slots, np.int32)         # next write offset
+        self.active: List[Optional[Request]] = [None] * slots
+        self.queue: Deque[Request] = deque()
+        self.finished: Dict[int, Request] = {}
+        self._uid = 0
+        self._key = jax.random.PRNGKey(seed)
+        self._cur_tok = np.zeros(slots, np.int32)
+        self._steps = 0
+
+        # jitted step: batched decode + sample, cache donated. Params are
+        # an explicit argument (closing over multi-GB arrays would lift
+        # them into jaxpr constants).
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _step(p, tokens, cache, pos_vec, key):
+            logits, cache = decode_step(p, tokens[:, None], cache,
+                                        pos_vec, cfg)
+            nxt = sample_logits(logits, key, temperature, top_k)
+            return nxt, cache
+
+        self._step_fn = functools.partial(_step, params)
+
+        # jitted per-bucket prefill of ONE sequence into a scratch cache,
+        # then insertion into the batch cache at a slot.
+        # Padding caveat: positions [plen, bucket) of the scratch cache
+        # hold garbage keys, but decode overwrites position p before any
+        # query can attend it (the mask is s <= pos and pos advances one
+        # step at a time), so they are never read.
+        @jax.jit
+        def _pf(p, ids, plen, key):
+            scratch = KVCache.create(cfg, 1, self.max_seq)
+            # ids [1, blen] left-aligned; positions 0..plen-1 valid.
+            logits, scratch = prefill(p, ids, scratch, cfg)
+            # logits of the LAST VALID prompt token
+            logit = jnp.take_along_axis(
+                logits, jnp.reshape(plen - 1, (1, 1, 1)), axis=1)[:, 0]
+            tok = sample_logits(logit, key, temperature, top_k)
+            return tok, scratch
+
+        self._prefill_fn = functools.partial(_pf, params)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _insert(cache, scratch, slot):
+            k = jax.lax.dynamic_update_slice(
+                cache.k, scratch.k, (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache.v, scratch.v, (0, slot, 0, 0, 0))
+            return KVCache(k=k, v=v)
+
+        self._insert_fn = _insert
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, prompt_ids, max_new_tokens: int = 32,
+               eos_id: Optional[int] = None) -> int:
+        self._uid += 1
+        self.queue.append(Request(
+            uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
+            max_new_tokens=max_new_tokens, eos_id=eos_id))
+        return self._uid
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.active)
+
+    def step(self) -> int:
+        """Admit queued requests into free slots, run one batched decode
+        step, retire finished requests. Returns #active slots stepped."""
+        self._admit()
+        act = [i for i, r in enumerate(self.active) if r is not None]
+        if not act:
+            return 0
+        self._key, sub = jax.random.split(self._key)
+        tokens = jnp.asarray(self._cur_tok)
+        pos_vec = jnp.asarray(self.pos)
+        nxt, self.cache = self._step_fn(tokens, self.cache, pos_vec, sub)
+        nxt = np.asarray(nxt)
+        self._steps += 1
+        for i in act:
+            r = self.active[i]
+            r.output_ids.append(int(self._cur_tok[i]))
+            self.pos[i] += 1
+            self._cur_tok[i] = nxt[i]
+            full = len(r.output_ids) >= r.max_new_tokens
+            hit_eos = (r.eos_id is not None
+                       and r.output_ids[-1] == r.eos_id)
+            out_of_room = self.pos[i] >= self.max_seq - 1
+            if full or hit_eos or out_of_room:
+                r.done = True
+                self.finished[r.uid] = r
+                self.active[i] = None
+        return len(act)
+
+    def run(self, max_steps: int = 100000) -> Dict[int, Request]:
+        while self.has_work() and self._steps < max_steps:
+            self.step()
+        return self.finished
+
+    # -- internals ----------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"prompt length {n} exceeds largest bucket {self.buckets[-1]}")
+
+    def _admit(self) -> None:
+        for slot in range(self.slots):
+            if self.active[slot] is not None or not self.queue:
+                continue
+            r = self.queue.popleft()
+            plen = len(r.prompt_ids)
+            blen = self._bucket(plen)
+            ids = np.zeros((1, blen), np.int32)
+            ids[0, :plen] = r.prompt_ids
+            self._key, sub = jax.random.split(self._key)
+            tok, scratch = self._prefill_fn(
+                jnp.asarray(ids), jnp.int32(plen), sub)
+            self.cache = self._insert_fn(self.cache, scratch,
+                                         jnp.int32(slot))
+            self.active[slot] = r
+            self.pos[slot] = plen
+            self._cur_tok[slot] = int(np.asarray(tok)[0])

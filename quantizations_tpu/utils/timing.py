@@ -26,6 +26,8 @@ def time_scan_chain(
     x0: jnp.ndarray,
     iters: int = 100,
     trials: int = 3,
+    min_total_s: float = 0.5,
+    max_iters: int = 20000,
 ) -> float:
     """Return best per-iteration seconds for ``fn`` called ``iters`` times
     with serialized data dependencies.
@@ -33,6 +35,14 @@ def time_scan_chain(
     ``fn`` maps an array x to any array; each step perturbs x by an
     epsilon-scaled scalar of the output so the chain is sequential but
     numerically a no-op.
+
+    The tunneled runtime has a ~40-50 ms host<->device round-trip per
+    dispatch, so a chain whose total device time is below that measures
+    ONLY the tunnel (and every sub-millisecond kernel looks identical).
+    The iteration count is grown until the measured total exceeds
+    ``min_total_s`` (default 0.5 s >> round-trip), then the per-iteration
+    time is taken as the slope between two iteration counts, which
+    cancels the fixed dispatch cost exactly.
     """
 
     def body(x, _):
@@ -41,15 +51,24 @@ def time_scan_chain(
         eps = jnp.sum(o.astype(jnp.float32)) * jnp.float32(1e-30)
         return x + eps.astype(x.dtype), ()
 
-    @jax.jit
-    def chain(x):
-        xf, _ = jax.lax.scan(body, x, (), length=iters)
-        return jnp.sum(xf.astype(jnp.float32))
+    def total_time(n: int) -> float:
+        @jax.jit
+        def chain(x):
+            xf, _ = jax.lax.scan(body, x, (), length=n)
+            return jnp.sum(xf.astype(jnp.float32))
 
-    float(chain(x0))  # compile + warm up
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        float(chain(x0))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        float(chain(x0))  # compile + warm up
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(chain(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = total_time(iters)
+    while t < min_total_s and iters < max_iters:
+        iters *= 4
+        t = total_time(iters)
+    # slope between iters and iters/2 cancels fixed dispatch overhead
+    t_half = total_time(max(1, iters // 2))
+    return max((t - t_half) / (iters - iters // 2), 1e-12)
