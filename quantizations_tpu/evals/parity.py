@@ -1,0 +1,190 @@
+"""Quantization parity metrics.
+
+The reference's accuracy validation is a single external IFEval run
+(reference README.md:28) with no code in the repo. Here parity is
+measurable directly: compare the 4-bit model against the same model with
+weights dequantized to bf16 (the "what the quantization did" delta) on
+any token stream — top-1 agreement, KL divergence and perplexity delta.
+When checkpoints + the IFEval dataset are available, `evals.ifeval`
+drives the full benchmark; this module is the always-runnable core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import (
+    KVCache,
+    LlamaConfig,
+    LlamaLayer,
+    LlamaParams,
+    QLinear,
+    prefill,
+)
+from ..nn.linear import dequantize_permuted, permute_cols
+
+__all__ = ["dequantized_params", "logit_parity", "perplexity",
+           "ParityReport"]
+
+
+def _dense_from_qlinear(ql: QLinear, quant_type: str) -> jnp.ndarray:
+    """QLinear -> dense bf16 [out, in] in the ORIGINAL column order."""
+    Wp = dequantize_permuted(ql.wp, ql.scales, quant_type,
+                             dtype=jnp.bfloat16)   # [M, K] permuted cols
+    M, K = Wp.shape
+    # invert the plane permutation: permuted col j*K/8 + c -> original 8c+j
+    return Wp.reshape(M, 8, K // 8).swapaxes(1, 2).reshape(M, K)
+
+
+def dequantized_params(params: LlamaParams,
+                       cfg: LlamaConfig) -> LlamaParams:
+    """Replace every QLinear with its dequantized dense bf16 matrix —
+    the bf16 reference model whose outputs define "parity"."""
+    qt = cfg.quant.quant_type
+
+    def conv(leaf):
+        return leaf
+
+    def conv_ql(ql_stacked: QLinear) -> jnp.ndarray:
+        if ql_stacked.wp.ndim == 3:   # stacked [L, M, K/8]
+            return jnp.stack([
+                _dense_from_qlinear(
+                    QLinear(wp=ql_stacked.wp[i], scales=ql_stacked.scales[i]),
+                    qt)
+                for i in range(ql_stacked.wp.shape[0])])
+        return _dense_from_qlinear(ql_stacked, qt)
+
+    lay = params.layers
+    layers = LlamaLayer(
+        attn_norm=lay.attn_norm, mlp_norm=lay.mlp_norm,
+        q=conv_ql(lay.q), k=conv_ql(lay.k), v=conv_ql(lay.v),
+        o=conv_ql(lay.o), gate=conv_ql(lay.gate), up=conv_ql(lay.up),
+        down=conv_ql(lay.down),
+    )
+    lm_head = (conv_ql(params.lm_head)
+               if isinstance(params.lm_head, QLinear) else params.lm_head)
+    return LlamaParams(embed=params.embed, layers=layers,
+                       final_norm=params.final_norm, lm_head=lm_head)
+
+
+# Dense-weight forward reuses the quantized model code: QLinear leaves are
+# replaced by arrays, so _ql must handle both. Rather than fork the model,
+# parity runs the dense model through a thin adapter:
+
+def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
+                   cfg: LlamaConfig) -> jnp.ndarray:
+    """Causal forward of the dequantized-dense model; returns logits
+    [B, T, vocab]. Mirrors models/llama.py but with jnp.dot projections
+    (this is also the independent cross-check of the quantized path)."""
+    B, T = token_ids.shape
+    from ..models.llama import apply_rope, rms_norm, rope_cos_sin
+
+    x = dense.embed[token_ids].astype(jnp.bfloat16)
+    pos = jnp.zeros((B,), jnp.int32)
+    positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            cfg.rope_scaling)
+    mask = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])[None]
+
+    def proj(x2, W):
+        return jnp.dot(x2.astype(jnp.bfloat16), W.T,
+                       preferred_element_type=jnp.float32)
+
+    L = cfg.num_hidden_layers
+    D = cfg.head_dim
+    for i in range(L):
+        lay = jax.tree.map(lambda a, i=i: a[i], dense.layers)
+        n_q = lay.q.shape[0] // D
+        n_kv = lay.k.shape[0] // D
+        G = n_q // n_kv
+        xa = rms_norm(x, lay.attn_norm, cfg.rms_norm_eps)
+        x2 = xa.reshape(B * T, -1)
+        q = proj(x2, lay.q).reshape(B, T, n_q, D)
+        k = proj(x2, lay.k).reshape(B, T, n_kv, D)
+        v = proj(x2, lay.v).reshape(B, T, n_kv, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
+        scores = jnp.einsum("btkgd,bskd->btkgs", qg,
+                            k.astype(jnp.float32)) * (D ** -0.5)
+        scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
+        w = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("btkgs,bskd->btkgd", w, v.astype(jnp.float32))
+        o = proj(attn.reshape(B * T, -1), lay.o)
+        x = x + o.reshape(B, T, -1).astype(x.dtype)
+        xm = rms_norm(x, lay.mlp_norm, cfg.rms_norm_eps)
+        x2 = xm.reshape(B * T, -1)
+        act = jax.nn.silu(proj(x2, lay.gate)) * proj(x2, lay.up)
+        d = proj(act, lay.down)
+        x = x + d.reshape(B, T, -1).astype(x.dtype)
+
+    x = rms_norm(x, dense.final_norm, cfg.rms_norm_eps)
+    head = dense.lm_head
+    return jnp.einsum("bth,vh->btv", x.astype(jnp.bfloat16),
+                      head.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+@dataclasses.dataclass
+class ParityReport:
+    top1_agreement: float     # fraction of positions with same argmax
+    mean_kl: float            # KL(dense || quantized), nats/token
+    max_abs_logit_delta: float
+    ppl_quant: float
+    ppl_dense: float
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def logit_parity(params: LlamaParams, cfg: LlamaConfig,
+                 token_ids: jnp.ndarray) -> ParityReport:
+    """Run both models over ``token_ids [B, T]`` and report deltas.
+
+    Note: for a *weight-only* 4-bit scheme this measures exactly the
+    quantization error (activations/arithmetic identical paths)."""
+    B, T = token_ids.shape
+    dense = dequantized_params(params, cfg)
+
+    cache = KVCache.create(cfg, B, T)
+    ql, _ = jax.jit(functools.partial(prefill, cfg=cfg))(
+        params, token_ids, cache)
+    dl = jax.jit(functools.partial(_dense_forward, cfg=cfg))(
+        dense, token_ids)
+
+    qlp = jax.nn.log_softmax(ql.astype(jnp.float32), axis=-1)
+    dlp = jax.nn.log_softmax(dl.astype(jnp.float32), axis=-1)
+    top1 = float(jnp.mean(
+        (jnp.argmax(ql, -1) == jnp.argmax(dl, -1)).astype(jnp.float32)))
+    kl = float(jnp.mean(jnp.sum(jnp.exp(dlp) * (dlp - qlp), axis=-1)))
+    mad = float(jnp.max(jnp.abs(ql - dl)))
+
+    # next-token perplexity over the stream itself
+    tgt = token_ids[:, 1:]
+    gather = lambda lp: jnp.take_along_axis(
+        lp[:, :-1], tgt[..., None], axis=-1)[..., 0]
+    ppl_q = float(jnp.exp(-jnp.mean(gather(qlp))))
+    ppl_d = float(jnp.exp(-jnp.mean(gather(dlp))))
+    return ParityReport(top1_agreement=top1, mean_kl=kl,
+                        max_abs_logit_delta=mad,
+                        ppl_quant=ppl_q, ppl_dense=ppl_d)
+
+
+def perplexity(params: LlamaParams, cfg: LlamaConfig,
+               token_ids: jnp.ndarray) -> float:
+    """Next-token perplexity of the quantized model on a token stream."""
+    B, T = token_ids.shape
+    cache = KVCache.create(cfg, B, T)
+    logits, _ = jax.jit(functools.partial(prefill, cfg=cfg))(
+        params, token_ids, cache)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = token_ids[:, 1:]
+    nll = -jnp.mean(jnp.take_along_axis(
+        lp[:, :-1], tgt[..., None], axis=-1))
+    return float(jnp.exp(nll))

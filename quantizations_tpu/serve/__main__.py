@@ -1,0 +1,116 @@
+"""CLI: generate text (or token ids) from a checkpoint or a demo model.
+
+    python -m quantizations_tpu.serve --demo
+    python -m quantizations_tpu.serve --model /path/to/hf_llama \
+        --prompt "Hello" --max-new-tokens 60 [--quant-type nf4] [--tp 4]
+
+Replaces the reference's README measurement script (reference
+README.md:90-127) with a first-class entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="quantizations_tpu.serve")
+    p.add_argument("--model", help="HF checkpoint dir (config.json + "
+                   "safetensors [+ tokenizer])")
+    p.add_argument("--demo", action="store_true",
+                   help="tiny random model, token-id I/O")
+    p.add_argument("--prompt", default="The key to a fast TPU kernel is")
+    p.add_argument("--prompt-ids", help="comma-separated token ids "
+                   "(skips the tokenizer)")
+    p.add_argument("--max-new-tokens", type=int, default=60)
+    p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (devices on the mesh)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from ..config import QuantConfig, ServeConfig
+    from ..models.llama import KVCache, TINY_LLAMA, init_llama_params
+
+    quant = QuantConfig(quant_type=args.quant_type)
+    serve = ServeConfig(
+        max_seq_len=args.max_seq, max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature, top_k=args.top_k,
+    )
+
+    tokenizer = None
+    if args.demo or not args.model:
+        cfg = dataclasses.replace(TINY_LLAMA, quant=quant)
+        params = init_llama_params(cfg, seed=0)
+        serve = dataclasses.replace(serve, max_seq_len=min(args.max_seq, 128))
+    else:
+        from ..models.hf_loader import load_hf_llama
+
+        mesh = None
+        if args.tp > 1:
+            from ..parallel import make_mesh
+
+            mesh = make_mesh((args.tp,), ("tp",))
+        cfg, params = load_hf_llama(args.model, quant=quant, mesh=mesh)
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(args.model)
+        except Exception:
+            tokenizer = None
+
+    if args.prompt_ids:
+        ids = [int(t) for t in args.prompt_ids.split(",")]
+    elif tokenizer is not None:
+        ids = tokenizer.encode(args.prompt)
+    else:
+        ids = [1, 2, 3, 4, 5]  # demo: raw ids
+    prompt = jnp.asarray([ids], jnp.int32)
+
+    if args.tp > 1 and args.model:
+        from jax.sharding import NamedSharding
+
+        from ..parallel import make_sharded_generate_fn
+        from ..parallel.shard import cache_pspec
+
+        gen = make_sharded_generate_fn(cfg, serve, mesh)
+        cache = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            KVCache.create(cfg, 1, serve.max_seq_len), cache_pspec())
+    else:
+        from .generate import make_generate_fn
+
+        gen = make_generate_fn(cfg, serve)
+        cache = KVCache.create(cfg, 1, serve.max_seq_len)
+
+    import numpy as np
+
+    key = jax.random.PRNGKey(serve.seed)
+    t0 = time.perf_counter()
+    toks, _ = gen(params, prompt, cache, key)
+    toks = np.asarray(toks)
+    dt = time.perf_counter() - t0
+    out = toks[0].tolist()
+    text = tokenizer.decode(out) if tokenizer is not None else None
+    print(json.dumps({
+        "prompt_ids": ids,
+        "output_ids": out,
+        "output_text": text,
+        "wall_s": round(dt, 3),
+        "tokens_per_s_incl_compile": round(len(out) / dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Parity-harness tests: the quantized model must closely track its own
+dequantized-dense twin (the measurable core of the reference's
+"IFEval identical" accuracy bar, reference README.md:28)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizations_tpu.evals.parity import logit_parity, perplexity
+from quantizations_tpu.models.llama import TINY_LLAMA, init_llama_params
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_llama_params(TINY_LLAMA, seed=0)
+
+
+def test_logit_parity_close(params):
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(
+        rng.integers(0, TINY_LLAMA.vocab_size, (2, 12)), jnp.int32)
+    rep = logit_parity(params, TINY_LLAMA, ids)
+    # weight-only 4-bit: the two paths share everything except the
+    # packed-vs-dense weight representation, so agreement must be high
+    assert rep.top1_agreement > 0.95, rep
+    assert rep.mean_kl < 1e-4, rep
+    assert abs(rep.ppl_quant - rep.ppl_dense) / rep.ppl_dense < 0.01, rep
+
+
+def test_perplexity_finite(params):
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(
+        rng.integers(0, TINY_LLAMA.vocab_size, (1, 16)), jnp.int32)
+    ppl = perplexity(params, TINY_LLAMA, ids)
+    assert np.isfinite(ppl) and ppl > 1.0
