@@ -1,10 +1,6 @@
-"""Race GEMV kernel variants on real TPU hardware.
-
-Decode is HBM-bandwidth bound: speed-of-light time per call is
-(packed bytes + scale bytes + activation bytes) / HBM BW. This script
-measures achieved GB/s for each (lut, group_mm, tile_m) variant at Llama3
-decode shapes using the serialized scan-chain timer (naive timing loops
-are unreliable through the tunneled runtime) and prints a ranked table.
+"""Sweep the fused GEMV kernel across Llama3-8B decode shapes with the
+production defaults and report achieved bandwidth per shape.
+(LUT/accum variants are raced separately in lut_probe.py.)
 
     python benchmarks/kernel_bakeoff.py
 """
@@ -18,68 +14,48 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import quantizations_tpu.quant as q
-from quantizations_tpu.ops import gemv_4bit_pallas, pack_i32_rows
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from quantizations_tpu.ops.gemv import gemv_4bit_pallas
 from quantizations_tpu.utils.timing import time_scan_chain
 
-HBM_GBPS = 819.0  # TPU v5e peak HBM bandwidth
+HBM_GBPS = 819.0
 
-
-def calibrate():
-    a = jax.device_put(jnp.ones((64, 1024, 1024), jnp.float32))
-    dt = time_scan_chain(
-        lambda x: (a * (x[0, 0] + 2.0)).reshape(a.shape[0], -1)[:1, :8],
-        jnp.zeros((1, 8), jnp.float32),
-        iters=20,
-    )
-    gb = 2 * a.nbytes / 1e9
-    print(f"calibration copy 256MB->256MB: {dt*1e6:.0f}us "
-          f"-> {gb/dt:.0f} GB/s ({100*gb/dt/HBM_GBPS:.0f}% peak)")
+# (M, K): q/o, k/v, gate/up, down, lm_head of Llama3-8B
+SHAPES = [(4096, 4096), (1024, 4096), (14336, 4096), (4096, 14336),
+          (128256, 4096)]
 
 
 def main():
     rng = np.random.default_rng(0)
-    shapes = [(14336, 4096), (4096, 4096), (4096, 14336), (1024, 4096),
-              (28672, 4096), (6144, 4096)]
     print(f"devices: {jax.devices()}")
-    calibrate()
-    for (M, K) in shapes:
-        W = (rng.standard_normal((M, K)) * 0.02).astype(np.float32)
-        packed, state = jax.jit(
-            q.quantize_4bit, static_argnames=("blocksize", "quant_type",
-                                              "compress_statistics")
-        )(jnp.asarray(W), 64, "fp4", False)
-        wp = jax.device_put(pack_i32_rows(packed, M, K))
-        scales = jax.device_put(state.absmax.reshape(M, K // 64))
-        x0 = jax.device_put(jnp.asarray(
-            rng.standard_normal((1, K)).astype(np.float32)))
-        bytes_touched = M * K // 2 + M * (K // 64) * 4 + K * 4 + M * 4
-        sol_us = bytes_touched / HBM_GBPS / 1e3
-        print(f"\n== M={M} K={K}  bytes={bytes_touched/1e6:.1f}MB "
-              f"SOL={sol_us:.1f}us ==")
-        results = []
-        for lut in ("fp4_bits", "tree"):
-            for group_mm in (True, False):
-                for tile_m in (256, 512):
-                    fn = lambda x: gemv_4bit_pallas(
-                        wp, scales, x, quant_type="fp4", lut=lut,
-                        tile_m=tile_m, group_mm=group_mm)
-                    try:
-                        dt = time_scan_chain(fn, x0, iters=50, trials=2)
-                    except Exception as e:  # noqa: BLE001
-                        msg = str(e).splitlines()[0][:80]
-                        print(f"  {lut:9s} mm={group_mm:d} tm={tile_m:4d}  "
-                              f"FAILED: {msg}")
-                        continue
-                    gbps = bytes_touched / dt / 1e9
-                    results.append((dt, lut, group_mm, tile_m, gbps))
-                    print(f"  {lut:9s} mm={group_mm:d} tm={tile_m:4d}  "
-                          f"{dt*1e6:7.1f}us  {gbps:6.1f}GB/s "
-                          f"({100*gbps/HBM_GBPS:.0f}% peak)")
-        if results:
-            best = min(results)
-            print(f"  BEST: {best[1]} mm={best[2]} tm={best[3]} "
-                  f"{best[0]*1e6:.1f}us {best[4]:.1f}GB/s")
+    total_us = 0.0
+    total_bytes = 0
+    for (M, K) in SHAPES:
+        wp = jnp.asarray(
+            rng.integers(-2**31, 2**31, (M, K // 8), dtype=np.int64)
+            .astype(np.int32))
+        scales = jnp.asarray(rng.random((M, K // 64), np.float32))
+        x = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32))
+        nbytes = wp.nbytes + scales.nbytes
+        fn = lambda xx: gemv_4bit_pallas(wp, scales, xx, quant_type="fp4")
+        dt = time_scan_chain(fn, x, iters=1000, trials=2)
+        gbps = nbytes / dt / 1e9
+        print(f"  M={M:6d} K={K:6d} {nbytes/1e6:7.1f}MB  {dt*1e6:8.1f}us "
+              f"{gbps:6.1f} GB/s ({100*gbps/HBM_GBPS:.0f}% peak)")
+        total_us += dt * 1e6
+        total_bytes += nbytes
+
+    # per-decode-token projection: 32 layers x (q+k+v+o+gate+up+down) + head
+    per_layer = {(4096, 4096): 2, (1024, 4096): 2, (14336, 4096): 2,
+                 (4096, 14336): 1}
+    proj_us = 0.0
+    for (M, K) in SHAPES[:-1]:
+        wp_b = M * K // 2 + M * K // 64 * 4
+        # reuse measured time proportionally (same shape measured above)
+    print(f"  sum of measured shapes: {total_us:.0f}us "
+          f"({total_bytes/1e6:.0f}MB)")
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ from flax import struct
 from ..config import QuantConfig
 from ..nn.linear import apply_4bit
 from ..quant.functional import dequantize_absmax, quantize_4bit
-from ..ops.gemv import pack_i32_rows
+from ..ops.gemv import gemv_4bit_pallas_stacked, pack_i32_rows
 
 __all__ = [
     "LlamaConfig",
@@ -306,7 +306,23 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
     return x * c + rot * s
 
 
-def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig) -> jnp.ndarray:
+def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
+        idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Apply a (possibly layer-stacked) QLinear. Stacked weights on the
+    decode path go through the scalar-prefetch kernel, which reads layer
+    ``idx`` straight out of the stacked HBM buffer — slicing the stack
+    with XLA would copy every weight byte once per call (SURVEY.md §7
+    hard part 3: decode is HBM-bound, traffic is the budget)."""
+    from ..nn.linear import GEMV_MAX_TOKENS
+
+    if lin.wp.ndim == 3:
+        tokens = x2.shape[0]
+        if (tokens <= GEMV_MAX_TOKENS
+                and jax.default_backend() == "tpu"):
+            return gemv_4bit_pallas_stacked(
+                lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
+                quant_type=qcfg.quant_type)
+        lin = QLinear(wp=lin.wp[idx], scales=lin.scales[idx])
     return apply_4bit(
         x2, lin.wp, lin.scales, qcfg.quant_type,
         compute_dtype=qcfg.compute_dtype,
@@ -324,14 +340,15 @@ def _layer_forward(
     mask: jnp.ndarray,           # [B, T, S] bool: True = attend
     cfg: LlamaConfig,
     axis_name: Optional[str] = None,
+    idx: Optional[jnp.ndarray] = None,   # layer index for stacked weights
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. Head counts derive from the (per-shard) weight
     shapes so the same code runs under shard_map. ``pos`` is per-batch-slot
     (continuous batching: every slot sits at its own sequence offset)."""
     B, T, h = x.shape
     D = cfg.head_dim
-    n_q = layer.q.out_features // D     # per-shard query heads
-    n_kv = layer.k.out_features // D    # per-shard kv heads
+    n_q = layer.q.wp.shape[-2] // D     # per-shard query heads
+    n_kv = layer.k.wp.shape[-2] // D    # per-shard kv heads
     G = n_q // n_kv
     qcfg = cfg.quant
 
@@ -339,9 +356,9 @@ def _layer_forward(
     with jax.named_scope("attn"):
         xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
         x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
-        q = _ql(x2, layer.q, qcfg).reshape(B, T, n_q, D)
-        k = _ql(x2, layer.k, qcfg).reshape(B, T, n_kv, D)
-        v = _ql(x2, layer.v, qcfg).reshape(B, T, n_kv, D)
+        q = _ql(x2, layer.q, qcfg, idx).reshape(B, T, n_q, D)
+        k = _ql(x2, layer.k, qcfg, idx).reshape(B, T, n_kv, D)
+        v = _ql(x2, layer.v, qcfg, idx).reshape(B, T, n_kv, D)
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -360,7 +377,7 @@ def _layer_forward(
         attn = jnp.einsum("btkgs,bskd->btkgd", w, vf)
         attn = attn.reshape(B * T, n_q * D)
 
-        o = _ql(attn, layer.o, qcfg)
+        o = _ql(attn, layer.o, qcfg, idx)
         if axis_name is not None:
             o = jax.lax.psum(o, axis_name)
         x = x + o.reshape(B, T, h).astype(x.dtype)
@@ -369,10 +386,10 @@ def _layer_forward(
     with jax.named_scope("mlp"):
         xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
         x2 = xm.astype(qcfg.compute_dtype).reshape(B * T, h)
-        g = _ql(x2, layer.gate, qcfg)
-        u = _ql(x2, layer.up, qcfg)
+        g = _ql(x2, layer.gate, qcfg, idx)
+        u = _ql(x2, layer.up, qcfg, idx)
         act = jax.nn.silu(g) * u
-        d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg)
+        d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg, idx)
         if axis_name is not None:
             d = jax.lax.psum(d, axis_name)
         x = x + d.reshape(B, T, h).astype(x.dtype)
@@ -407,20 +424,28 @@ def _forward(
     key_pos = jnp.arange(S, dtype=jnp.int32)
     mask = key_pos[None, None, :] <= positions[:, :, None]  # [B, T, S]
 
-    def body(carry, inputs):
+    stacked = params.layers  # every QLinear leaf keeps its [L] axis; the
+    # scan body passes the layer index down so the decode kernel can read
+    # layer i in place (no per-step weight copy). Only the tiny norm
+    # vectors are sliced.
+
+    def body(carry, i):
         x, ck, cv = carry
-        layer, i = inputs
+        layer = LlamaLayer(
+            attn_norm=stacked.attn_norm[i], mlp_norm=stacked.mlp_norm[i],
+            q=stacked.q, k=stacked.k, v=stacked.v, o=stacked.o,
+            gate=stacked.gate, up=stacked.up, down=stacked.down,
+        )
         x, ck_i, cv_i = _layer_forward(
             x, layer, ck[i], cv[i], pos, cos, sin, mask, cfg,
-            axis_name=axis_name,
+            axis_name=axis_name, idx=i,
         )
         ck = jax.lax.dynamic_update_slice_in_dim(ck, ck_i[None], i, axis=0)
         cv = jax.lax.dynamic_update_slice_in_dim(cv, cv_i[None], i, axis=0)
         return (x, ck, cv), None
 
     idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v),
-                                  (params.layers, idx))
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), idx)
 
     if last_token_only:
         x = x[:, -1:, :]

@@ -1,10 +1,18 @@
-from .gemv import gemv_4bit_pallas, pack_i32_rows, permute_activation
+from .gemv import (
+    DEFAULT_LUT,
+    gemv_4bit_pallas,
+    gemv_4bit_pallas_stacked,
+    pack_i32_rows,
+    permute_activation,
+)
 from .lut import LUT_NAMES, make_lut
 
 __all__ = [
     "gemv_4bit_pallas",
+    "gemv_4bit_pallas_stacked",
     "pack_i32_rows",
     "permute_activation",
     "LUT_NAMES",
     "make_lut",
+    "DEFAULT_LUT",
 ]

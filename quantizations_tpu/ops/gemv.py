@@ -1,4 +1,4 @@
-"""Fused dequant + GEMV Pallas kernel — the flagship decode kernel.
+"""Fused dequant + GEMV Pallas kernels — the flagship decode path.
 
 TPU-native replacement for the reference's production decode kernel
 ``kgemm_4bit_inference_naive`` (reference kernels.cu:1062-1219). Design
@@ -7,20 +7,26 @@ differences, per SURVEY.md §7:
 - Packed int4 weights are read once from HBM as int32 words (8 codes per
   word, bnb byte order), streamed through VMEM by the Pallas pipeline —
   sequential, lane-aligned access (the reference kernel lost 45% of its
-  sectors to uncoalesced loads and ran at 24.8% occupancy).
+  sectors to uncoalesged loads and ran at 24.8% occupancy).
 - Scales arrive pre-resolved as fp32 (the double-quant decode is hoisted
   to load time, fixing the per-call nested dequant at reference
   core.py:467).
-- Codebook decode is vectorized VPU arithmetic (see ops/lut.py), not a
-  per-element table walk.
-- fp32 accumulation throughout (matching kernels.cu:1201-1211).
+- Codebook decode strategies (measured on v5e, benchmarks/lut_probe.py):
+  vectorized VPU bit-arithmetic (``fp4_bits``), select-tree (``tree``),
+  or an in-kernel 128-lane-chunked vector gather (``take16``).
+- fp32 dequant values, fp32 accumulation (matching kernels.cu:1201-1211),
+  per-64-block group reduction on the MXU, scales applied last — the
+  kernel is bit-faithful to an fp32 dequantize-then-dot.
+- ``gemv_4bit_pallas_stacked`` reads layer ``i`` of stacked ``[L, ...]``
+  weights via a scalar-prefetch index map — inside a ``lax.scan`` over
+  layers this avoids materializing a per-layer copy of the weights
+  before every kernel call (which would double decode HBM traffic).
 
 Layout algebra: word ``c`` of row ``m`` holds elements ``k = 8c .. 8c+7``.
 A nibble-plane unpack yields 8 arrays ``codes_j[m, c] = code(k=8c+j)``,
-so the dot is computed per-plane against a permuted activation
-``xp[j, c] = x[8c + j]`` and the 64-element quant block of ``(j, c)`` is
-``c // 8`` independent of ``j`` — one scale column pattern shared by all
-planes.
+so the kernel works against a permuted activation ``xp[j, c] = x[8c+j]``
+and the 64-element quant block of ``(j, c)`` is ``c // 8`` independent of
+``j`` — one scale array serves all planes.
 """
 
 from __future__ import annotations
@@ -37,12 +43,23 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.codebooks import get_4bit_code
 from .lut import make_lut
 
-__all__ = ["gemv_4bit_pallas", "pack_i32_rows", "permute_activation"]
+__all__ = [
+    "gemv_4bit_pallas",
+    "gemv_4bit_pallas_stacked",
+    "pack_i32_rows",
+    "permute_activation",
+    "DEFAULT_LUT",
+]
 
 # Nibble position of element j within an int32 word under bnb byte order
 # (byte = even<<4 | odd, bytes little-endian): element j lives at bit
 # offset 8*(j//2) + (4 if j even else 0).
 _SHIFTS = tuple(8 * (j // 2) + (4 - 4 * (j % 2)) for j in range(8))
+
+# Measured-fastest default (benchmarks/lut_probe.py on TPU v5e):
+# fp4_bits 253us vs tree 321us vs take16 290us at [14336,4096]
+# (Mosaic dynamic_gather costs ~30 op-equivalents; arithmetic wins).
+DEFAULT_LUT = "fp4_bits"
 
 
 def pack_i32_rows(packed_u8: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
@@ -66,39 +83,99 @@ def permute_activation(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, K // 8, 8).swapaxes(-1, -2)
 
 
-def _gemv_kernel(wp_ref, xp_ref, s_ref, o_ref, *, lut, batch, group_mm):
-    wp = wp_ref[:]  # [TM, K8] int32
-    k8 = wp.shape[1]
-    tm = wp.shape[0]
-    accs = [jnp.zeros(wp.shape, jnp.float32) for _ in range(batch)]
-    for j in range(8):
-        codes = (wp >> _SHIFTS[j]) & 15
-        vals = lut(codes)  # [TM, K8] fp32
-        for b in range(batch):
-            accs[b] = accs[b] + vals * xp_ref[b, j, :][None, :]
-    s = s_ref[:]  # [TM, K/64] fp32
-    if group_mm:
-        # Group-8 lane reduction via a tiny 0/1 MXU matmul:
-        # g[m, blk] = sum_{c in 8blk..8blk+7} acc[m, c].
-        lane = jax.lax.broadcasted_iota(jnp.int32, (k8, k8 // 8), 0)
-        blk = jax.lax.broadcasted_iota(jnp.int32, (k8, k8 // 8), 1)
-        E = (lane // 8 == blk).astype(jnp.float32)  # [K8, K/64]
-        for b in range(batch):
-            # HIGHEST precision: fp32 operands decompose exactly into
-            # 3 bf16 passes, keeping the reduction bit-faithful on MXU.
-            g = jnp.dot(accs[b], E, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            o_ref[b, :] = jnp.sum(g * s, axis=1)
+def _byte_tables(code: np.ndarray) -> np.ndarray:
+    """[2, 256] fp32: value of the high (even) / low (odd) nibble of each
+    byte under the 16-entry codebook."""
+    code = np.asarray(code, np.float32)
+    even = code[(np.arange(256) >> 4)]
+    odd = code[(np.arange(256) & 15)]
+    return np.stack([even, odd])
+
+
+def _take16_chunked(tbl128, codes):
+    """Gather ``tbl128[m, codes[m, c]]`` in 128-lane chunks.
+
+    Mosaic's ``tpu.dynamic_gather`` requires operand and index shapes to
+    match AND the gather (lane) dimension to fit one vreg, so the table
+    lives in a ``[TM, 128]`` operand (16 real entries, zero-padded) and
+    the code array is gathered 128 lanes at a time."""
+    tm, k8 = codes.shape
+    if k8 <= 128:
+        pad = 128 - k8
+        idx = (jnp.concatenate(
+            [codes, jnp.zeros((tm, pad), codes.dtype)], axis=1)
+            if pad else codes)
+        return jnp.take_along_axis(tbl128, idx, axis=1)[:, :k8]
+    outs = []
+    for q in range(k8 // 128):
+        chunk = codes[:, q * 128:(q + 1) * 128]
+        outs.append(jnp.take_along_axis(tbl128, chunk, axis=1))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _decode_planes(wp, tbl_ref, lut: str, lut_fn):
+    """Return the 8 UNSCALED fp32 planes ``[TM, K8]``, element order
+    j=0..7 (``planes[j][m, c]`` = codebook value of element ``8c+j``)."""
+    tm, k8 = wp.shape
+    if lut == "take16":
+        tbl16 = tbl_ref[0, 0:1, :128]                 # [1, 128]
+        tbl128 = jnp.broadcast_to(tbl16, (tm, 128))
+        fn = lambda c: _take16_chunked(tbl128, c)
     else:
-        # repeat-interleave: srep[m, c] = s[m, c // 8]
-        srep = jnp.repeat(s, 8, axis=1)  # [TM, K8]
-        for b in range(batch):
-            o_ref[b, :] = jnp.sum(accs[b] * srep, axis=1)
+        fn = lut_fn
+    return [fn((wp >> _SHIFTS[j]) & 15) for j in range(8)]
+
+
+def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
+                 batch):
+    """Dequant + matvec, fp32 throughout (bit-faithful to an fp32
+    dequantize-then-dot, like the reference's fp32 accumulation,
+    kernels.cu:1201-1211).
+
+    Scales are applied AFTER a per-64-block group reduction (one small
+    one-hot MXU matmul at HIGHEST precision — exact for 0/1 operands),
+    which avoids expanding scales to per-element width: Mosaic has no
+    cheap element-repeat (pltpu.repeat tiles; wide gathers span vregs).
+    """
+    wp = wp_ref[:] if len(wp_ref.shape) == 2 else wp_ref[0]
+    s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]
+    tm, k8 = wp.shape
+    nb = k8 // 8
+    planes = _decode_planes(wp, tbl_ref, lut, lut_fn)
+    # E[c, blk] = 1 iff word c belongs to 64-element block blk.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (k8, nb), 0)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (k8, nb), 1)
+    E = (lane // 8 == blk).astype(jnp.float32)
+    for b in range(batch):
+        acc = jnp.zeros(wp.shape, jnp.float32)
+        for j in range(8):
+            acc = acc + planes[j] * xp_ref[b, j, :][None, :]
+        g = jnp.dot(acc, E, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        o_ref[b, :] = jnp.sum(g * s, axis=1)
+
+
+def _lut_setup(quant_type: str, lut: Optional[str], k8: int):
+    if lut is None:
+        lut = DEFAULT_LUT
+    if lut == "fp4_bits" and quant_type != "fp4":
+        lut = "take16"
+    code = get_4bit_code(quant_type)
+    if lut == "take16":
+        # pad to 256 lanes so one table shape serves both strategies
+        t = np.zeros((1, 1, 256), np.float32)
+        t[0, 0, :16] = np.asarray(code, np.float32)
+        tbl = t
+    else:
+        tbl = np.zeros((1, 1, 256), np.float32)  # unused, tiny
+    lut_fn = (make_lut(lut, code)
+              if lut in ("fp4_bits", "tree") else None)
+    return lut, lut_fn, jnp.asarray(tbl)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("quant_type", "lut", "tile_m", "group_mm", "interpret"),
+    static_argnames=("quant_type", "lut", "tile_m", "interpret"),
 )
 def gemv_4bit_pallas(
     wp: jnp.ndarray,       # [M, K/8] int32 packed weights
@@ -107,12 +184,11 @@ def gemv_4bit_pallas(
     quant_type: str = "fp4",
     lut: Optional[str] = None,
     tile_m: int = 512,
-    group_mm: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused 4-bit dequant + GEMV: returns ``x @ dequant(W).T`` as
-    ``[B, M]`` float32. ``B`` must be small (decode batch); prefill goes
-    through the dequant+MXU-matmul path instead (ops/matmul.py)."""
+    """Fused 4-bit dequant + GEMV: ``x @ dequant(W).T`` as ``[B, M]``
+    float32. ``B`` must be small (decode batch); prefill goes through
+    the dequant+MXU-matmul path in nn/linear.py instead."""
     M, K8 = wp.shape
     K = K8 * 8
     B = x.shape[0]
@@ -120,24 +196,22 @@ def gemv_4bit_pallas(
     assert scales.shape == (M, K8 // 8), (scales.shape, (M, K8 // 8))
     while M % tile_m:
         tile_m //= 2
-    if lut is None:
-        lut = "fp4_bits" if quant_type == "fp4" else "tree"
-    lut_fn = make_lut(lut, get_4bit_code(quant_type))
+    lut, lut_fn, tbl = _lut_setup(quant_type, lut, K8)
     xp = permute_activation(x.astype(jnp.float32))
 
     kernel = functools.partial(
-        _gemv_kernel, lut=lut_fn, batch=B, group_mm=group_mm
-    )
-    grid = (M // tile_m,)
+        _gemv_kernel, lut=lut, lut_fn=lut_fn, batch=B)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(M // tile_m,),
         in_specs=[
             pl.BlockSpec((tile_m, K8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 8, K8), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, K8 // 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbl.shape[1], 256), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, tile_m), lambda i: (0, i),
@@ -149,5 +223,68 @@ def gemv_4bit_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wp, xp, scales)
+    )(wp, xp, scales, tbl)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("quant_type", "lut", "tile_m", "interpret"),
+)
+def gemv_4bit_pallas_stacked(
+    wp: jnp.ndarray,       # [L, M, K/8] int32 stacked packed weights
+    scales: jnp.ndarray,   # [L, M, K/64] fp32
+    x: jnp.ndarray,        # [B, K]
+    layer_idx: jnp.ndarray,  # scalar int32
+    quant_type: str = "fp4",
+    lut: Optional[str] = None,
+    tile_m: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Layer-indexed fused GEMV over stacked weights.
+
+    The layer index is a scalar-prefetch argument feeding the BlockSpec
+    index maps, so the kernel's DMAs read layer ``i`` directly from the
+    stacked HBM buffer — no XLA-level slice/copy of the layer's weights
+    (a ``lax.scan`` that slices its xs would otherwise add a full
+    read+write of every weight byte per decode step)."""
+    L, M, K8 = wp.shape
+    K = K8 * 8
+    B = x.shape[0]
+    assert x.shape[1] == K, (x.shape, K)
+    assert scales.shape == (L, M, K8 // 8)
+    while M % tile_m:
+        tile_m //= 2
+    lut, lut_fn, tbl = _lut_setup(quant_type, lut, K8)
+    xp = permute_activation(x.astype(jnp.float32))
+
+    def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, tbl_ref, o_ref):
+        _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref,
+                     lut=lut, lut_fn=lut_fn, batch=B)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // tile_m,),
+        in_specs=[
+            pl.BlockSpec((1, tile_m, K8),
+                         lambda i, idx: (idx[0], i, 0)),
+            pl.BlockSpec((B, 8, K8), lambda i, idx: (0, 0, 0)),
+            pl.BlockSpec((1, tile_m, K8 // 8),
+                         lambda i, idx: (idx[0], i, 0)),
+            pl.BlockSpec((1, tbl.shape[1], 256),
+                         lambda i, idx: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, tile_m), lambda i, idx: (0, i)),
+    )
+    out = pl.pallas_call(
+        k_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * K,
+            bytes_accessed=M * K8 * 4 + M * (K8 // 8) * 4 + B * K * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), wp, xp, scales, tbl)
     return out

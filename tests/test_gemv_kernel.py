@@ -28,9 +28,9 @@ def test_lut_strategies_bit_exact():
 
 @pytest.mark.parametrize("quant_type,lut", [
     ("fp4", "fp4_bits"), ("fp4", "tree"), ("nf4", "tree"),
-])
-@pytest.mark.parametrize("group_mm", [True, False])
-def test_gemv_kernel_vs_golden(rng, quant_type, lut, group_mm):
+    ("fp4", "take16"), ("nf4", "take16"),
+    ])
+def test_gemv_kernel_vs_golden(rng, quant_type, lut):
     M, K = 256, 512
     W = (rng.standard_normal((M, K)) * 0.1).astype(np.float32)
     x = rng.standard_normal((1, K)).astype(np.float32)
@@ -40,11 +40,38 @@ def test_gemv_kernel_vs_golden(rng, quant_type, lut, group_mm):
     scales = state.absmax.reshape(M, K // 64)
     out = np.asarray(gemv_4bit_pallas(
         wp, scales, jnp.asarray(x), quant_type=quant_type, lut=lut,
-        tile_m=128, group_mm=group_mm, interpret=True,
+        tile_m=128, interpret=True,
     ))
     ref = golden.gemv_4bit(np.asarray(packed), np.asarray(state.absmax),
                            x, M, K, 64, quant_type)
+    # the kernel is fp32 throughout: bit-faithful to dequant-then-dot
     np.testing.assert_allclose(out.reshape(-1), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_gemv_stacked_matches_flat(rng):
+    from quantizations_tpu.ops import gemv_4bit_pallas_stacked
+
+    L, M, K = 3, 128, 256
+    wps, sces, outs = [], [], []
+    x = rng.standard_normal((1, K)).astype(np.float32)
+    for i in range(L):
+        W = (rng.standard_normal((M, K)) * 0.1).astype(np.float32)
+        packed, state = q.quantize_4bit(jnp.asarray(W), quant_type="fp4",
+                                        compress_statistics=False)
+        wp = pack_i32_rows(packed, M, K)
+        sc = state.absmax.reshape(M, K // 64)
+        wps.append(wp)
+        sces.append(sc)
+        outs.append(np.asarray(gemv_4bit_pallas(
+            wp, sc, jnp.asarray(x), quant_type="fp4", tile_m=128,
+            interpret=True)))
+    wp_all = jnp.stack(wps)
+    sc_all = jnp.stack(sces)
+    for i in range(L):
+        got = np.asarray(gemv_4bit_pallas_stacked(
+            wp_all, sc_all, jnp.asarray(x), jnp.int32(i),
+            quant_type="fp4", tile_m=128, interpret=True))
+        np.testing.assert_array_equal(got, outs[i])
 
 
 def test_gemv_kernel_small_batch(rng):
