@@ -113,9 +113,9 @@ def _take16_chunked(tbl128, codes):
     return jnp.concatenate(outs, axis=1)
 
 
-def _decode_planes(wp, tbl_ref, lut: str, lut_fn):
-    """Return the 8 UNSCALED fp32 planes ``[TM, K8]``, element order
-    j=0..7 (``planes[j][m, c]`` = codebook value of element ``8c+j``)."""
+def _plane_fn(wp, tbl_ref, lut: str, lut_fn):
+    """codes-plane-j -> unscaled fp32 values ``[TM, K8]``
+    (``plane_j[m, c]`` = codebook value of element ``8c+j``)."""
     tm, k8 = wp.shape
     if lut == "take16":
         tbl16 = tbl_ref[0, 0:1, :128]                 # [1, 128]
@@ -123,7 +123,7 @@ def _decode_planes(wp, tbl_ref, lut: str, lut_fn):
         fn = lambda c: _take16_chunked(tbl128, c)
     else:
         fn = lut_fn
-    return [fn((wp >> _SHIFTS[j]) & 15) for j in range(8)]
+    return lambda j: fn((wp >> _SHIFTS[j]) & 15)
 
 
 def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
@@ -136,21 +136,27 @@ def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
     one-hot MXU matmul at HIGHEST precision — exact for 0/1 operands),
     which avoids expanding scales to per-element width: Mosaic has no
     cheap element-repeat (pltpu.repeat tiles; wide gathers span vregs).
+
+    VMEM discipline: planes are decoded and consumed one at a time —
+    only one ``[TM, K8]`` fp32 plane plus ``batch`` accumulators are
+    ever live (all 8 planes at once OOMs scoped vmem at large K).
     """
     wp = wp_ref[:] if len(wp_ref.shape) == 2 else wp_ref[0]
     s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]
     tm, k8 = wp.shape
     nb = k8 // 8
-    planes = _decode_planes(wp, tbl_ref, lut, lut_fn)
+    plane = _plane_fn(wp, tbl_ref, lut, lut_fn)
+    accs = [jnp.zeros((tm, k8), jnp.float32) for _ in range(batch)]
+    for j in range(8):
+        vals = plane(j)
+        for b in range(batch):
+            accs[b] = accs[b] + vals * xp_ref[b, j, :][None, :]
     # E[c, blk] = 1 iff word c belongs to 64-element block blk.
     lane = jax.lax.broadcasted_iota(jnp.int32, (k8, nb), 0)
     blk = jax.lax.broadcasted_iota(jnp.int32, (k8, nb), 1)
     E = (lane // 8 == blk).astype(jnp.float32)
     for b in range(batch):
-        acc = jnp.zeros(wp.shape, jnp.float32)
-        for j in range(8):
-            acc = acc + planes[j] * xp_ref[b, j, :][None, :]
-        g = jnp.dot(acc, E, preferred_element_type=jnp.float32,
+        g = jnp.dot(accs[b], E, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
         o_ref[b, :] = jnp.sum(g * s, axis=1)
 
@@ -173,6 +179,22 @@ def _lut_setup(quant_type: str, lut: Optional[str], k8: int):
     return lut, lut_fn, jnp.asarray(tbl)
 
 
+def _pick_tile_m(M: int, K8: int, batch: int,
+                 tile_m: Optional[int]) -> int:
+    """Largest power-of-two row tile that divides M and keeps the
+    kernel's live VMEM (double-buffered int32 input + one fp32 plane +
+    ``batch`` fp32 accumulators + output/scales) under budget."""
+    if tile_m is None:
+        budget = 10 * 2**20                      # ~10 MiB of 16 MiB VMEM
+        per_row = (2 + 1 + batch) * K8 * 4       # bytes per tile row
+        tile_m = 512
+        while tile_m > 128 and tile_m * per_row > budget:
+            tile_m //= 2
+    while M % tile_m:
+        tile_m //= 2
+    return tile_m
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("quant_type", "lut", "tile_m", "interpret"),
@@ -183,7 +205,7 @@ def gemv_4bit_pallas(
     x: jnp.ndarray,        # [B, K] activations (any float dtype)
     quant_type: str = "fp4",
     lut: Optional[str] = None,
-    tile_m: int = 512,
+    tile_m: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused 4-bit dequant + GEMV: ``x @ dequant(W).T`` as ``[B, M]``
@@ -194,8 +216,7 @@ def gemv_4bit_pallas(
     B = x.shape[0]
     assert x.shape[1] == K, (x.shape, K)
     assert scales.shape == (M, K8 // 8), (scales.shape, (M, K8 // 8))
-    while M % tile_m:
-        tile_m //= 2
+    tile_m = _pick_tile_m(M, K8, B, tile_m)
     lut, lut_fn, tbl = _lut_setup(quant_type, lut, K8)
     xp = permute_activation(x.astype(jnp.float32))
 
@@ -238,7 +259,7 @@ def gemv_4bit_pallas_stacked(
     layer_idx: jnp.ndarray,  # scalar int32
     quant_type: str = "fp4",
     lut: Optional[str] = None,
-    tile_m: int = 512,
+    tile_m: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Layer-indexed fused GEMV over stacked weights.
@@ -253,8 +274,7 @@ def gemv_4bit_pallas_stacked(
     B = x.shape[0]
     assert x.shape[1] == K, (x.shape, K)
     assert scales.shape == (L, M, K8 // 8)
-    while M % tile_m:
-        tile_m //= 2
+    tile_m = _pick_tile_m(M, K8, B, tile_m)
     lut, lut_fn, tbl = _lut_setup(quant_type, lut, K8)
     xp = permute_activation(x.astype(jnp.float32))
 

@@ -7,6 +7,7 @@ with XLA collectives (psum of row-parallel partials, all_gather of the
 vocab-sharded logits) riding ICI.
 """
 
+from . import multihost
 from .mesh import make_mesh
 from .shard import (
     cache_pspec,
@@ -16,6 +17,7 @@ from .shard import (
 )
 
 __all__ = [
+    "multihost",
     "make_mesh",
     "llama_param_pspecs",
     "cache_pspec",
