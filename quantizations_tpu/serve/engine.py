@@ -68,15 +68,19 @@ class Engine:
         temperature: float = 0.0,
         top_k: int = 0,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: a tp mesh (parallel.make_mesh) — params must already
+        be placed with ``shard_llama_params``; the engine's step/prefill
+        run under shard_map with the TP collectives."""
         self.params = params
         self.cfg = cfg
         self.serve = serve
         self.slots = slots
         self.buckets = tuple(sorted(prefill_buckets))
         self.max_seq = serve.max_seq_len
+        self.mesh = mesh
 
-        self.cache = KVCache.create(cfg, slots, self.max_seq)
         self.pos = np.zeros(slots, np.int32)         # next write offset
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: Deque[Request] = deque()
@@ -86,36 +90,69 @@ class Engine:
         self._cur_tok = np.zeros(slots, np.int32)
         self._steps = 0
 
-        # jitted step: batched decode + sample, cache donated. Params are
-        # an explicit argument (closing over multi-GB arrays would lift
+        axis = None
+        kv_shard = cfg.num_key_value_heads
+        if mesh is not None:
+            from ..parallel.shard import AXIS
+
+            axis = AXIS
+            kv_shard //= mesh.shape[AXIS]
+
+        # step: batched decode + sample, cache donated. Params are an
+        # explicit argument (closing over multi-GB arrays would lift
         # them into jaxpr constants).
-        @functools.partial(jax.jit, donate_argnums=(2,))
         def _step(p, tokens, cache, pos_vec, key):
             logits, cache = decode_step(p, tokens[:, None], cache,
-                                        pos_vec, cfg)
+                                        pos_vec, cfg, axis_name=axis)
             nxt = sample_logits(logits, key, temperature, top_k)
             return nxt, cache
 
-        self._step_fn = functools.partial(_step, params)
-
-        # jitted per-bucket prefill of ONE sequence into a scratch cache,
-        # then insertion into the batch cache at a slot.
+        # prefill of ONE sequence into a scratch cache (later inserted
+        # into the batch cache at a slot).
         # Padding caveat: positions [plen, bucket) of the scratch cache
         # hold garbage keys, but decode overwrites position p before any
         # query can attend it (the mask is s <= pos and pos advances one
         # step at a time), so they are never read.
-        @jax.jit
         def _pf(p, ids, plen, key):
-            scratch = KVCache.create(cfg, 1, self.max_seq)
+            scratch = KVCache.create(cfg, 1, self.max_seq,
+                                     kv_heads=kv_shard)
             # ids [1, blen] left-aligned; positions 0..plen-1 valid.
-            logits, scratch = prefill(p, ids, scratch, cfg)
+            logits, scratch = prefill(p, ids, scratch, cfg,
+                                      axis_name=axis)
             # logits of the LAST VALID prompt token
             logit = jnp.take_along_axis(
                 logits, jnp.reshape(plen - 1, (1, 1, 1)), axis=1)[:, 0]
             tok = sample_logits(logit, key, temperature, top_k)
             return tok, scratch
 
-        self._prefill_fn = functools.partial(_pf, params)
+        if mesh is None:
+            self.cache = KVCache.create(cfg, slots, self.max_seq)
+            step = jax.jit(_step, donate_argnums=(2,))
+            pf = jax.jit(_pf)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.shard import cache_pspec, llama_param_pspecs
+
+            pspecs = llama_param_pspecs(cfg)
+            cspec = cache_pspec()
+            self.cache = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                KVCache.create(cfg, slots, self.max_seq), cspec)
+            step = jax.jit(jax.shard_map(
+                _step, mesh=mesh,
+                in_specs=(pspecs, P(None), cspec, P(None), P(None)),
+                out_specs=(P(None), cspec),
+                check_vma=False,
+            ), donate_argnums=(2,))
+            pf = jax.jit(jax.shard_map(
+                _pf, mesh=mesh,
+                in_specs=(pspecs, P(None, None), P(), P(None)),
+                out_specs=(P(None), cspec),
+                check_vma=False,
+            ))
+        self._step_fn = functools.partial(step, params)
+        self._prefill_fn = functools.partial(pf, params)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _insert(cache, scratch, slot):
