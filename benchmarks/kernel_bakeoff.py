@@ -39,21 +39,15 @@ def main():
         scales = jnp.asarray(rng.random((M, K // 64), np.float32))
         x = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32))
         nbytes = wp.nbytes + scales.nbytes
-        fn = lambda xx: gemv_4bit_pallas(wp, scales, xx, quant_type="fp4")
-        dt = time_scan_chain(fn, x, iters=1000, trials=2)
+        fn = lambda xx, w, s: gemv_4bit_pallas(w, s, xx, quant_type="fp4")
+        dt = time_scan_chain(fn, x, iters=1000, trials=2,
+                             consts=(wp, scales))
         gbps = nbytes / dt / 1e9
         print(f"  M={M:6d} K={K:6d} {nbytes/1e6:7.1f}MB  {dt*1e6:8.1f}us "
               f"{gbps:6.1f} GB/s ({100*gbps/HBM_GBPS:.0f}% peak)")
         total_us += dt * 1e6
         total_bytes += nbytes
 
-    # per-decode-token projection: 32 layers x (q+k+v+o+gate+up+down) + head
-    per_layer = {(4096, 4096): 2, (1024, 4096): 2, (14336, 4096): 2,
-                 (4096, 14336): 1}
-    proj_us = 0.0
-    for (M, K) in SHAPES[:-1]:
-        wp_b = M * K // 2 + M * K // 64 * 4
-        # reuse measured time proportionally (same shape measured above)
     print(f"  sum of measured shapes: {total_us:.0f}us "
           f"({total_bytes/1e6:.0f}MB)")
 

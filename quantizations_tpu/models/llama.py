@@ -179,14 +179,39 @@ def quantize_linear(
     """Quantize a ``[out, in]`` weight into the runtime :class:`QLinear`
     form (packed words + resolved scales). The full bnb ``QuantState`` is
     produced/consumed at the checkpoint layer; the model runtime keeps
-    only what the kernels need."""
+    only what the kernels need.
+
+    On TPU the weight quantization runs as a Pallas kernel
+    (ops/quantize.py, bit-identical to the functional path); the absmax
+    double-quantization (1/64th of the data) stays functional."""
     out_f, in_f = W.shape
-    packed, state = quantize_4bit(
-        W, blocksize=blocksize, quant_type=quant_type,
-        compress_statistics=compress_statistics,
-    )
-    wp = pack_i32_rows(packed, out_f, in_f)
-    scales = dequantize_absmax(state).reshape(out_f, in_f // blocksize)
+    if jax.default_backend() == "tpu":
+        from ..ops.quantize import quantize_4bit_pallas
+
+        wp, absmax2d = quantize_4bit_pallas(
+            W.astype(jnp.float32), blocksize=blocksize,
+            quant_type=quant_type)
+        absmax = absmax2d.reshape(-1)
+        if compress_statistics:
+            # double-quant round-trip of the statistics: the resolved
+            # scales must be the values a bnb consumer would decode
+            # (reference core.py:563-576)
+            from ..quant.functional import (
+                dequantize_blockwise,
+                quantize_blockwise,
+            )
+
+            offset = jnp.mean(absmax)
+            q8, st2 = quantize_blockwise(absmax - offset, blocksize=256)
+            absmax = dequantize_blockwise(q8, st2) + offset
+        scales = absmax.reshape(out_f, in_f // blocksize)
+    else:
+        packed, state = quantize_4bit(
+            W, blocksize=blocksize, quant_type=quant_type,
+            compress_statistics=compress_statistics,
+        )
+        wp = pack_i32_rows(packed, out_f, in_f)
+        scales = dequantize_absmax(state).reshape(out_f, in_f // blocksize)
     if blocksize != 64:
         scales = jnp.repeat(scales, blocksize // 64, axis=1)
     return QLinear(wp=wp, scales=scales)

@@ -6,6 +6,7 @@ from .gemv import (
     permute_activation,
 )
 from .lut import LUT_NAMES, make_lut
+from .quantize import dequantize_4bit_pallas, quantize_4bit_pallas
 
 __all__ = [
     "gemv_4bit_pallas",
@@ -15,4 +16,6 @@ __all__ = [
     "LUT_NAMES",
     "make_lut",
     "DEFAULT_LUT",
+    "quantize_4bit_pallas",
+    "dequantize_4bit_pallas",
 ]

@@ -83,15 +83,6 @@ def permute_activation(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, K // 8, 8).swapaxes(-1, -2)
 
 
-def _byte_tables(code: np.ndarray) -> np.ndarray:
-    """[2, 256] fp32: value of the high (even) / low (odd) nibble of each
-    byte under the 16-entry codebook."""
-    code = np.asarray(code, np.float32)
-    even = code[(np.arange(256) >> 4)]
-    odd = code[(np.arange(256) & 15)]
-    return np.stack([even, odd])
-
-
 def _take16_chunked(tbl128, codes):
     """Gather ``tbl128[m, codes[m, c]]`` in 128-lane chunks.
 
@@ -127,7 +118,7 @@ def _plane_fn(wp, tbl_ref, lut: str, lut_fn):
 
 
 def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
-                 batch):
+                 batch, out_factor=1.0):
     """Dequant + matvec, fp32 throughout (bit-faithful to an fp32
     dequantize-then-dot, like the reference's fp32 accumulation,
     kernels.cu:1201-1211).
@@ -158,7 +149,12 @@ def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
     for b in range(batch):
         g = jnp.dot(accs[b], E, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-        o_ref[b, :] = jnp.sum(g * s, axis=1)
+        out = jnp.sum(g * s, axis=1)
+        if out_factor != 1.0:
+            # fp4_bits decodes RAW values (codebook x 12); the 1/12 is
+            # applied once per OUTPUT element, not once per weight.
+            out = out * jnp.float32(out_factor)
+        o_ref[b, :] = out
 
 
 def _lut_setup(quant_type: str, lut: Optional[str], k8: int):
@@ -174,9 +170,17 @@ def _lut_setup(quant_type: str, lut: Optional[str], k8: int):
         tbl = t
     else:
         tbl = np.zeros((1, 1, 256), np.float32)  # unused, tiny
-    lut_fn = (make_lut(lut, code)
-              if lut in ("fp4_bits", "tree") else None)
-    return lut, lut_fn, jnp.asarray(tbl)
+    out_factor = 1.0
+    if lut == "fp4_bits":
+        from .lut import lut_fp4_bits_raw
+
+        lut_fn = lut_fp4_bits_raw
+        out_factor = 1.0 / 12.0
+    elif lut == "tree":
+        lut_fn = make_lut("tree", code)
+    else:
+        lut_fn = None
+    return lut, lut_fn, jnp.asarray(tbl), out_factor
 
 
 def _pick_tile_m(M: int, K8: int, batch: int,
@@ -217,11 +221,12 @@ def gemv_4bit_pallas(
     assert x.shape[1] == K, (x.shape, K)
     assert scales.shape == (M, K8 // 8), (scales.shape, (M, K8 // 8))
     tile_m = _pick_tile_m(M, K8, B, tile_m)
-    lut, lut_fn, tbl = _lut_setup(quant_type, lut, K8)
+    lut, lut_fn, tbl, out_factor = _lut_setup(quant_type, lut, K8)
     xp = permute_activation(x.astype(jnp.float32))
 
     kernel = functools.partial(
-        _gemv_kernel, lut=lut, lut_fn=lut_fn, batch=B)
+        _gemv_kernel, lut=lut, lut_fn=lut_fn, batch=B,
+        out_factor=out_factor)
     out = pl.pallas_call(
         kernel,
         grid=(M // tile_m,),
@@ -238,6 +243,8 @@ def gemv_4bit_pallas(
         out_specs=pl.BlockSpec((B, tile_m), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * K,
             bytes_accessed=M * K8 * 4 + M * (K8 // 8) * 4 + B * K * 4,
@@ -275,12 +282,13 @@ def gemv_4bit_pallas_stacked(
     assert x.shape[1] == K, (x.shape, K)
     assert scales.shape == (L, M, K8 // 8)
     tile_m = _pick_tile_m(M, K8, B, tile_m)
-    lut, lut_fn, tbl = _lut_setup(quant_type, lut, K8)
+    lut, lut_fn, tbl, out_factor = _lut_setup(quant_type, lut, K8)
     xp = permute_activation(x.astype(jnp.float32))
 
     def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, tbl_ref, o_ref):
         _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref,
-                     lut=lut, lut_fn=lut_fn, batch=B)
+                     lut=lut, lut_fn=lut_fn, batch=B,
+                     out_factor=out_factor)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -300,6 +308,8 @@ def gemv_4bit_pallas_stacked(
         k_wrap,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * K,
             bytes_accessed=M * K8 * 4 + M * (K8 // 8) * 4 + B * K * 4,

@@ -39,31 +39,39 @@ def lut_tree(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:
     return jnp.where(b3, l2[1], l2[0])
 
 
-def lut_fp4_bits(codes: jnp.ndarray, table: Sequence[float] = ()) -> jnp.ndarray:
-    """FP4-specific exact decode by constructing fp32 bit patterns.
+def lut_fp4_bits_raw(codes: jnp.ndarray) -> jnp.ndarray:
+    """FP4 decode to the RAW (un-normalized) values — i.e. the codebook
+    times 12. Callers fold the 1/12 into the per-block scales (one
+    multiply per 64 elements instead of one per element).
 
-    FP4 (S1E2M1, bias 3 — reference kernels.cu:29-67) decodes, after the
-    codebook's /12 normalization, to:
+    FP4 (S1E2M1, bias 3 — reference kernels.cu:29-67):
 
         e = (code >> 1) & 3, m = code & 1, s = code & 8
-        e >= 1 -> +-2^(4-e) * (1 + m/2) / 12
-        e == 0 -> +-m * 2^-4 / 12
+        e >= 1 -> +-2^(4-e) * (1 + m/2)
+        e == 0 -> +-m * 2^-4
 
-    For e >= 1 the fp32 bit pattern is affine in (e, m): exponent field
-    131 - e, mantissa bit 22 = m. The e == 0 case needs one select. The
-    /12 is folded into a final constant multiply (exact: both factors are
-    fp32-representable and the products are the fp32-rounded codebook
-    values — verified against the table in tests).
+    For e >= 1 the fp32 bit pattern is affine in the low 3 code bits:
+    ``(131<<23) + (m<<22) - (e<<23)`` where ``m<<22 - e<<23`` is just
+    ``((c&1) - (c&6)) << 22``. The e == 0 pair needs one select; its
+    value ``m * 2^-4`` is built multiplicatively from the m bit (no
+    second select).
     """
-    e = (codes >> 1) & 3
-    m22 = (codes & 1) << 22
-    sign = (codes & 8) << 28
-    bits_ge1 = ((131 - e) << 23) | m22 | sign
-    # e == 0: value is m * 2^-4 (bit pattern 0x3D800000 when m == 1)
-    bits_e0 = jnp.where(m22 != 0, jnp.int32(0x3D800000) | sign, sign)
-    bits = jnp.where(e == 0, bits_e0, bits_ge1)
-    raw = jax.lax.bitcast_convert_type(bits, jnp.float32)
-    return raw * jnp.float32(1.0 / 12.0)
+    u = codes << 22
+    m22 = u & (1 << 22)
+    e23 = u & (3 << 23)
+    sgn = (codes & 8) << 28
+    bits_ge1 = ((131 << 23) + m22 + sgn) - e23
+    # e == 0: +-m * 2^-4 -> bits = m * (123<<23) | sign
+    bits_e0 = (m22 >> 22) * (123 << 23) + sgn
+    bits = jnp.where(e23 == 0, bits_e0, bits_ge1)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def lut_fp4_bits(codes: jnp.ndarray, table: Sequence[float] = ()) -> jnp.ndarray:
+    """FP4-specific exact decode to the normalized codebook values
+    (``lut_fp4_bits_raw`` divided by 12; the product is exactly the
+    fp32-rounded codebook — verified against the table in tests)."""
+    return lut_fp4_bits_raw(codes) * jnp.float32(1.0 / 12.0)
 
 
 def lut_take(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:

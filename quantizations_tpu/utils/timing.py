@@ -22,19 +22,25 @@ __all__ = ["time_scan_chain"]
 
 
 def time_scan_chain(
-    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    fn: Callable[..., jnp.ndarray],
     x0: jnp.ndarray,
     iters: int = 100,
     trials: int = 3,
     min_total_s: float = 0.5,
     max_iters: int = 20000,
+    consts: tuple = (),
 ) -> float:
     """Return best per-iteration seconds for ``fn`` called ``iters`` times
     with serialized data dependencies.
 
-    ``fn`` maps an array x to any array; each step perturbs x by an
-    epsilon-scaled scalar of the output so the chain is sequential but
-    numerically a no-op.
+    ``fn`` maps an array x (plus ``consts``, passed through) to any
+    array; each step perturbs x by an epsilon-scaled scalar of the
+    output so the chain is sequential but numerically a no-op.
+
+    Pass large loop-invariant arrays via ``consts``, NOT via closure:
+    closed-over arrays are lifted into jaxpr constants and shipped in
+    the remote-compile request body (an lm_head-sized weight overflows
+    the tunnel's request limit with HTTP 413).
 
     The tunneled runtime has a ~40-50 ms host<->device round-trip per
     dispatch, so a chain whose total device time is below that measures
@@ -45,23 +51,23 @@ def time_scan_chain(
     cancels the fixed dispatch cost exactly.
     """
 
-    def body(x, _):
-        o = fn(x)
-        o = jax.lax.optimization_barrier(o)
-        eps = jnp.sum(o.astype(jnp.float32)) * jnp.float32(1e-30)
-        return x + eps.astype(x.dtype), ()
-
     def total_time(n: int) -> float:
         @jax.jit
-        def chain(x):
+        def chain(x, *cs):
+            def body(x, _):
+                o = fn(x, *cs)
+                o = jax.lax.optimization_barrier(o)
+                eps = jnp.sum(o.astype(jnp.float32)) * jnp.float32(1e-30)
+                return x + eps.astype(x.dtype), ()
+
             xf, _ = jax.lax.scan(body, x, (), length=n)
             return jnp.sum(xf.astype(jnp.float32))
 
-        float(chain(x0))  # compile + warm up
+        float(chain(x0, *consts))  # compile + warm up
         best = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(chain(x0))
+            float(chain(x0, *consts))
             best = min(best, time.perf_counter() - t0)
         return best
 

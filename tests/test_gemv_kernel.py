@@ -71,7 +71,9 @@ def test_gemv_stacked_matches_flat(rng):
         got = np.asarray(gemv_4bit_pallas_stacked(
             wp_all, sc_all, jnp.asarray(x), jnp.int32(i),
             quant_type="fp4", tile_m=128, interpret=True))
-        np.testing.assert_array_equal(got, outs[i])
+        # same kernel, but the interpreter constant-folds the static
+        # (flat) call differently -> last-ulp fp32 deltas
+        np.testing.assert_allclose(got, outs[i], rtol=1e-5, atol=1e-6)
 
 
 def test_gemv_kernel_small_batch(rng):
