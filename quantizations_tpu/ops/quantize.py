@@ -69,17 +69,6 @@ def _nf4_codes(x):
     return c
 
 
-def _block_absmax_lanes(a, blocksize):
-    """Per-64(+)-element absmax via a strided-lane max tree:
-    ``[TM, K] -> [TM, K/blocksize]``."""
-    r = jnp.abs(a)
-    width = blocksize
-    while width > 1:
-        r = jnp.maximum(r[:, 0::2], r[:, 1::2])
-        width //= 2
-    return r
-
-
 def _expand_blocks(s, k, blocksize):
     """Exact ``[TM, K/bs] -> [TM, K]`` block expansion via a one-hot MXU
     matmul (copying through a 0/1 matrix at HIGHEST precision is exact)."""
@@ -91,18 +80,49 @@ def _expand_blocks(s, k, blocksize):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def _quantize_kernel(w_ref, wp_ref, s_ref, *, blocksize, quant_type):
-    w = w_ref[:].astype(jnp.float32)          # [TM, K]
-    tm, k = w.shape
-    absmax = _block_absmax_lanes(w, blocksize)  # [TM, K/bs]
+def _select_stride(a, stride):
+    """Exact ``a[:, 0::stride]`` via a one-hot MXU matmul — Mosaic has no
+    strided-lane slicing (it lowers to a gather it rejects)."""
+    tm, k = a.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k // stride), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k // stride), 1)
+    S = (row == col * stride).astype(jnp.float32)
+    return jnp.dot(a, S, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _quantize_kernel(wperm_ref, wp_ref, s_ref, *, blocksize, quant_type):
+    """Input arrives plane-major (``wperm[m, j, c]`` = element ``8c+j``,
+    permuted outside the kernel) so every lane op is stride-free:
+    Mosaic supports neither strided lane slices nor wide gathers."""
+    wperm = wperm_ref[:].astype(jnp.float32)    # [TM, 8, K8]
+    tm, _, k8 = wperm.shape
+    planes = [wperm[:, j, :] for j in range(8)]
+
+    # per-word absmax (8 elements each), then a windowed max over the
+    # blocksize/8 words of each block via a roll tree
+    wmax = jnp.abs(planes[0])
+    for j in range(1, 8):
+        wmax = jnp.maximum(wmax, jnp.abs(planes[j]))
+    words_per_block = blocksize // 8
+    step = 1
+    while step < words_per_block:
+        # left-rotate by `step` == right-rotate by k8-step (pltpu.roll
+        # only accepts non-negative shifts)
+        wmax = jnp.maximum(wmax, pltpu.roll(wmax, k8 - step, axis=1))
+        step *= 2
+    # lane 8b*wpb.. holds block b's max; select block starts exactly
+    absmax = _select_stride(wmax, words_per_block)   # [TM, K8/wpb]
     s_ref[:] = absmax
+
     inv = jnp.where(absmax > 0, 1.0 / absmax, 0.0)
-    norm = w * _expand_blocks(inv, k, blocksize)
-    codes = (_fp4_codes(norm) if quant_type == "fp4"
-             else _nf4_codes(norm))            # [TM, K] int32
-    word = jnp.zeros((tm, k // 8), jnp.int32)
+    inv_rep = _expand_blocks(inv, k8, words_per_block)  # [TM, K8]
+    word = jnp.zeros((tm, k8), jnp.int32)
     for j in range(8):
-        word = word | (codes[:, j::8] << _SHIFTS[j])
+        norm = planes[j] * inv_rep
+        codes = (_fp4_codes(norm) if quant_type == "fp4"
+                 else _nf4_codes(norm))
+        word = word | (codes << _SHIFTS[j])
     wp_ref[:] = word
 
 
@@ -137,12 +157,14 @@ def quantize_4bit_pallas(
     assert K % max(blocksize, 8) == 0
     while M % tile_m:
         tile_m //= 2
+    # plane-major view: wperm[m, j, c] = W[m, 8c + j]
+    wperm = W.reshape(M, K // 8, 8).swapaxes(1, 2)
     kernel = functools.partial(
         _quantize_kernel, blocksize=blocksize, quant_type=quant_type)
     return pl.pallas_call(
         kernel,
         grid=(M // tile_m,),
-        in_specs=[pl.BlockSpec((tile_m, K), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((tile_m, 8, K // 8), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((tile_m, K // 8), lambda i: (i, 0),
@@ -155,7 +177,7 @@ def quantize_4bit_pallas(
             jax.ShapeDtypeStruct((M, K // blocksize), jnp.float32),
         ),
         interpret=interpret,
-    )(W)
+    )(wperm)
 
 
 @functools.partial(
