@@ -1,0 +1,113 @@
+"""CLI: accuracy evaluations of a checkpoint.
+
+    # logit/ppl parity of 4-bit vs dequantized-dense on random tokens
+    python -m quantizations_tpu.evals --model <hf_dir> --parity
+
+    # IFEval (requires the official input_data.jsonl + a tokenizer)
+    python -m quantizations_tpu.evals --model <hf_dir> \
+        --ifeval /path/to/input_data.jsonl --max-new-tokens 512
+
+The reference's accuracy claim is a single external IFEval run
+(reference README.md:28); this makes the comparison reproducible:
+run --ifeval twice (once with --dequantized) and diff the scores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="quantizations_tpu.evals")
+    p.add_argument("--model", required=False,
+                   help="HF checkpoint dir; omit for the tiny demo model")
+    p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
+    p.add_argument("--parity", action="store_true",
+                   help="logit-parity report (quantized vs dequantized)")
+    p.add_argument("--parity-tokens", type=int, default=128)
+    p.add_argument("--ifeval", help="path to IFEval input_data.jsonl")
+    p.add_argument("--dequantized", action="store_true",
+                   help="run IFEval on the dequantized bf16 twin instead")
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--max-seq", type=int, default=2048)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from ..config import QuantConfig, ServeConfig
+    from ..models.llama import TINY_LLAMA, init_llama_params
+
+    tokenizer = None
+    if args.model:
+        from ..models.hf_loader import load_hf_llama
+
+        cfg, params = load_hf_llama(
+            args.model, quant=QuantConfig(quant_type=args.quant_type))
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(args.model)
+        except Exception:
+            tokenizer = None
+    else:
+        cfg = dataclasses.replace(
+            TINY_LLAMA, quant=QuantConfig(quant_type=args.quant_type))
+        params = init_llama_params(cfg, seed=0)
+
+    out = {}
+    if args.parity or not args.ifeval:
+        from .parity import logit_parity
+
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (1, args.parity_tokens)),
+            jnp.int32)
+        out["parity"] = logit_parity(params, cfg, ids).to_dict()
+
+    if args.ifeval:
+        if tokenizer is None:
+            raise SystemExit("--ifeval needs a tokenizer (HF checkpoint)")
+        from ..models.llama import KVCache
+        from ..serve.generate import make_generate_fn
+        from .ifeval import evaluate
+
+        if args.dequantized:
+            from .parity import dequantized_params
+
+            params = dequantized_params(params, cfg)
+
+        serve = ServeConfig(max_seq_len=args.max_seq,
+                            max_new_tokens=args.max_new_tokens)
+        gen = make_generate_fn(cfg, serve)
+        key = jax.random.PRNGKey(0)
+        eos = tokenizer.eos_token_id
+
+        def generate_fn(prompt: str) -> str:
+            msgs = [{"role": "user", "content": prompt}]
+            try:
+                ids = tokenizer.apply_chat_template(
+                    msgs, add_generation_prompt=True)
+            except Exception:
+                ids = tokenizer.encode(prompt)
+            toks, _ = gen(params, jnp.asarray([ids], jnp.int32),
+                          KVCache.create(cfg, 1, serve.max_seq_len), key)
+            toks = np.asarray(toks)[0].tolist()
+            if eos in toks:
+                toks = toks[:toks.index(eos)]
+            return tokenizer.decode(toks)
+
+        dataset = [json.loads(l)
+                   for l in open(args.ifeval) if l.strip()]
+        out["ifeval"] = evaluate(generate_fn, dataset).to_dict()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

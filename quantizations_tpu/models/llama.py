@@ -189,8 +189,7 @@ def quantize_linear(
         from ..ops.quantize import quantize_4bit_pallas
 
         wp, absmax2d = quantize_4bit_pallas(
-            W.astype(jnp.float32), blocksize=blocksize,
-            quant_type=quant_type)
+            W, blocksize=blocksize, quant_type=quant_type)
         absmax = absmax2d.reshape(-1)
         if compress_statistics:
             # double-quant round-trip of the statistics: the resolved
@@ -366,10 +365,17 @@ def _layer_forward(
     cfg: LlamaConfig,
     axis_name: Optional[str] = None,
     idx: Optional[jnp.ndarray] = None,   # layer index for stacked weights
+    attend_len: Optional[int] = None,    # static: attention reads only
+                                         # cache[:, :attend_len]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. Head counts derive from the (per-shard) weight
     shapes so the same code runs under shard_map. ``pos`` is per-batch-slot
-    (continuous batching: every slot sits at its own sequence offset)."""
+    (continuous batching: every slot sits at its own sequence offset).
+
+    ``attend_len`` bounds the attention window to the valid cache prefix
+    — at a 8k max_seq, reading the whole preallocated cache would cost
+    ~1 GB/token; bucketing the attended length to the live maximum
+    position keeps it proportional to actual sequence lengths."""
     B, T, h = x.shape
     D = cfg.head_dim
     n_q = layer.q.wp.shape[-2] // D     # per-shard query heads
@@ -394,8 +400,9 @@ def _layer_forward(
         cache_v = upd(cache_v, v.astype(cache_v.dtype), pos)
 
         qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
-        kf = cache_k.astype(jnp.float32)
-        vf = cache_v.astype(jnp.float32)
+        S_att = attend_len or cache_k.shape[1]
+        kf = cache_k[:, :S_att].astype(jnp.float32)
+        vf = cache_v[:, :S_att].astype(jnp.float32)
         scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) * (D ** -0.5)
         scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
         w = jax.nn.softmax(scores, axis=-1)
@@ -429,6 +436,7 @@ def _forward(
     cfg: LlamaConfig,
     axis_name: Optional[str] = None,
     last_token_only: bool = False,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared prefill/decode forward: embeds ``T`` tokens written at cache
     positions ``pos .. pos+T`` (``pos`` may be per-batch-slot, the
@@ -446,8 +454,9 @@ def _forward(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
                             cfg.rope_scaling)               # [B, T, D]
     # mask[b, t, s]: attend iff s is a written position not after query t.
-    key_pos = jnp.arange(S, dtype=jnp.int32)
-    mask = key_pos[None, None, :] <= positions[:, :, None]  # [B, T, S]
+    S_att = attend_len or S
+    key_pos = jnp.arange(S_att, dtype=jnp.int32)
+    mask = key_pos[None, None, :] <= positions[:, :, None]  # [B, T, S_att]
 
     stacked = params.layers  # every QLinear leaf keeps its [L] axis; the
     # scan body passes the layer index down so the decode kernel can read
@@ -463,7 +472,7 @@ def _forward(
         )
         x, ck_i, cv_i = _layer_forward(
             x, layer, ck[i], cv[i], pos, cos, sin, mask, cfg,
-            axis_name=axis_name, idx=i,
+            axis_name=axis_name, idx=i, attend_len=attend_len,
         )
         ck = jax.lax.dynamic_update_slice_in_dim(ck, ck_i[None], i, axis=0)
         cv = jax.lax.dynamic_update_slice_in_dim(cv, cv_i[None], i, axis=0)
@@ -506,11 +515,13 @@ def prefill(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,
 def decode_step(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,
                 pos: jnp.ndarray, cfg: LlamaConfig,
                 axis_name: Optional[str] = None,
+                attend_len: Optional[int] = None,
                 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step: ``token_ids [B, 1]`` at position ``pos``.
     Returns (logits [B, vocab], cache). This is the hot loop — under jit
     it is one fused program (vs the reference's 448 launches/token,
-    SURVEY.md §3.2)."""
+    SURVEY.md §3.2). ``attend_len`` (static) bounds attention to the
+    valid cache prefix; callers must guarantee ``pos < attend_len``."""
     logits, cache = _forward(params, token_ids, cache, pos, cfg,
-                             axis_name=axis_name)
+                             axis_name=axis_name, attend_len=attend_len)
     return logits[:, -1, :], cache

@@ -189,10 +189,14 @@ def _pick_tile_m(M: int, K8: int, batch: int,
     kernel's live VMEM (double-buffered int32 input + one fp32 plane +
     ``batch`` fp32 accumulators + output/scales) under budget."""
     if tile_m is None:
-        budget = 10 * 2**20                      # ~10 MiB of 16 MiB VMEM
-        per_row = (2 + 1 + batch) * K8 * 4       # bytes per tile row
+        # Mosaic schedules the 8 decode planes eagerly, so worst-case
+        # live VMEM is ~(2x input buffers + 8 planes + batch accs) fp32
+        # widths; measured headroom says stay under ~4 MiB of estimate.
+        budget = 4 * 2**20
+        per_row = (2 + 2 + batch) * K8 * 4       # bytes per tile row
         tile_m = 512
-        while tile_m > 128 and tile_m * per_row > budget:
+        # floor 128: the output block's lane dim must be 128-divisible
+        while tile_m > 128 and tile_m * per_row >= budget:
             tile_m //= 2
     while M % tile_m:
         tile_m //= 2

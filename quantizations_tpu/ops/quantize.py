@@ -95,9 +95,9 @@ def _quantize_kernel(wperm_ref, wp_ref, s_ref, *, blocksize, quant_type):
     """Input arrives plane-major (``wperm[m, j, c]`` = element ``8c+j``,
     permuted outside the kernel) so every lane op is stride-free:
     Mosaic supports neither strided lane slices nor wide gathers."""
-    wperm = wperm_ref[:].astype(jnp.float32)    # [TM, 8, K8]
+    wperm = wperm_ref[:]                        # [TM, 8, K8]
     tm, _, k8 = wperm.shape
-    planes = [wperm[:, j, :] for j in range(8)]
+    planes = [wperm[:, j, :].astype(jnp.float32) for j in range(8)]
 
     # per-word absmax (8 elements each), then a windowed max over the
     # blocksize/8 words of each block via a roll tree
@@ -155,9 +155,16 @@ def quantize_4bit_pallas(
     ``quant.quantize_4bit`` bit-for-bit (tested)."""
     M, K = W.shape
     assert K % max(blocksize, 8) == 0
+    # VMEM budget: double-buffered input tile + ~4 live fp32 work arrays
+    # of width K/8 (wmax, inv_rep, codes, word)
+    per_row = K * W.dtype.itemsize * 2 + (K // 8) * 4 * 4
+    while tile_m > 8 and tile_m * per_row > 10 * 2**20:
+        tile_m //= 2
     while M % tile_m:
         tile_m //= 2
-    # plane-major view: wperm[m, j, c] = W[m, 8c + j]
+    # plane-major view: wperm[m, j, c] = W[m, 8c + j]. The kernel casts
+    # planes to fp32 internally — for bf16 checkpoints (HF Llama) the
+    # cast is exact, so codes match the fp32 functional path bit-for-bit.
     wperm = W.reshape(M, K // 8, 8).swapaxes(1, 2)
     kernel = functools.partial(
         _quantize_kernel, blocksize=blocksize, quant_type=quant_type)

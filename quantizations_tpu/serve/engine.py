@@ -100,12 +100,18 @@ class Engine:
 
         # step: batched decode + sample, cache donated. Params are an
         # explicit argument (closing over multi-GB arrays would lift
-        # them into jaxpr constants).
-        def _step(p, tokens, cache, pos_vec, key):
-            logits, cache = decode_step(p, tokens[:, None], cache,
-                                        pos_vec, cfg, axis_name=axis)
-            nxt = sample_logits(logits, key, temperature, top_k)
-            return nxt, cache
+        # them into jaxpr constants). One compiled variant per attention
+        # bucket: the step only attends the valid cache prefix (at 8k
+        # max_seq a full-cache read would be ~1 GB/token).
+        def _make_step(attend_len):
+            def _step(p, tokens, cache, pos_vec, key):
+                logits, cache = decode_step(
+                    p, tokens[:, None], cache, pos_vec, cfg,
+                    axis_name=axis, attend_len=attend_len)
+                nxt = sample_logits(logits, key, temperature, top_k)
+                return nxt, cache
+
+            return _step
 
         # prefill of ONE sequence into a scratch cache (later inserted
         # into the batch cache at a slot).
@@ -127,7 +133,10 @@ class Engine:
 
         if mesh is None:
             self.cache = KVCache.create(cfg, slots, self.max_seq)
-            step = jax.jit(_step, donate_argnums=(2,))
+
+            def build_step(attend_len):
+                return jax.jit(_make_step(attend_len), donate_argnums=(2,))
+
             pf = jax.jit(_pf)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -139,20 +148,25 @@ class Engine:
             self.cache = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
                 KVCache.create(cfg, slots, self.max_seq), cspec)
-            step = jax.jit(jax.shard_map(
-                _step, mesh=mesh,
-                in_specs=(pspecs, P(None), cspec, P(None), P(None)),
-                out_specs=(P(None), cspec),
-                check_vma=False,
-            ), donate_argnums=(2,))
+
+            def build_step(attend_len):
+                return jax.jit(jax.shard_map(
+                    _make_step(attend_len), mesh=mesh,
+                    in_specs=(pspecs, P(None), cspec, P(None), P(None)),
+                    out_specs=(P(None), cspec),
+                    check_vma=False,
+                ), donate_argnums=(2,))
+
             pf = jax.jit(jax.shard_map(
                 _pf, mesh=mesh,
                 in_specs=(pspecs, P(None, None), P(), P(None)),
                 out_specs=(P(None), cspec),
                 check_vma=False,
             ))
-        self._step_fn = functools.partial(step, params)
+        self._build_step = build_step
+        self._step_fns: Dict[int, Any] = {}
         self._prefill_fn = functools.partial(pf, params)
+        self._params = params
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _insert(cache, scratch, slot):
@@ -163,6 +177,23 @@ class Engine:
             return KVCache(k=k, v=v)
 
         self._insert_fn = _insert
+
+    def _step_for(self, attend_len: int):
+        fn = self._step_fns.get(attend_len)
+        if fn is None:
+            fn = functools.partial(self._build_step(attend_len),
+                                   self._params)
+            self._step_fns[attend_len] = fn
+        return fn
+
+    def _attend_bucket(self) -> int:
+        """Smallest power-of-two >= live max position + 1 (floor 128),
+        capped at max_seq."""
+        need = int(self.pos.max()) + 1
+        b = 128
+        while b < need:
+            b *= 2
+        return min(b, self.max_seq)
 
     # -- public API --------------------------------------------------------
 
@@ -187,7 +218,8 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         tokens = jnp.asarray(self._cur_tok)
         pos_vec = jnp.asarray(self.pos)
-        nxt, self.cache = self._step_fn(tokens, self.cache, pos_vec, sub)
+        step_fn = self._step_for(self._attend_bucket())
+        nxt, self.cache = step_fn(tokens, self.cache, pos_vec, sub)
         nxt = np.asarray(nxt)
         self._steps += 1
         for i in act:
@@ -209,6 +241,30 @@ class Engine:
         while self.has_work() and self._steps < max_steps:
             self.step()
         return self.finished
+
+    def recover(self) -> int:
+        """Failure recovery (SURVEY.md §5): after a device error, requeue
+        every in-flight request with its prompt extended by the tokens
+        already generated (outputs are preserved; the re-admit prefill
+        resumes exactly where the sequence left off under greedy
+        sampling) and reset the cache. Returns #requests requeued.
+
+        Multi-host note: each host runs its own engine; a failed host's
+        queue is re-dispatched by re-submitting its unfinished requests
+        to a healthy host's engine via this same requeue shape.
+        """
+        n = 0
+        for i, r in enumerate(self.active):
+            if r is None:
+                continue
+            r.prompt_ids = r.prompt_ids + r.output_ids
+            self.queue.appendleft(r)
+            self.active[i] = None
+            n += 1
+        self.pos[:] = 0
+        self._cur_tok[:] = 0
+        self.cache = jax.tree.map(jnp.zeros_like, self.cache)
+        return n
 
     # -- internals ----------------------------------------------------------
 
