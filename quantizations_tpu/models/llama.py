@@ -330,6 +330,16 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
     return x * c + rot * s
 
 
+def _chain(x2: jnp.ndarray, prev: jnp.ndarray) -> jnp.ndarray:
+    """Tie ``x2`` to a previous projection's output with an unfoldable
+    float ``*0.0`` term. XLA co-schedules independent Pallas GEMVs
+    (q/k/v share the same input) and their SUMMED scoped-vmem demands
+    blow the 16 MiB limit; the kernels are HBM/VPU-bound, so forcing
+    sequential execution costs nothing."""
+    dep = prev.reshape(-1)[0].astype(x2.dtype) * x2.dtype.type(0.0)
+    return x2 + dep
+
+
 def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
         idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Apply a (possibly layer-stacked) QLinear. Stacked weights on the
@@ -388,8 +398,8 @@ def _layer_forward(
         xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
         x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
         q = _ql(x2, layer.q, qcfg, idx).reshape(B, T, n_q, D)
-        k = _ql(x2, layer.k, qcfg, idx).reshape(B, T, n_kv, D)
-        v = _ql(x2, layer.v, qcfg, idx).reshape(B, T, n_kv, D)
+        k = _ql(_chain(x2, q), layer.k, qcfg, idx).reshape(B, T, n_kv, D)
+        v = _ql(_chain(x2, k), layer.v, qcfg, idx).reshape(B, T, n_kv, D)
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -419,7 +429,7 @@ def _layer_forward(
         xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
         x2 = xm.astype(qcfg.compute_dtype).reshape(B * T, h)
         g = _ql(x2, layer.gate, qcfg, idx)
-        u = _ql(x2, layer.up, qcfg, idx)
+        u = _ql(_chain(x2, g), layer.up, qcfg, idx)
         act = jax.nn.silu(g) * u
         d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg, idx)
         if axis_name is not None:

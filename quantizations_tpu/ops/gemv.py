@@ -104,17 +104,16 @@ def _take16_chunked(tbl128, codes):
     return jnp.concatenate(outs, axis=1)
 
 
-def _plane_fn(wp, tbl_ref, lut: str, lut_fn):
-    """codes-plane-j -> unscaled fp32 values ``[TM, K8]``
+def _plane_fn(tm, tbl_ref, lut: str, lut_fn):
+    """(wp, j) -> unscaled fp32 values ``[TM, K8]``
     (``plane_j[m, c]`` = codebook value of element ``8c+j``)."""
-    tm, k8 = wp.shape
     if lut == "take16":
         tbl16 = tbl_ref[0, 0:1, :128]                 # [1, 128]
         tbl128 = jnp.broadcast_to(tbl16, (tm, 128))
         fn = lambda c: _take16_chunked(tbl128, c)
     else:
         fn = lut_fn
-    return lambda j: fn((wp >> _SHIFTS[j]) & 15)
+    return lambda wp, j: fn((wp >> _SHIFTS[j]) & 15)
 
 
 def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
@@ -123,29 +122,36 @@ def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
     dequantize-then-dot, like the reference's fp32 accumulation,
     kernels.cu:1201-1211).
 
-    Scales are applied AFTER a per-64-block group reduction (one small
-    one-hot MXU matmul at HIGHEST precision — exact for 0/1 operands),
-    which avoids expanding scales to per-element width: Mosaic has no
-    cheap element-repeat (pltpu.repeat tiles; wide gathers span vregs).
+    Grid is 2D (row tiles x K chunks): the K split bounds live VMEM
+    independently of the weight's K (at batch 4 a whole-K kernel blows
+    the 16 MiB scoped-vmem limit inside the full decode program). The
+    output block is revisited across the K chunks and accumulated.
 
-    VMEM discipline: planes are decoded and consumed one at a time —
-    only one ``[TM, K8]`` fp32 plane plus ``batch`` accumulators are
-    ever live (all 8 planes at once OOMs scoped vmem at large K).
+    Scales are applied AFTER a per-64-block group reduction (one small
+    one-hot MXU matmul at HIGHEST precision — exact for 0/1 operands);
+    the chunk's block offset folds into the one-hot matrix, so the
+    scales operand stays unblocked along K (it is tiny) and Mosaic never
+    needs an element-repeat (pltpu.repeat tiles; wide gathers span
+    vregs).
     """
     wp = wp_ref[:] if len(wp_ref.shape) == 2 else wp_ref[0]
-    s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]
-    tm, k8 = wp.shape
-    nb = k8 // 8
-    plane = _plane_fn(wp, tbl_ref, lut, lut_fn)
-    accs = [jnp.zeros((tm, k8), jnp.float32) for _ in range(batch)]
+    s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]   # [TM, NB_total]
+    tm, kc = wp.shape
+    nb_total = s.shape[1]
+    nbc = kc // 8
+    k_id = pl.program_id(1)
+    plane = _plane_fn(tm, tbl_ref, lut, lut_fn)
+    accs = [jnp.zeros((tm, kc), jnp.float32) for _ in range(batch)]
     for j in range(8):
-        vals = plane(j)
+        vals = plane(wp, j)
         for b in range(batch):
             accs[b] = accs[b] + vals * xp_ref[b, j, :][None, :]
-    # E[c, blk] = 1 iff word c belongs to 64-element block blk.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (k8, nb), 0)
-    blk = jax.lax.broadcasted_iota(jnp.int32, (k8, nb), 1)
-    E = (lane // 8 == blk).astype(jnp.float32)
+    # E[c, blk] = 1 iff word c of THIS chunk belongs to 64-element block
+    # blk of the full row (chunk offset folded into the one-hot).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kc, nb_total), 0)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (kc, nb_total), 1)
+    E = (lane // 8 + k_id * nbc == blk).astype(jnp.float32)
+    partials = []
     for b in range(batch):
         g = jnp.dot(accs[b], E, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
@@ -154,7 +160,17 @@ def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
             # fp4_bits decodes RAW values (codebook x 12); the 1/12 is
             # applied once per OUTPUT element, not once per weight.
             out = out * jnp.float32(out_factor)
-        o_ref[b, :] = out
+        partials.append(out)
+
+    @pl.when(k_id == 0)
+    def _init():
+        for b in range(batch):
+            o_ref[b, :] = partials[b]
+
+    @pl.when(k_id != 0)
+    def _accum():
+        for b in range(batch):
+            o_ref[b, :] = o_ref[b, :] + partials[b]
 
 
 def _lut_setup(quant_type: str, lut: Optional[str], k8: int):
@@ -183,24 +199,29 @@ def _lut_setup(quant_type: str, lut: Optional[str], k8: int):
     return lut, lut_fn, jnp.asarray(tbl), out_factor
 
 
-def _pick_tile_m(M: int, K8: int, batch: int,
-                 tile_m: Optional[int]) -> int:
-    """Largest power-of-two row tile that divides M and keeps the
-    kernel's live VMEM (double-buffered int32 input + one fp32 plane +
-    ``batch`` fp32 accumulators + output/scales) under budget."""
+def _pick_tiles(M: int, K8: int, batch: int,
+                tile_m: Optional[int]) -> tuple:
+    """(tile_m, k_chunk): row tile and K-chunk so the kernel's live VMEM
+    (double-buffered int32 input + decoded planes + ``batch`` fp32
+    accumulators) stays bounded regardless of the weight's K."""
+    # largest multiple of 128 dividing K8, capped at 512 (lane-dim rule:
+    # a block's last dim must be 128-divisible or equal the array dim)
+    if K8 % 128:
+        k_chunk = K8
+    else:
+        k_chunk = 512
+        while K8 % k_chunk:
+            k_chunk //= 2
     if tile_m is None:
-        # Mosaic schedules the 8 decode planes eagerly, so worst-case
-        # live VMEM is ~(2x input buffers + 8 planes + batch accs) fp32
-        # widths; measured headroom says stay under ~4 MiB of estimate.
         budget = 4 * 2**20
-        per_row = (2 + 2 + batch) * K8 * 4       # bytes per tile row
+        per_row = (2 + 2 + batch) * k_chunk * 4  # bytes per tile row
         tile_m = 512
         # floor 128: the output block's lane dim must be 128-divisible
         while tile_m > 128 and tile_m * per_row >= budget:
             tile_m //= 2
     while M % tile_m:
         tile_m //= 2
-    return tile_m
+    return tile_m, k_chunk
 
 
 @functools.partial(
@@ -224,7 +245,7 @@ def gemv_4bit_pallas(
     B = x.shape[0]
     assert x.shape[1] == K, (x.shape, K)
     assert scales.shape == (M, K8 // 8), (scales.shape, (M, K8 // 8))
-    tile_m = _pick_tile_m(M, K8, B, tile_m)
+    tile_m, kc = _pick_tiles(M, K8, B, tile_m)
     lut, lut_fn, tbl, out_factor = _lut_setup(quant_type, lut, K8)
     xp = permute_activation(x.astype(jnp.float32))
 
@@ -233,22 +254,23 @@ def gemv_4bit_pallas(
         out_factor=out_factor)
     out = pl.pallas_call(
         kernel,
-        grid=(M // tile_m,),
+        grid=(M // tile_m, K8 // kc),
         in_specs=[
-            pl.BlockSpec((tile_m, K8), lambda i: (i, 0),
+            pl.BlockSpec((tile_m, kc), lambda i, kq: (i, kq),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 8, K8), lambda i: (0, 0, 0),
+            pl.BlockSpec((B, 8, kc), lambda i, kq: (0, 0, kq),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, K8 // 8), lambda i: (i, 0),
+            pl.BlockSpec((tile_m, K8 // 8), lambda i, kq: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tbl.shape[1], 256), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, tbl.shape[1], 256),
+                         lambda i, kq: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, tile_m), lambda i: (0, i),
+        out_specs=pl.BlockSpec((B, tile_m), lambda i, kq: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * K,
             bytes_accessed=M * K8 * 4 + M * (K8 // 8) * 4 + B * K * 4,
@@ -285,7 +307,7 @@ def gemv_4bit_pallas_stacked(
     B = x.shape[0]
     assert x.shape[1] == K, (x.shape, K)
     assert scales.shape == (L, M, K8 // 8)
-    tile_m = _pick_tile_m(M, K8, B, tile_m)
+    tile_m, kc = _pick_tiles(M, K8, B, tile_m)
     lut, lut_fn, tbl, out_factor = _lut_setup(quant_type, lut, K8)
     xp = permute_activation(x.astype(jnp.float32))
 
@@ -296,24 +318,24 @@ def gemv_4bit_pallas_stacked(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(M // tile_m,),
+        grid=(M // tile_m, K8 // kc),
         in_specs=[
-            pl.BlockSpec((1, tile_m, K8),
-                         lambda i, idx: (idx[0], i, 0)),
-            pl.BlockSpec((B, 8, K8), lambda i, idx: (0, 0, 0)),
+            pl.BlockSpec((1, tile_m, kc),
+                         lambda i, kq, idx: (idx[0], i, kq)),
+            pl.BlockSpec((B, 8, kc), lambda i, kq, idx: (0, 0, kq)),
             pl.BlockSpec((1, tile_m, K8 // 8),
-                         lambda i, idx: (idx[0], i, 0)),
+                         lambda i, kq, idx: (idx[0], i, 0)),
             pl.BlockSpec((1, tbl.shape[1], 256),
-                         lambda i, idx: (0, 0, 0)),
+                         lambda i, kq, idx: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((B, tile_m), lambda i, idx: (0, i)),
+        out_specs=pl.BlockSpec((B, tile_m), lambda i, kq, idx: (0, i)),
     )
     out = pl.pallas_call(
         k_wrap,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * K,
             bytes_accessed=M * K8 * 4 + M * (K8 // 8) * 4 + B * K * 4,
