@@ -93,21 +93,24 @@ def main() -> None:
     # Batched decode throughput: weights are read+decoded once per step
     # regardless of batch, so small-batch serving amortizes the
     # memory/VPU cost across tokens (the continuous-batching engine's
-    # steady state). One jitted call, batch 4.
-    B4 = 4
-    ids4 = jnp.tile(ids, (B4, 1))
-    gen4 = make_generate_fn(cfg, serve)
+    # steady state). One jitted call per batch size.
+    batched = {}
+    for Bn in (4, 8):
+        idsn = jnp.tile(ids, (Bn, 1))
+        genn = make_generate_fn(cfg, serve)
 
-    def run4():
-        cache = KVCache.create(cfg, B4, serve.max_seq_len)
-        t0 = time.perf_counter()
-        toks, _ = gen4(params, ids4, cache, key)
-        np.asarray(toks)
-        return time.perf_counter() - t0
+        def runn():
+            cache = KVCache.create(cfg, Bn, serve.max_seq_len)
+            t0 = time.perf_counter()
+            toks, _ = genn(params, idsn, cache, key)
+            np.asarray(toks)
+            return time.perf_counter() - t0
 
-    run4()  # compile
-    t4 = min(run4() for _ in range(max(2, args.iters // 2)))
-    tps4 = args.new_tokens * B4 / t4
+        runn()  # compile
+        tn = min(runn() for _ in range(max(2, args.iters // 2)))
+        batched[Bn] = args.new_tokens * Bn / tn
+    tps4 = batched[4]
+    tps8 = batched[8]
 
     mem = {}
     stats = getattr(dev, "memory_stats", lambda: None)()
@@ -125,6 +128,8 @@ def main() -> None:
         "compile_plus_first_s": round(compile_t, 2),
         "batch4_tokens_per_s": round(tps4, 3),
         "batch4_vs_baseline": round(tps4 / REFERENCE_QUANT_TPS, 4),
+        "batch8_tokens_per_s": round(tps8, 3),
+        "batch8_vs_baseline": round(tps8 / REFERENCE_QUANT_TPS, 4),
         "init_s": round(init_s, 2),
         "new_tokens": args.new_tokens,
         "device": str(dev.device_kind),

@@ -42,8 +42,11 @@ __all__ = ["Params4bit", "Linear4bit", "apply_4bit", "GEMV_MAX_TOKENS"]
 
 # Decode dispatch threshold: at most this many token rows go through the
 # fused GEMV kernel (the reference's test is exactly one vector,
-# modules.py:56; small decode batches also profit from the fused path).
-GEMV_MAX_TOKENS = 4
+# modules.py:56). Small decode batches profit enormously from the fused
+# path — weights are read and decoded ONCE per step regardless of batch,
+# so aggregate throughput scales until the per-batch fma work rivals the
+# decode work (~8 rows on v5e).
+GEMV_MAX_TOKENS = 8
 
 _SHIFTS = tuple(8 * (j // 2) + (4 - 4 * (j % 2)) for j in range(8))
 
