@@ -93,11 +93,12 @@ def main():
 
     # -- 2. full decode step, scan over stacked layers --------------------
     cache = KVCache.create(cfg, 1, args.max_seq)
-    pos = jnp.int32(17)
-    cos, sin = rope_cos_sin(jnp.array([17], jnp.int32), cfg.head_dim,
+    pos = jnp.array([17], jnp.int32)
+    cos, sin = rope_cos_sin(jnp.array([[17]], jnp.int32), cfg.head_dim,
                             cfg.rope_theta)
     key_pos = jnp.arange(args.max_seq, dtype=jnp.int32)
-    mask = key_pos[None, :] <= jnp.array([[17]], jnp.int32)
+    mask = (key_pos[None, None, :] <= jnp.array([[[17]]], jnp.int32)
+            )  # [B, T, S]
 
     def body_scan(x):
         def body(carry, inputs):

@@ -146,16 +146,25 @@ def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
         vals = plane(wp, j)
         for b in range(batch):
             accs[b] = accs[b] + vals * xp_ref[b, j, :][None, :]
-    # E[c, blk] = 1 iff word c of THIS chunk belongs to 64-element block
-    # blk of the full row (chunk offset folded into the one-hot).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (kc, nb_total), 0)
-    blk = jax.lax.broadcasted_iota(jnp.int32, (kc, nb_total), 1)
-    E = (lane // 8 + k_id * nbc == blk).astype(jnp.float32)
+    # Local group reduction: E8[c, bl] = 1 iff chunk word c belongs to
+    # LOCAL 64-element block bl — [kc, kc/8], so the reduce matmul cost
+    # is K8*kc/8 per row instead of K8*NB_total (which made the down
+    # projection 37% slower than gate/up for the same bytes).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kc, nbc), 0)
+    bl = jax.lax.broadcasted_iota(jnp.int32, (kc, nbc), 1)
+    E8 = (lane // 8 == bl).astype(jnp.float32)
+    # Chunk's scale slice via a tiny dynamic one-hot selector (exact
+    # copy at HIGHEST precision; Mosaic has no dynamic lane slicing).
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, nbc), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb_total, nbc), 1)
+    Sel = (row == col + k_id * nbc).astype(jnp.float32)
+    s_c = jnp.dot(s, Sel, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)   # [TM, nbc]
     partials = []
     for b in range(batch):
-        g = jnp.dot(accs[b], E, preferred_element_type=jnp.float32,
+        g = jnp.dot(accs[b], E8, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-        out = jnp.sum(g * s, axis=1)
+        out = jnp.sum(g * s_c, axis=1)
         if out_factor != 1.0:
             # fp4_bits decodes RAW values (codebook x 12); the 1/12 is
             # applied once per OUTPUT element, not once per weight.
@@ -203,21 +212,32 @@ def _pick_tiles(M: int, K8: int, batch: int,
                 tile_m: Optional[int]) -> tuple:
     """(tile_m, k_chunk): row tile and K-chunk so the kernel's live VMEM
     (double-buffered int32 input + decoded planes + ``batch`` fp32
-    accumulators) stays bounded regardless of the weight's K."""
-    # largest multiple of 128 dividing K8, capped at 512 (lane-dim rule:
-    # a block's last dim must be 128-divisible or equal the array dim)
+    accumulators) stays bounded regardless of the weight's K.
+
+    Bigger chunks mean fewer grid steps (each costs ~1 us of fixed
+    overhead — at kc=256 the down projection paid 112 steps/call), so
+    pick the LARGEST 128-multiple divisor of K8 (<=1024) that still
+    fits the budget at the floor row tile of 128."""
+    budget = 4 * 2**20
+
+    def per_row(kc):
+        return (2 + 2 + batch) * kc * 4
+
     if K8 % 128:
-        k_chunk = K8
+        k_chunk = K8                      # tiny K: one chunk (lane rule:
+        # block lane dim must be 128-divisible or equal the array dim)
     else:
-        k_chunk = 512
-        while K8 % k_chunk:
-            k_chunk //= 2
+        cands = [d for d in range(min(K8, 1024), 0, -128)
+                 if K8 % d == 0]
+        k_chunk = cands[-1]
+        for d in cands:
+            if 128 * per_row(d) < budget:
+                k_chunk = d
+                break
     if tile_m is None:
-        budget = 4 * 2**20
-        per_row = (2 + 2 + batch) * k_chunk * 4  # bytes per tile row
         tile_m = 512
         # floor 128: the output block's lane dim must be 128-divisible
-        while tile_m > 128 and tile_m * per_row >= budget:
+        while tile_m > 128 and tile_m * per_row(k_chunk) >= budget:
             tile_m //= 2
     while M % tile_m:
         tile_m //= 2
