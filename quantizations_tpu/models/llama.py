@@ -68,6 +68,9 @@ class LlamaConfig:
     # HF "llama3"-type rope scaling: (factor, low_freq_factor,
     # high_freq_factor, original_max_position_embeddings). None = off.
     rope_scaling: Optional[Tuple[float, float, float, int]] = None
+    # decode attention via the Pallas flash-decode kernel
+    # (ops/attention.py) instead of the XLA einsum path
+    use_flash_attention: bool = False
     quant: QuantConfig = QuantConfig()
 
     @property
@@ -330,16 +333,6 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
     return x * c + rot * s
 
 
-def _chain(x2: jnp.ndarray, prev: jnp.ndarray) -> jnp.ndarray:
-    """Tie ``x2`` to a previous projection's output with an unfoldable
-    float ``*0.0`` term. XLA co-schedules independent Pallas GEMVs
-    (q/k/v share the same input) and their SUMMED scoped-vmem demands
-    blow the 16 MiB limit; the kernels are HBM/VPU-bound, so forcing
-    sequential execution costs nothing."""
-    dep = prev.reshape(-1)[0].astype(x2.dtype) * x2.dtype.type(0.0)
-    return x2 + dep
-
-
 def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
         idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Apply a (possibly layer-stacked) QLinear. Stacked weights on the
@@ -398,8 +391,8 @@ def _layer_forward(
         xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
         x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
         q = _ql(x2, layer.q, qcfg, idx).reshape(B, T, n_q, D)
-        k = _ql(_chain(x2, q), layer.k, qcfg, idx).reshape(B, T, n_kv, D)
-        v = _ql(_chain(x2, k), layer.v, qcfg, idx).reshape(B, T, n_kv, D)
+        k = _ql(x2, layer.k, qcfg, idx).reshape(B, T, n_kv, D)
+        v = _ql(x2, layer.v, qcfg, idx).reshape(B, T, n_kv, D)
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -409,15 +402,25 @@ def _layer_forward(
         cache_k = upd(cache_k, k.astype(cache_k.dtype), pos)
         cache_v = upd(cache_v, v.astype(cache_v.dtype), pos)
 
-        qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
         S_att = attend_len or cache_k.shape[1]
-        kf = cache_k[:, :S_att].astype(jnp.float32)
-        vf = cache_v[:, :S_att].astype(jnp.float32)
-        scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) * (D ** -0.5)
-        scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
-        w = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("btkgs,bskd->btkgd", w, vf)
-        attn = attn.reshape(B * T, n_q * D)
+        if cfg.use_flash_attention and T == 1:
+            from ..ops.attention import flash_decode_attention
+
+            attn = flash_decode_attention(
+                q[:, 0].reshape(B, n_kv, G, D),
+                cache_k[:, :S_att], cache_v[:, :S_att],
+                pos + 1,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(B * T, n_q * D)
+        else:
+            qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
+            kf = cache_k[:, :S_att].astype(jnp.float32)
+            vf = cache_v[:, :S_att].astype(jnp.float32)
+            scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) * (D ** -0.5)
+            scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
+            w = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("btkgs,bskd->btkgd", w, vf)
+            attn = attn.reshape(B * T, n_q * D)
 
         o = _ql(attn, layer.o, qcfg, idx)
         if axis_name is not None:
@@ -429,7 +432,7 @@ def _layer_forward(
         xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
         x2 = xm.astype(qcfg.compute_dtype).reshape(B * T, h)
         g = _ql(x2, layer.gate, qcfg, idx)
-        u = _ql(_chain(x2, g), layer.up, qcfg, idx)
+        u = _ql(x2, layer.up, qcfg, idx)
         act = jax.nn.silu(g) * u
         d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg, idx)
         if axis_name is not None:

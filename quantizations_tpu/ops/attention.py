@@ -1,0 +1,120 @@
+"""Flash-decode attention Pallas kernel (GQA, batch decode).
+
+SURVEY.md §5 long-context plan: "decode attention via Pallas flash-decode
+kernel". The XLA-fusion attention materializes [B, T, KV, G, S] scores
+and reads the cache at fusion speed; this kernel streams the KV cache
+block-by-block with an online-softmax accumulator, so decode attention
+runs at HBM stream bandwidth and scales to long contexts.
+
+Shapes (decode: one query token per sequence):
+  q        [B, KVH, G, D]   (G = query heads per kv head)
+  cache_k  [B, S, KVH, D]
+  cache_v  [B, S, KVH, D]
+  lengths  [B]              attend to positions < lengths[b]
+  out      [B, KVH, G, D]   fp32
+
+Grid: (B * KVH, S // S_BLK); the S dimension is sequential ("arbitrary")
+with running (max, sum, acc) state in VMEM scratch, flushed to the
+output on the last S block — the standard flash-decode recurrence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_decode_attention"]
+
+_NEG = -1e30
+
+
+def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+            *, s_blk, scale, n_kv):
+    sq = pl.program_id(1)
+    b = pl.program_id(0) // n_kv
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, D]
+    k = k_ref[0, :, 0, :].astype(jnp.float32)       # [S_BLK, D]
+    v = v_ref[0, :, 0, :].astype(jnp.float32)       # [S_BLK, D]
+
+    @pl.when(sq == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [G, S_BLK]
+    span = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + sq * s_blk
+    s = jnp.where(span < len_ref[b], s, _NEG)
+
+    m_prev = m_scr[:, 0:1]                          # [G, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)                          # [G, S_BLK]
+    corr = jnp.exp(m_prev - m_new)                  # [G, 1]
+    l_new = l_scr[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc = acc_scr[:] * corr + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [G, D]
+
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+    acc_scr[:] = acc
+
+    @pl.when(sq == pl.num_programs(1) - 1)
+    def _flush():
+        l = l_scr[:, 0:1]
+        o_ref[0, 0] = acc_scr[:] / jnp.where(l > 0, l, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("s_blk", "interpret"))
+def flash_decode_attention(
+    q: jnp.ndarray,        # [B, KVH, G, D]
+    cache_k: jnp.ndarray,  # [B, S, KVH, D]
+    cache_v: jnp.ndarray,
+    lengths: jnp.ndarray,  # [B] int32: attend to s < lengths[b]
+    s_blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Online-softmax decode attention over the cache prefix. Returns
+    fp32 ``[B, KVH, G, D]``."""
+    B, KVH, G, D = q.shape
+    S = cache_k.shape[1]
+    while S % s_blk:
+        s_blk //= 2
+    scale = D ** -0.5
+
+    kernel = functools.partial(_kernel, s_blk=s_blk, scale=scale,
+                               n_kv=KVH)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * KVH, S // s_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D),
+                         lambda i, sq, ln: (i // KVH, i % KVH, 0, 0)),
+            pl.BlockSpec((1, s_blk, 1, D),
+                         lambda i, sq, ln: (i // KVH, sq, i % KVH, 0)),
+            pl.BlockSpec((1, s_blk, 1, D),
+                         lambda i, sq, ln: (i // KVH, sq, i % KVH, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, D), lambda i, sq, ln: (i // KVH, i % KVH, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),   # running max (col 0)
+            pltpu.VMEM((G, 128), jnp.float32),   # running sum (col 0)
+            pltpu.VMEM((G, D), jnp.float32),     # running acc
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(jnp.asarray(lengths, jnp.int32), q, cache_k, cache_v)

@@ -94,3 +94,25 @@ def test_generate_sampled_in_range(params):
                   jax.random.PRNGKey(7))
     assert toks.shape == (1, 5)
     assert int(toks.max()) < CFG.vocab_size and int(toks.min()) >= 0
+
+
+def test_flash_attention_decode_matches_einsum(params):
+    """Decode with the flash-decode kernel must match the XLA einsum
+    attention path."""
+    import dataclasses
+
+    cfg_f = dataclasses.replace(CFG, use_flash_attention=True)
+    B, P, N = 1, 5, 8
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, N)), jnp.int32)
+
+    logits_p, cache = jax.jit(functools.partial(prefill, cfg=CFG))(
+        params, ids[:, :P], KVCache.create(CFG, B, MAX_SEQ))
+    step_ref = jax.jit(functools.partial(decode_step, cfg=CFG))
+    step_fl = jax.jit(functools.partial(decode_step, cfg=cfg_f))
+    cache2 = jax.tree.map(lambda x: x, cache)
+    for t in range(P, N):
+        l_ref, cache = step_ref(params, ids[:, t:t + 1], cache, jnp.int32(t))
+        l_fl, cache2 = step_fl(params, ids[:, t:t + 1], cache2, jnp.int32(t))
+        np.testing.assert_allclose(np.asarray(l_fl), np.asarray(l_ref),
+                                   rtol=0, atol=3e-2)
