@@ -144,8 +144,10 @@ class LlamaParams:
 
 @struct.dataclass
 class KVCache:
-    """Preallocated paged-less KV cache: ``[L, B, max_seq, kv_heads, head_dim]``.
+    """Preallocated paged-less KV cache: ``[L, B, kv_heads, max_seq, head_dim]``.
 
+    Head-major layout: each head's ``[S, D]`` plane is contiguous, which
+    is what both the flash-decode kernel blocks and the einsum path want.
     Functional updates via ``dynamic_update_slice`` on a donated carry —
     XLA performs them in place, so decode does not rewrite the cache.
     """
@@ -158,12 +160,12 @@ class KVCache:
                kv_heads: Optional[int] = None,
                dtype: Any = jnp.bfloat16) -> "KVCache":
         kv = kv_heads if kv_heads is not None else cfg.num_key_value_heads
-        shape = (cfg.num_hidden_layers, batch, max_seq, kv, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, batch, kv, max_seq, cfg.head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 # --------------------------------------------------------------------------
@@ -359,7 +361,7 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
 def _layer_forward(
     x: jnp.ndarray,              # [B, T, hidden]
     layer: LlamaLayer,           # single layer (no L axis)
-    cache_k: jnp.ndarray,        # [B, S, KV, D] this layer's cache
+    cache_k: jnp.ndarray,        # [B, KV, S, D] this layer's cache
     cache_v: jnp.ndarray,
     pos: jnp.ndarray,            # [B] int32: per-slot write offsets
     cos: jnp.ndarray,            # [B, T, D]
@@ -398,28 +400,28 @@ def _layer_forward(
         k = apply_rope(k, cos, sin)
 
         upd = jax.vmap(
-            lambda c, kn, p: jax.lax.dynamic_update_slice(c, kn, (p, 0, 0)))
-        cache_k = upd(cache_k, k.astype(cache_k.dtype), pos)
-        cache_v = upd(cache_v, v.astype(cache_v.dtype), pos)
+            lambda c, kn, p: jax.lax.dynamic_update_slice(c, kn, (0, p, 0)))
+        cache_k = upd(cache_k, k.astype(cache_k.dtype).swapaxes(1, 2), pos)
+        cache_v = upd(cache_v, v.astype(cache_v.dtype).swapaxes(1, 2), pos)
 
-        S_att = attend_len or cache_k.shape[1]
+        S_att = attend_len or cache_k.shape[2]
         if cfg.use_flash_attention and T == 1:
             from ..ops.attention import flash_decode_attention
 
             attn = flash_decode_attention(
                 q[:, 0].reshape(B, n_kv, G, D),
-                cache_k[:, :S_att], cache_v[:, :S_att],
+                cache_k[:, :, :S_att], cache_v[:, :, :S_att],
                 pos + 1,
                 interpret=jax.default_backend() != "tpu",
             ).reshape(B * T, n_q * D)
         else:
             qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
-            kf = cache_k[:, :S_att].astype(jnp.float32)
-            vf = cache_v[:, :S_att].astype(jnp.float32)
-            scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) * (D ** -0.5)
+            kf = cache_k[:, :, :S_att].astype(jnp.float32)
+            vf = cache_v[:, :, :S_att].astype(jnp.float32)
+            scores = jnp.einsum("btkgd,bksd->btkgs", qg, kf) * (D ** -0.5)
             scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
             w = jax.nn.softmax(scores, axis=-1)
-            attn = jnp.einsum("btkgs,bskd->btkgd", w, vf)
+            attn = jnp.einsum("btkgs,bksd->btkgd", w, vf)
             attn = attn.reshape(B * T, n_q * D)
 
         o = _ql(attn, layer.o, qcfg, idx)

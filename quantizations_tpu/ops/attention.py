@@ -8,8 +8,9 @@ runs at HBM stream bandwidth and scales to long contexts.
 
 Shapes (decode: one query token per sequence):
   q        [B, KVH, G, D]   (G = query heads per kv head)
-  cache_k  [B, S, KVH, D]
-  cache_v  [B, S, KVH, D]
+  cache_k  [B, KVH, S, D]   (head-major: contiguous [S, D] per head —
+  cache_v  [B, KVH, S, D]    also the only layout whose blocks satisfy
+                             Mosaic's (8,128)-divisibility rule)
   lengths  [B]              attend to positions < lengths[b]
   out      [B, KVH, G, D]   fp32
 
@@ -39,8 +40,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     b = pl.program_id(0) // n_kv
 
     q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, D]
-    k = k_ref[0, :, 0, :].astype(jnp.float32)       # [S_BLK, D]
-    v = v_ref[0, :, 0, :].astype(jnp.float32)       # [S_BLK, D]
+    k = k_ref[0, 0].astype(jnp.float32)             # [S_BLK, D]
+    v = v_ref[0, 0].astype(jnp.float32)             # [S_BLK, D]
 
     @pl.when(sq == 0)
     def _init():
@@ -75,7 +76,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 @functools.partial(jax.jit, static_argnames=("s_blk", "interpret"))
 def flash_decode_attention(
     q: jnp.ndarray,        # [B, KVH, G, D]
-    cache_k: jnp.ndarray,  # [B, S, KVH, D]
+    cache_k: jnp.ndarray,  # [B, KVH, S, D]
     cache_v: jnp.ndarray,
     lengths: jnp.ndarray,  # [B] int32: attend to s < lengths[b]
     s_blk: int = 256,
@@ -84,7 +85,7 @@ def flash_decode_attention(
     """Online-softmax decode attention over the cache prefix. Returns
     fp32 ``[B, KVH, G, D]``."""
     B, KVH, G, D = q.shape
-    S = cache_k.shape[1]
+    S = cache_k.shape[2]
     while S % s_blk:
         s_blk //= 2
     scale = D ** -0.5
@@ -97,10 +98,10 @@ def flash_decode_attention(
         in_specs=[
             pl.BlockSpec((1, 1, G, D),
                          lambda i, sq, ln: (i // KVH, i % KVH, 0, 0)),
-            pl.BlockSpec((1, s_blk, 1, D),
-                         lambda i, sq, ln: (i // KVH, sq, i % KVH, 0)),
-            pl.BlockSpec((1, s_blk, 1, D),
-                         lambda i, sq, ln: (i // KVH, sq, i % KVH, 0)),
+            pl.BlockSpec((1, 1, s_blk, D),
+                         lambda i, sq, ln: (i // KVH, i % KVH, sq, 0)),
+            pl.BlockSpec((1, 1, s_blk, D),
+                         lambda i, sq, ln: (i // KVH, i % KVH, sq, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, G, D), lambda i, sq, ln: (i // KVH, i % KVH, 0, 0)),

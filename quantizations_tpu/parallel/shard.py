@@ -93,9 +93,9 @@ def llama_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
 
 
 def cache_pspec() -> KVCache:
-    # [L, B, S, KV, D] — shard kv heads.
-    return KVCache(k=P(None, None, None, AXIS, None),
-                   v=P(None, None, None, AXIS, None))
+    # [L, B, KV, S, D] — shard kv heads.
+    return KVCache(k=P(None, None, AXIS, None, None),
+                   v=P(None, None, AXIS, None, None))
 
 
 def shard_llama_params(params: LlamaParams, mesh: Mesh,

@@ -41,8 +41,9 @@ def test_prefill_shapes(params):
     assert logits.shape == (B, P, CFG.vocab_size)
     assert bool(jnp.all(jnp.isfinite(logits)))
     # cache written at positions [0, P): the P-1 row must be nonzero
-    assert float(jnp.abs(cache.k[0, 0, P - 1]).max()) > 0
-    assert float(jnp.abs(cache.k[0, 0, P]).max()) == 0
+    # (layout [L, B, KV, S, D])
+    assert float(jnp.abs(cache.k[0, 0, :, P - 1]).max()) > 0
+    assert float(jnp.abs(cache.k[0, 0, :, P]).max()) == 0
 
 
 def test_decode_matches_prefill(params):
