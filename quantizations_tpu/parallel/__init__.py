@@ -7,7 +7,7 @@ with XLA collectives (psum of row-parallel partials, all_gather of the
 vocab-sharded logits) riding ICI.
 """
 
-from . import multihost
+from . import multihost, pipeline
 from .mesh import make_mesh
 from .shard import (
     cache_pspec,
@@ -18,6 +18,7 @@ from .shard import (
 
 __all__ = [
     "multihost",
+    "pipeline",
     "make_mesh",
     "llama_param_pspecs",
     "cache_pspec",

@@ -1,0 +1,248 @@
+"""Pipeline parallelism (inference, GPipe-style microbatching).
+
+SURVEY.md §2.3: stage-sharding is the optional second axis (TP over ICI
+is primary; PP suits DCN across hosts, where each host holds 1/n of the
+layers). Design:
+
+- The stacked layer pytree ``[L, ...]`` is sharded on the LAYER axis
+  over the "pp" mesh axis — stage s owns layers ``[s*L/n, (s+1)*L/n)``
+  and the matching KV-cache slice. Embedding / final norm / lm_head are
+  replicated (they are small next to the transformer stack).
+- A forward processes ``n_pp`` microbatches through a ``2*n_pp - 1``
+  tick schedule: at tick t, stage s works on microbatch ``t - s`` and
+  hands its activation to stage s+1 via ``ppermute``. Every stage
+  executes every tick (SPMD), so inactive ticks compute on garbage —
+  harmless EXCEPT for KV-cache writes, which are redirected to a
+  reserved scratch position (``max_seq - 1``); the attention mask never
+  reads past ``pos``, so the trash is invisible. Effective max_seq under
+  PP is therefore ``max_seq - 1``.
+- Logits are produced on the LAST stage and made replicated with a
+  ``psum`` (other stages contribute zeros).
+
+Composable with the generate loop: ``make_pp_generate_fn`` mirrors
+``make_sharded_generate_fn`` but over a ("pp",) mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ServeConfig
+from ..models.llama import (
+    KVCache,
+    LlamaConfig,
+    LlamaLayer,
+    LlamaParams,
+    QLinear,
+    _layer_forward,
+    rms_norm,
+    rope_cos_sin,
+)
+from ..serve.generate import sample_logits
+
+__all__ = [
+    "PP_AXIS",
+    "pp_param_pspecs",
+    "pp_cache_pspec",
+    "shard_llama_params_pp",
+    "make_pp_generate_fn",
+]
+
+PP_AXIS = "pp"
+
+
+def _stage_qlinear() -> QLinear:
+    return QLinear(wp=P(PP_AXIS, None, None), scales=P(PP_AXIS, None, None))
+
+
+def pp_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
+    layer = LlamaLayer(
+        attn_norm=P(PP_AXIS, None),
+        q=_stage_qlinear(), k=_stage_qlinear(), v=_stage_qlinear(),
+        o=_stage_qlinear(),
+        mlp_norm=P(PP_AXIS, None),
+        gate=_stage_qlinear(), up=_stage_qlinear(), down=_stage_qlinear(),
+    )
+    lm_head = (QLinear(wp=P(None, None), scales=P(None, None))
+               if cfg.quant.quantize_lm_head else P(None, None))
+    return LlamaParams(embed=P(None, None), layers=layer,
+                       final_norm=P(None), lm_head=lm_head)
+
+
+def pp_cache_pspec() -> KVCache:
+    # [L, B, KV, S, D] — shard layers.
+    return KVCache(k=P(PP_AXIS, None, None, None, None),
+                   v=P(PP_AXIS, None, None, None, None))
+
+
+def shard_llama_params_pp(params: LlamaParams, mesh: Mesh,
+                          cfg: LlamaConfig) -> LlamaParams:
+    n = mesh.shape[PP_AXIS]
+    if cfg.num_hidden_layers % n:
+        raise ValueError(
+            f"layers {cfg.num_hidden_layers} % pp {n} != 0")
+    specs = pp_param_pspecs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
+                   attend_len):
+    """Run THIS stage's local layer slice (a python loop over the local
+    stacked leaves — per-stage layer count is static)."""
+    stacked = params.layers
+    L_local = stacked.attn_norm.shape[0]
+    for i in range(L_local):
+        layer = LlamaLayer(
+            attn_norm=stacked.attn_norm[i], mlp_norm=stacked.mlp_norm[i],
+            q=stacked.q, k=stacked.k, v=stacked.v, o=stacked.o,
+            gate=stacked.gate, up=stacked.up, down=stacked.down,
+        )
+        x, ck_i, cv_i = _layer_forward(
+            x, layer, ck[i], cv[i], pos, cos, sin, mask, cfg,
+            idx=jnp.int32(i), attend_len=attend_len)
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, ck_i[None], i, 0)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, cv_i[None], i, 0)
+    return x, ck, cv
+
+
+def _pp_forward(
+    params: LlamaParams,      # per-stage shards (layers/cache local)
+    token_ids: jnp.ndarray,   # [B, T] replicated; B % n_pp == 0
+    cache: KVCache,           # local [L/n, B, KV, S, D]
+    pos: jnp.ndarray,         # [B]
+    cfg: LlamaConfig,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Microbatched pipeline forward; returns last-token logits [B, vocab]
+    (replicated) and the updated local cache."""
+    n_pp = jax.lax.psum(1, PP_AXIS)
+    stage = jax.lax.axis_index(PP_AXIS)
+    B, T = token_ids.shape
+    mb = B // n_pp
+    S = cache.max_seq
+    h = cfg.hidden_size
+
+    pos = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)),
+                           (B,))
+    tokens_mb = token_ids.reshape(n_pp, mb, T)
+    pos_mb = pos.reshape(n_pp, mb)
+
+    ck, cv = cache.k, cache.v
+    buf = jnp.zeros((mb, T, h), jnp.bfloat16)
+    logits_acc = jnp.zeros((n_pp, mb, cfg.vocab_size), jnp.float32)
+
+    fwd_perm = [(i, (i + 1) % n_pp) for i in range(n_pp)]
+
+    for t in range(2 * n_pp - 1):
+        mb_idx = t - stage                     # traced (stage is traced)
+        active = (mb_idx >= 0) & (mb_idx < n_pp)
+        safe_idx = jnp.clip(mb_idx, 0, n_pp - 1)
+        toks_t = tokens_mb[safe_idx]           # [mb, T]
+        pos_t = jnp.where(active, pos_mb[safe_idx], 0)
+
+        # stage 0 ingests fresh tokens; other stages consume the buffer
+        x_embed = params.embed[toks_t].astype(jnp.bfloat16)
+        x = jnp.where(stage == 0, x_embed, buf)
+
+        positions = pos_t[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                                cfg.rope_scaling)
+        key_pos = jnp.arange(S, dtype=jnp.int32)
+        mask = key_pos[None, None, :] <= positions[:, :, None]
+
+        # inactive ticks write their (garbage) k/v to the reserved
+        # scratch position S-1-T+1 .. S-1, never read by the mask
+        pos_write = jnp.where(active, pos_t, S - T)
+
+        # local cache slots of this microbatch
+        ck_mb = jax.lax.dynamic_slice_in_dim(ck, safe_idx * mb, mb, 1)
+        cv_mb = jax.lax.dynamic_slice_in_dim(cv, safe_idx * mb, mb, 1)
+        x, ck_mb, cv_mb = _stage_forward(
+            params, x, ck_mb, cv_mb, pos_write, cos, sin, mask, cfg,
+            attend_len=None)
+        write_at = jnp.where(active, safe_idx * mb, 0)
+        ck = jax.lax.dynamic_update_slice_in_dim(
+            ck, jnp.where(active, ck_mb,
+                          jax.lax.dynamic_slice_in_dim(ck, write_at, mb, 1)),
+            write_at, 1)
+        cv = jax.lax.dynamic_update_slice_in_dim(
+            cv, jnp.where(active, cv_mb,
+                          jax.lax.dynamic_slice_in_dim(cv, write_at, mb, 1)),
+            write_at, 1)
+
+        # last stage: last-token logits for this microbatch
+        xl = rms_norm(x[:, -1:, :], params.final_norm, cfg.rms_norm_eps)
+        if isinstance(params.lm_head, QLinear):
+            from ..nn.linear import apply_4bit
+
+            lg = apply_4bit(
+                xl.astype(cfg.quant.compute_dtype).reshape(mb, h),
+                params.lm_head.wp, params.lm_head.scales,
+                cfg.quant.quant_type,
+                compute_dtype=cfg.quant.compute_dtype)
+        else:
+            lg = jnp.einsum("mh,vh->mv", xl.reshape(mb, h).astype(
+                jnp.bfloat16), params.lm_head,
+                preferred_element_type=jnp.float32)
+        is_last = stage == n_pp - 1
+        contrib = jnp.where(active & is_last, lg, 0.0)
+        logits_acc = jax.lax.dynamic_update_slice_in_dim(
+            logits_acc,
+            (jax.lax.dynamic_slice_in_dim(logits_acc, safe_idx, 1, 0)[0]
+             + contrib)[None],
+            safe_idx, 0)
+
+        # hand activations to the next stage
+        buf = jax.lax.ppermute(x.astype(jnp.bfloat16), PP_AXIS, fwd_perm)
+
+    # every stage contributed zeros except the last: replicate via psum
+    logits = jax.lax.psum(logits_acc, PP_AXIS).reshape(B, cfg.vocab_size)
+    return logits, KVCache(k=ck, v=cv)
+
+
+def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
+                        mesh: Mesh) -> Callable:
+    """Pipeline-parallel generate: ``(params, prompt_ids, cache, key) ->
+    (tokens, cache)``. ``B % n_pp == 0``; effective max_seq is
+    ``serve.max_seq_len - 1`` (one reserved scratch slot)."""
+    n_pp = mesh.shape[PP_AXIS]
+
+    def body(params, prompt_ids, cache, key):
+        B, Ptok = prompt_ids.shape
+        logits, cache = _pp_forward(params, prompt_ids, cache,
+                                    jnp.zeros((B,), jnp.int32), cfg)
+        key, sub = jax.random.split(key)
+        tok = sample_logits(logits, sub, serve.temperature, serve.top_k)
+
+        def step(carry, _):
+            tok, cache, p, key = carry
+            logits, cache = _pp_forward(
+                params, tok[:, None], cache,
+                jnp.full((B,), p, jnp.int32), cfg)
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(logits, sub, serve.temperature,
+                                serve.top_k)
+            return (nxt, cache, p + 1, key), nxt
+
+        (_, cache, _, _), toks = jax.lax.scan(
+            step, (tok, cache, jnp.int32(Ptok), key), None,
+            length=serve.max_new_tokens - 1)
+        tokens = jnp.concatenate(
+            [tok[:, None], toks.T.astype(jnp.int32)], axis=1)
+        return tokens, cache
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pp_param_pspecs(cfg), P(None, None), pp_cache_pspec(),
+                  P(None)),
+        out_specs=(P(None, None), pp_cache_pspec()),
+        check_vma=False,
+    )
+    donate = (2,) if serve.donate_cache else ()
+    return jax.jit(mapped, donate_argnums=donate)

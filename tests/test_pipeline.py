@@ -1,0 +1,56 @@
+"""Pipeline-parallel generate (simulated mesh) vs single-device
+reference — stage-sharded layers + microbatched ticks must be
+token-identical."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizations_tpu.config import ServeConfig
+from quantizations_tpu.models.llama import (
+    KVCache,
+    TINY_LLAMA,
+    init_llama_params,
+)
+from quantizations_tpu.parallel.pipeline import (
+    make_pp_generate_fn,
+    pp_cache_pspec,
+    shard_llama_params_pp,
+)
+from quantizations_tpu.serve.generate import make_generate_fn
+
+CFG = TINY_LLAMA
+MAX_SEQ = 32
+
+
+@pytest.mark.parametrize("pp", [2, 4])
+def test_pp_generate_matches_single_device(pp):
+    if len(jax.devices()) < pp:
+        pytest.skip(f"needs {pp} devices")
+    import dataclasses
+
+    from jax.sharding import Mesh, NamedSharding
+
+    global CFG
+    CFG = dataclasses.replace(TINY_LLAMA, num_hidden_layers=pp)
+    params = init_llama_params(CFG, seed=0)
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=5,
+                        temperature=0.0, donate_cache=False)
+    B = pp * 2
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, 4)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    ref_gen = make_generate_fn(CFG, serve)
+    ref_toks, _ = ref_gen(params, ids, KVCache.create(CFG, B, MAX_SEQ), key)
+
+    mesh = Mesh(np.asarray(jax.devices()[:pp]), ("pp",))
+    sharded = shard_llama_params_pp(params, mesh, CFG)
+    cache = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        KVCache.create(CFG, B, MAX_SEQ), pp_cache_pspec())
+    gen = make_pp_generate_fn(CFG, serve, mesh)
+    toks, _ = gen(sharded, ids, cache, key)
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
