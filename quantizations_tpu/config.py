@@ -9,7 +9,7 @@ lives in one validated dataclass (SURVEY.md §5, config subsystem).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 

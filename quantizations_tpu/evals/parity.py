@@ -13,11 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.llama import (
     KVCache,
@@ -27,7 +24,7 @@ from ..models.llama import (
     QLinear,
     prefill,
 )
-from ..nn.linear import dequantize_permuted, permute_cols
+from ..nn.linear import dequantize_permuted
 
 __all__ = ["dequantized_params", "logit_parity", "perplexity",
            "ParityReport"]

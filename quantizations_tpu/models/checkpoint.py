@@ -14,8 +14,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Optional
-
 import jax
 
 from ..config import QuantConfig

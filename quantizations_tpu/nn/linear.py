@@ -35,7 +35,7 @@ from ..quant.functional import (
     quantize_4bit,
 )
 from ..quant.state import QuantState
-from ..ops.gemv import gemv_4bit_pallas, pack_i32_rows, permute_activation
+from ..ops.gemv import gemv_4bit_pallas, pack_i32_rows
 from ..ops.lut import make_lut
 
 __all__ = ["Params4bit", "Linear4bit", "apply_4bit", "GEMV_MAX_TOKENS"]

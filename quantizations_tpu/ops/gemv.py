@@ -27,6 +27,24 @@ A nibble-plane unpack yields 8 arrays ``codes_j[m, c] = code(k=8c+j)``,
 so the kernel works against a permuted activation ``xp[j, c] = x[8c+j]``
 and the 64-element quant block of ``(j, c)`` is ``c // 8`` independent of
 ``j`` — one scale array serves all planes.
+
+Performance ceiling (measured, v5e): the kernel is VPU-bound at ~147
+GB/s vs a measured 591 GB/s streaming roof. Exact FP4 decode costs ~17
+VPU ops/code (extract 2, exponent/mantissa bit-assembly 8, subnormal-
+pair select 5, sign 2) and the VPU runs ~5-8 T ops/s. Alternatives
+measured or analyzed and rejected on THIS hardware generation:
+- vector gathers (``take16``): Mosaic ``dynamic_gather`` costs ~30
+  op-equivalents/element and is single-vreg row-local (290us vs 225us).
+- pltpu.repeat TILES (not element-repeat), so per-element scale
+  expansion has no cheap form; applying scales after a local one-hot
+  group-reduce matmul (exact at HIGHEST) is the efficient encoding.
+- bf16-pair decode (2 values per int32 op stream via per-half bit
+  arithmetic, ~12 ops/code) dies on consumption: pltpu.bitcast
+  int32->bf16 interleaves halves into row PAIRS, sublane strides don't
+  lower, and every scale/parity recovery path re-inflates MXU or gather
+  cost past the VPU savings.
+A per-lane hardware table gather (as on GPUs' shared memory) would cut
+decode to ~4 ops/code; revisit on hardware with faster gathers.
 """
 
 from __future__ import annotations

@@ -19,7 +19,7 @@ Typical bring-up on a pod slice:
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -25,8 +25,7 @@ Composable with the generate loop: ``make_pp_generate_fn`` mirrors
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import json
-import time
 from typing import Iterator, Optional
 
 import jax
