@@ -118,6 +118,13 @@ def main() -> None:
         mem = {"peak_hbm_gb": round(
             stats.get("peak_bytes_in_use", 0) / 2**30, 3)}
 
+    # achieved HBM bandwidth: every decode step streams all weights once
+    wbytes = sum(x.size * x.dtype.itemsize
+                 for x in jax.tree.leaves(params))
+    mem["weight_gb"] = round(wbytes / 2**30, 3)
+    mem["achieved_hbm_gbps"] = round(
+        wbytes * args.new_tokens / med / 1e9, 1)
+
     line = {
         "metric": f"decode_tps_llama3_{args.preset}_{args.quant_type}_b1",
         "value": round(tps, 3),
