@@ -36,6 +36,11 @@ class QuantConfig:
     quantize_lm_head: bool = True      # bnb leaves lm_head dense; 4-bit it
                                        # (decode is HBM-bound; the dense
                                        # head would be ~20% of bytes/token)
+    # dtype of the RESOLVED per-block scales held in HBM. fp32 is
+    # bit-faithful to bnb's decoded statistics; bfloat16 halves the
+    # scale footprint (scales are 10% of weight bytes) at ~0.2% scale
+    # rounding error — a footprint knob, off by default.
+    scales_dtype: Any = jnp.float32
 
     def __post_init__(self):
         if self.quant_type not in ("fp4", "nf4"):

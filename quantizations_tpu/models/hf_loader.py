@@ -141,10 +141,11 @@ def load_hf_llama(
         return jax.device_put(x, spec_path)
 
     def qlin(name: str, spec=None) -> QLinear:
-        W = read(name).astype(jnp.float32)
+        W = read(name)
         ql = quantize_linear(
             W, blocksize=q.blocksize, quant_type=q.quant_type,
             compress_statistics=q.compress_statistics,
+            scales_dtype=q.scales_dtype,
         )
         if spec is not None:
             ql = QLinear(wp=jax.device_put(ql.wp, spec.wp),
@@ -197,6 +198,7 @@ def load_hf_llama(
         lm_head = quantize_linear(
             head_w, blocksize=q.blocksize, quant_type=q.quant_type,
             compress_statistics=q.compress_statistics,
+            scales_dtype=q.scales_dtype,
         )
         if specs is not None:
             lm_head = QLinear(

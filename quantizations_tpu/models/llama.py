@@ -172,13 +172,16 @@ class KVCache:
 # --------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("blocksize", "quant_type", "compress_statistics")
+    jax.jit,
+    static_argnames=("blocksize", "quant_type", "compress_statistics",
+                     "scales_dtype"),
 )
 def quantize_linear(
     W: jnp.ndarray,
     blocksize: int = 64,
     quant_type: str = "fp4",
     compress_statistics: bool = True,
+    scales_dtype=jnp.float32,
 ) -> QLinear:
     """Quantize a ``[out, in]`` weight into the runtime :class:`QLinear`
     form (packed words + resolved scales). The full bnb ``QuantState`` is
@@ -217,7 +220,7 @@ def quantize_linear(
         scales = dequantize_absmax(state).reshape(out_f, in_f // blocksize)
     if blocksize != 64:
         scales = jnp.repeat(scales, blocksize // 64, axis=1)
-    return QLinear(wp=wp, scales=scales)
+    return QLinear(wp=wp, scales=scales.astype(scales_dtype))
 
 
 def init_llama_params(
@@ -241,6 +244,7 @@ def init_llama_params(
         return quantize_linear(
             W, blocksize=q.blocksize, quant_type=q.quant_type,
             compress_statistics=q.compress_statistics,
+            scales_dtype=q.scales_dtype,
         )
 
     def make_layer(i: int) -> LlamaLayer:

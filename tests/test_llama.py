@@ -117,3 +117,25 @@ def test_flash_attention_decode_matches_einsum(params):
         l_fl, cache2 = step_fl(params, ids[:, t:t + 1], cache2, jnp.int32(t))
         np.testing.assert_allclose(np.asarray(l_fl), np.asarray(l_ref),
                                    rtol=0, atol=3e-2)
+
+
+def test_bf16_scales_footprint_option():
+    """scales_dtype=bfloat16 halves scale bytes; generation stays close
+    to the fp32-scales model."""
+    import dataclasses
+
+    from quantizations_tpu.config import QuantConfig
+
+    cfg_b = dataclasses.replace(
+        CFG, quant=QuantConfig(scales_dtype=jnp.bfloat16))
+    p32 = init_llama_params(CFG, seed=0)
+    p16 = init_llama_params(cfg_b, seed=0)
+    assert p16.layers.q.scales.dtype == jnp.bfloat16
+    ids = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    l32, _ = jax.jit(functools.partial(prefill, cfg=CFG))(
+        p32, ids, KVCache.create(CFG, 1, MAX_SEQ))
+    l16, _ = jax.jit(functools.partial(prefill, cfg=cfg_b))(
+        p16, ids, KVCache.create(CFG, 1, MAX_SEQ))
+    # bf16 scale rounding: small logit drift, same scale of outputs
+    np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
+                               rtol=0, atol=0.3)
