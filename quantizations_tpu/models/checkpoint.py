@@ -28,6 +28,8 @@ def _cfg_to_json(cfg: LlamaConfig) -> str:
     d = dataclasses.asdict(cfg)
     d["quant"]["compute_dtype"] = str(
         jax.numpy.dtype(cfg.quant.compute_dtype).name)
+    d["quant"]["scales_dtype"] = str(
+        jax.numpy.dtype(cfg.quant.scales_dtype).name)
     return json.dumps(d, indent=1)
 
 
@@ -35,6 +37,7 @@ def _cfg_from_json(s: str) -> LlamaConfig:
     d = json.loads(s)
     q = d.pop("quant")
     q["compute_dtype"] = jax.numpy.dtype(q["compute_dtype"])
+    q["scales_dtype"] = jax.numpy.dtype(q.get("scales_dtype", "float32"))
     rs = d.get("rope_scaling")
     if rs is not None:
         d["rope_scaling"] = tuple(rs)

@@ -154,10 +154,11 @@ def quantize_4bit_pallas(
     ``quant.quantize_4bit`` bit-for-bit (tested)."""
     M, K = W.shape
     assert K % max(blocksize, 8) == 0
-    # VMEM budget: double-buffered input tile + ~4 live fp32 work arrays
-    # of width K/8 (wmax, inv_rep, codes, word)
-    per_row = K * W.dtype.itemsize * 2 + (K // 8) * 4 * 4
-    while tile_m > 8 and tile_m * per_row > 10 * 2**20:
+    # VMEM budget: double-buffered input tile + all 8 decoded fp32
+    # planes (Mosaic schedules them eagerly) + K/8-wide work arrays;
+    # NF4's 15-compare ladder keeps extra temporaries live.
+    per_row = K * W.dtype.itemsize * 2 + K * 4 + (K // 8) * 4 * 6
+    while tile_m > 8 and tile_m * per_row > 5 * 2**20:
         tile_m //= 2
     while M % tile_m:
         tile_m //= 2
