@@ -48,6 +48,12 @@ __all__ = ["Params4bit", "Linear4bit", "apply_4bit", "GEMV_MAX_TOKENS"]
 # decode work (~8 rows on v5e).
 GEMV_MAX_TOKENS = 8
 
+# Above the GEMV band, the fused dequant+matmul Pallas kernel
+# (ops/qmatmul.py) wins until the XLA dequant-to-HBM + big-MXU-dot path
+# amortizes its weight materialization (measured crossover ~64 rows on
+# v5e: T=16 fused 251us vs XLA 349us; T=128 fused 426us vs XLA 348us).
+QMATMUL_MAX_TOKENS = 64
+
 _SHIFTS = tuple(8 * (j // 2) + (4 - 4 * (j % 2)) for j in range(8))
 
 
@@ -107,6 +113,12 @@ def apply_4bit(
     on_tpu = use_pallas and jax.default_backend() == "tpu"
     if tokens <= GEMV_MAX_TOKENS and on_tpu:
         return gemv_4bit_pallas(
+            wp, scales, x2.astype(compute_dtype), quant_type=quant_type,
+        )
+    if tokens <= QMATMUL_MAX_TOKENS and tokens % 8 == 0 and on_tpu:
+        from ..ops.qmatmul import matmul_4bit_pallas
+
+        return matmul_4bit_pallas(
             wp, scales, x2.astype(compute_dtype), quant_type=quant_type,
         )
     W = dequantize_permuted(wp, scales, quant_type, dtype=compute_dtype)

@@ -1,0 +1,146 @@
+"""Fused dequant + matmul Pallas kernel — prefill / large-batch path.
+
+TPU-native realization of what the reference's dead WMMA kernels
+attempted (reference kernels.cu:852-1059, never exported): a tensor-core
+(MXU) matmul over 4-bit weights dequantized in-kernel. The XLA fallback
+(nn/linear.apply_4bit else-branch) materializes the dequantized bf16
+weight through HBM (~234 MB extra traffic per 8B layer per prefill);
+this kernel decodes each weight tile in VMEM and feeds the MXU directly.
+
+Scale handling differs from the GEMV kernel: with T token rows the MXU
+work amortizes the decode, so scales are expanded per-word with the
+128-lane-chunked gather (~30 op-equivalents per gathered element = ~4
+extra VPU ops per weight — irrelevant next to T MXU rows) and folded
+into the bf16 weight tile before the dot.
+
+Grid: (T tiles, M tiles, K chunks) with the output block revisited and
+accumulated across K (same pattern as ops/gemv.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gemv import _SHIFTS, _lut_setup, _pick_tiles, _take16_chunked
+
+__all__ = ["matmul_4bit_pallas"]
+
+
+def _kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
+            out_factor):
+    wp = wp_ref[:]                      # [TM, kc] int32
+    s = s_ref[:]                        # [TM, NB_total] fp32
+    tm, kc = wp.shape
+    nbc = kc // 8
+    k_id = pl.program_id(2)
+
+    # per-word scales for THIS chunk: select the chunk's block columns
+    # with a dynamic one-hot (exact), then expand 8x along lanes with the
+    # chunked gather.
+    nb_total = s.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, nbc), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb_total, nbc), 1)
+    Sel = (row == col + k_id * nbc).astype(jnp.float32)
+    s_c = jnp.dot(s, Sel, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)   # [TM, nbc]
+    # per-word expansion via an exact one-hot matmul (a gather-based
+    # expansion after the Sel matmul SIGABRTs the Mosaic compiler)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nbc, kc), 0)
+    word = jax.lax.broadcasted_iota(jnp.int32, (nbc, kc), 1)
+    R = (word // 8 == lane).astype(jnp.float32)
+    srep = jnp.dot(s_c, R, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [TM, kc]
+    if out_factor != 1.0:
+        srep = srep * jnp.float32(out_factor)
+
+    if lut == "take16":
+        tbl16 = jnp.broadcast_to(tbl_ref[0, 0:1, :128], (tm, 128))
+        fn = lambda c: _take16_chunked(tbl16, c)
+    else:
+        fn = lut_fn
+    # one MXU dot per nibble plane — avoids any in-kernel reshape/concat
+    tt = xp_ref.shape[0]
+    part = jnp.zeros((tt, tm), jnp.float32)
+    for j in range(8):
+        Wj = (fn((wp >> _SHIFTS[j]) & 15) * srep
+              ).astype(jnp.bfloat16)                 # [TM, kc]
+        xj = xp_ref[:, j, :].astype(jnp.bfloat16)    # [TT, kc]
+        part = part + jax.lax.dot_general(
+            xj, Wj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [TT, TM]
+
+    @pl.when(k_id == 0)
+    def _():
+        o_ref[:] = part
+
+    @pl.when(k_id != 0)
+    def _():
+        o_ref[:] = o_ref[:] + part
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("quant_type", "lut", "tile_m", "tile_t", "interpret"),
+)
+def matmul_4bit_pallas(
+    wp: jnp.ndarray,       # [M, K/8] int32
+    scales: jnp.ndarray,   # [M, K/64] float
+    x: jnp.ndarray,        # [T, K] activations
+    quant_type: str = "fp4",
+    lut: Optional[str] = None,
+    tile_m: Optional[int] = None,
+    tile_t: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``x @ dequant(W).T -> [T, M]`` fp32, weights decoded in VMEM.
+    bf16 MXU operands (dequantized values and bf16 activations are
+    exactly representable; products accumulate in fp32)."""
+    M, K8 = wp.shape
+    K = K8 * 8
+    T = x.shape[0]
+    assert x.shape[1] == K
+    while T % tile_t:
+        tile_t //= 2
+    tile_m, kc = _pick_tiles(M, K8, 2, tile_m)
+    lut_s, lut_fn, tbl, out_factor = _lut_setup(quant_type, lut, K8)
+
+    # plane-major activation: xp[t, j, c] = x[t, 8c + j]
+    xp = x.reshape(T, K8, 8).swapaxes(1, 2)
+
+    kernel = functools.partial(
+        _kernel, lut=lut_s, lut_fn=lut_fn, out_factor=out_factor)
+    out = pl.pallas_call(
+        kernel,
+        grid=(T // tile_t, M // tile_m, K8 // kc),
+        in_specs=[
+            pl.BlockSpec((tile_m, kc), lambda t, i, kq: (i, kq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, 8, kc), lambda t, i, kq: (t, 0, kq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, K8 // 8), lambda t, i, kq: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbl.shape[1], 256),
+                         lambda t, i, kq: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_t, tile_m),
+                               lambda t, i, kq: (t, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * M * K,
+            bytes_accessed=M * K8 * 4 + T * K * 4 + T * M * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wp, xp, scales, tbl)
+    return out
