@@ -345,12 +345,19 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
     ``idx`` straight out of the stacked HBM buffer — slicing the stack
     with XLA would copy every weight byte once per call (SURVEY.md §7
     hard part 3: decode is HBM-bound, traffic is the budget)."""
-    from ..nn.linear import GEMV_MAX_TOKENS
+    from ..nn.linear import GEMV_MAX_TOKENS, QMATMUL_MAX_TOKENS
 
     if lin.wp.ndim == 3:
         tokens = x2.shape[0]
-        if (tokens <= GEMV_MAX_TOKENS
-                and jax.default_backend() == "tpu"):
+        on_tpu = jax.default_backend() == "tpu"
+        qmm_ok = tokens in (1, 2, 4) or tokens % 8 == 0
+        if tokens <= QMATMUL_MAX_TOKENS and qmm_ok and on_tpu:
+            from ..ops.qmatmul import matmul_4bit_pallas_stacked
+
+            return matmul_4bit_pallas_stacked(
+                lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
+                quant_type=qcfg.quant_type)
+        if tokens <= GEMV_MAX_TOKENS and on_tpu:
             return gemv_4bit_pallas_stacked(
                 lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
                 quant_type=qcfg.quant_type)

@@ -111,14 +111,20 @@ def apply_4bit(
     """
     tokens = x2.shape[0]
     on_tpu = use_pallas and jax.default_backend() == "tpu"
-    if tokens <= GEMV_MAX_TOKENS and on_tpu:
-        return gemv_4bit_pallas(
-            wp, scales, x2.astype(compute_dtype), quant_type=quant_type,
-        )
-    if tokens <= QMATMUL_MAX_TOKENS and tokens % 8 == 0 and on_tpu:
+    # the fused dequant+matmul kernel wins at EVERY small batch size on
+    # v5e (B=1: 215us vs the VPU-fma GEMV's 235us at [14336,4096]; B=8:
+    # 231 vs 633 — the MXU absorbs the per-row multiply-accumulate); the
+    # GEMV remains for row counts its tiling can't express and as the
+    # bit-faithful fp32 reference path.
+    qmm_ok = tokens in (1, 2, 4) or tokens % 8 == 0
+    if tokens <= QMATMUL_MAX_TOKENS and qmm_ok and on_tpu:
         from ..ops.qmatmul import matmul_4bit_pallas
 
         return matmul_4bit_pallas(
+            wp, scales, x2.astype(compute_dtype), quant_type=quant_type,
+        )
+    if tokens <= GEMV_MAX_TOKENS and on_tpu:
+        return gemv_4bit_pallas(
             wp, scales, x2.astype(compute_dtype), quant_type=quant_type,
         )
     W = dequantize_permuted(wp, scales, quant_type, dtype=compute_dtype)

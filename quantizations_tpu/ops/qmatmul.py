@@ -144,3 +144,68 @@ def matmul_4bit_pallas(
         interpret=interpret,
     )(wp, xp, scales, tbl)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("quant_type", "lut", "tile_m", "tile_t", "interpret"),
+)
+def matmul_4bit_pallas_stacked(
+    wp: jnp.ndarray,         # [L, M, K/8] int32 stacked
+    scales: jnp.ndarray,     # [L, M, K/64] float
+    x: jnp.ndarray,          # [T, K]
+    layer_idx: jnp.ndarray,  # scalar int32
+    quant_type: str = "fp4",
+    lut: Optional[str] = None,
+    tile_m: Optional[int] = None,
+    tile_t: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Layer-indexed fused dequant+matmul over stacked weights: the
+    scalar-prefetch index map reads layer ``i`` directly from the
+    stacked HBM buffer (no per-step weight copy inside a lax.scan —
+    same mechanism as ops/gemv.gemv_4bit_pallas_stacked)."""
+    L, M, K8 = wp.shape
+    K = K8 * 8
+    T = x.shape[0]
+    assert x.shape[1] == K
+    while T % tile_t:
+        tile_t //= 2
+    tile_m, kc = _pick_tiles(M, K8, 2, tile_m)
+    lut_s, lut_fn, tbl, out_factor = _lut_setup(quant_type, lut, K8)
+    xp = x.reshape(T, K8, 8).swapaxes(1, 2)
+
+    def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, tbl_ref, o_ref):
+        _kernel(wp_ref[0], xp_ref, s_ref[0], tbl_ref, o_ref,
+                lut=lut_s, lut_fn=lut_fn, out_factor=out_factor)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // tile_t, M // tile_m, K8 // kc),
+        in_specs=[
+            pl.BlockSpec((1, tile_m, kc),
+                         lambda t, i, kq, idx: (idx[0], i, kq)),
+            pl.BlockSpec((tile_t, 8, kc),
+                         lambda t, i, kq, idx: (t, 0, kq)),
+            pl.BlockSpec((1, tile_m, K8 // 8),
+                         lambda t, i, kq, idx: (idx[0], i, 0)),
+            pl.BlockSpec((1, tbl.shape[1], 256),
+                         lambda t, i, kq, idx: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_t, tile_m),
+                               lambda t, i, kq, idx: (t, i)),
+    )
+    out = pl.pallas_call(
+        k_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * M * K,
+            bytes_accessed=M * K8 * 4 + T * K * 4 + T * M * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), wp, xp, scales, tbl)
+    return out
