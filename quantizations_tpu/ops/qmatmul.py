@@ -171,7 +171,13 @@ def matmul_4bit_pallas_stacked(
     assert x.shape[1] == K
     while T % tile_t:
         tile_t //= 2
-    tile_m, kc = _pick_tiles(M, K8, 2, tile_m)
+    _, kc = _pick_tiles(M, K8, 2, None)
+    if tile_m is None:
+        tile_m = 512
+        while tile_m > 128 and (M % tile_m or tile_m * kc * 28 > 8 * 2**20):
+            tile_m //= 2
+    while M % tile_m:
+        tile_m //= 2
     lut_s, lut_fn, tbl, out_factor = _lut_setup(quant_type, lut, K8)
     xp = x.reshape(T, K8, 8).swapaxes(1, 2)
 
