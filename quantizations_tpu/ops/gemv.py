@@ -39,10 +39,12 @@ measured or analyzed and rejected on THIS hardware generation:
   expansion has no cheap form; applying scales after a local one-hot
   group-reduce matmul (exact at HIGHEST) is the efficient encoding.
 - bf16-pair decode (2 values per int32 op stream via per-half bit
-  arithmetic, ~12 ops/code) dies on consumption: pltpu.bitcast
-  int32->bf16 interleaves halves into row PAIRS, sublane strides don't
-  lower, and every scale/parity recovery path re-inflates MXU or gather
-  cost past the VPU savings.
+  arithmetic, ~12 ops/code; the bit construction verified exact for all
+  256 byte values) dies on consumption: pltpu.bitcast int32->bf16
+  produces a clean row-pair interleave only at single-vreg shapes — at
+  production tile sizes the mapping is a scattered per-vreg permutation
+  (measured), sublane strides don't lower, and every recovery path
+  re-inflates MXU or gather cost past the VPU savings.
 A per-lane hardware table gather (as on GPUs' shared memory) would cut
 decode to ~4 ops/code; revisit on hardware with faster gathers.
 """
