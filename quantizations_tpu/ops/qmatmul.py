@@ -41,24 +41,22 @@ def _kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
     nbc = kc // 8
     k_id = pl.program_id(2)
 
-    # per-word scales for THIS chunk: select the chunk's block columns
-    # with a dynamic one-hot (exact), then expand 8x along lanes with the
-    # chunked gather.
+    # per-word scales for THIS chunk in ONE one-hot matmul:
+    # Rfull[b, c] = 1 iff full-row block b covers chunk word c. A single
+    # bf16 MXU pass: the one-hot is exact in bf16 and the scale rounding
+    # (<=2^-9 rel) is the same class as the bf16 weight rounding this
+    # MXU path already carries. (A gather-based expansion SIGABRTs the
+    # Mosaic compiler; HIGHEST-precision expansion costs 3 passes and
+    # ~25% of kernel time.)
     nb_total = s.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, nbc), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (nb_total, nbc), 1)
-    Sel = (row == col + k_id * nbc).astype(jnp.float32)
-    s_c = jnp.dot(s, Sel, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)   # [TM, nbc]
-    # per-word expansion via an exact one-hot matmul (a gather-based
-    # expansion after the Sel matmul SIGABRTs the Mosaic compiler)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (nbc, kc), 0)
-    word = jax.lax.broadcasted_iota(jnp.int32, (nbc, kc), 1)
-    R = (word // 8 == lane).astype(jnp.float32)
-    srep = jnp.dot(s_c, R, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # [TM, kc]
+    blk = jax.lax.broadcasted_iota(jnp.int32, (nb_total, kc), 0)
+    word = jax.lax.broadcasted_iota(jnp.int32, (nb_total, kc), 1)
+    Rfull = (word // 8 + k_id * nbc == blk).astype(jnp.bfloat16)
+    sf = s.astype(jnp.bfloat16)
     if out_factor != 1.0:
-        srep = srep * jnp.float32(out_factor)
+        sf = sf * jnp.bfloat16(out_factor)
+    srep = jnp.dot(sf, Rfull,
+                   preferred_element_type=jnp.float32)   # [TM, kc]
 
     if lut == "take16":
         tbl16 = jnp.broadcast_to(tbl_ref[0, 0:1, :128], (tm, 128))

@@ -50,4 +50,5 @@ def test_matmul_kernel_double_quant_scales(rng):
     Wd = np.asarray(dequantize_permuted(p.wp, p.scales, "fp4",
                                         dtype=jnp.float32))
     ref = np.asarray(permute_cols(jnp.asarray(x))) @ Wd.T
-    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    # kernel rounds both weights AND scales to bf16 (MXU path)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=4e-2)
