@@ -44,6 +44,7 @@ class Request:
     prompt_ids: List[int]
     max_new_tokens: int
     eos_id: Optional[int] = None
+    temperature: Optional[float] = None   # None = engine default
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -81,6 +82,8 @@ class Engine:
         self.max_seq = serve.max_seq_len
         self.mesh = mesh
 
+        self._temp = temperature
+        self.on_token = None   # optional callable(Request, token_id)
         self.pos = np.zeros(slots, np.int32)         # next write offset
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: Deque[Request] = deque()
@@ -103,12 +106,22 @@ class Engine:
         # them into jaxpr constants). One compiled variant per attention
         # bucket: the step only attends the valid cache prefix (at 8k
         # max_seq a full-cache read would be ~1 GB/token).
+        # Sampling is per-slot: a temperature VECTOR selects greedy
+        # (temp 0) or categorical per request; top_k stays engine-global
+        # (it must be static under jit).
         def _make_step(attend_len):
-            def _step(p, tokens, cache, pos_vec, key):
+            def _step(p, tokens, cache, pos_vec, temps, key):
                 logits, cache = decode_step(
                     p, tokens[:, None], cache, pos_vec, cfg,
                     axis_name=axis, attend_len=attend_len)
-                nxt = sample_logits(logits, key, temperature, top_k)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                lt = logits / jnp.maximum(temps, 1e-6)[:, None]
+                if top_k > 0:
+                    kth = jnp.sort(lt, axis=-1)[:, -top_k][:, None]
+                    lt = jnp.where(lt < kth, -jnp.inf, lt)
+                sampled = jax.random.categorical(
+                    key, lt, axis=-1).astype(jnp.int32)
+                nxt = jnp.where(temps == 0.0, greedy, sampled)
                 return nxt, cache
 
             return _step
@@ -152,7 +165,8 @@ class Engine:
             def build_step(attend_len):
                 return jax.jit(jax.shard_map(
                     _make_step(attend_len), mesh=mesh,
-                    in_specs=(pspecs, P(None), cspec, P(None), P(None)),
+                    in_specs=(pspecs, P(None), cspec, P(None), P(None),
+                              P(None)),
                     out_specs=(P(None), cspec),
                     check_vma=False,
                 ), donate_argnums=(2,))
@@ -198,11 +212,13 @@ class Engine:
     # -- public API --------------------------------------------------------
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               temperature: Optional[float] = None) -> int:
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
-            max_new_tokens=max_new_tokens, eos_id=eos_id))
+            max_new_tokens=max_new_tokens, eos_id=eos_id,
+            temperature=temperature))
         return self._uid
 
     def has_work(self) -> bool:
@@ -218,13 +234,20 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         tokens = jnp.asarray(self._cur_tok)
         pos_vec = jnp.asarray(self.pos)
+        temps = np.asarray(
+            [0.0 if r is None else (self._temp if r.temperature is None
+                                    else r.temperature)
+             for r in self.active], np.float32)
         step_fn = self._step_for(self._attend_bucket())
-        nxt, self.cache = step_fn(tokens, self.cache, pos_vec, sub)
+        nxt, self.cache = step_fn(tokens, self.cache, pos_vec,
+                                  jnp.asarray(temps), sub)
         nxt = np.asarray(nxt)
         self._steps += 1
         for i in act:
             r = self.active[i]
             r.output_ids.append(int(self._cur_tok[i]))
+            if self.on_token is not None:
+                self.on_token(r, r.output_ids[-1])
             self.pos[i] += 1
             self._cur_tok[i] = nxt[i]
             full = len(r.output_ids) >= r.max_new_tokens

@@ -69,3 +69,20 @@ def test_eos_stops_early(params):
     uid = eng.submit(prompt, max_new_tokens=8, eos_id=eos)
     done = eng.run()
     assert done[uid].output_ids == ref[:4]
+
+
+def test_per_request_temperature_and_streaming(params):
+    serve = ServeConfig(max_seq_len=MAX_SEQ)
+    eng = Engine(params, CFG, serve, slots=2, prefill_buckets=(8,),
+                 temperature=0.0, seed=3)
+    streamed = []
+    eng.on_token = lambda req, tok: streamed.append((req.uid, tok))
+    u_greedy = eng.submit([3, 1, 4], max_new_tokens=5)       # default: greedy
+    u_hot = eng.submit([3, 1, 4], max_new_tokens=5, temperature=1.5)
+    done = eng.run()
+    ref = _reference_tokens(params, [3, 1, 4], 5)
+    assert done[u_greedy].output_ids == ref
+    assert all(0 <= t < CFG.vocab_size for t in done[u_hot].output_ids)
+    # streaming saw every token of both requests
+    assert sorted(t for u, t in streamed if u == u_greedy) == sorted(ref)
+    assert len([1 for u, _ in streamed if u == u_hot]) == 5
