@@ -36,6 +36,11 @@ class QuantConfig:
     quantize_lm_head: bool = True      # bnb leaves lm_head dense; 4-bit it
                                        # (decode is HBM-bound; the dense
                                        # head would be ~20% of bytes/token)
+    # 4-bit the embedding table too (bnb keeps it dense; the TPU gather
+    # from packed rows + per-row dequant is cheap). Off by default for
+    # strict bnb parity; with scales_dtype=bfloat16 this brings the
+    # total weight footprint to ~25% of bf16.
+    quantize_embedding: bool = False
     # dtype of the RESOLVED per-block scales held in HBM. fp32 is
     # bit-faithful to bnb's decoded statistics; bfloat16 halves the
     # scale footprint (scales are 10% of weight bytes) at ~0.2% scale

@@ -66,7 +66,9 @@ def dequantized_params(params: LlamaParams,
     )
     lm_head = (conv_ql(params.lm_head)
                if isinstance(params.lm_head, QLinear) else params.lm_head)
-    return LlamaParams(embed=params.embed, layers=layers,
+    embed = (conv_ql(params.embed).astype(jnp.bfloat16)
+             if isinstance(params.embed, QLinear) else params.embed)
+    return LlamaParams(embed=embed, layers=layers,
                        final_norm=params.final_norm, lm_head=lm_head)
 
 

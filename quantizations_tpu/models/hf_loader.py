@@ -189,9 +189,16 @@ def load_hf_llama(
     if specs is not None:
         layers = jax.tree.map(jax.device_put, layers, specs.layers)
 
-    embed = read("model.embed_tokens.weight").astype(jnp.bfloat16)
+    embed_w = read("model.embed_tokens.weight")
+    if q.quantize_embedding:
+        embed = quantize_linear(
+            embed_w, blocksize=q.blocksize, quant_type=q.quant_type,
+            compress_statistics=q.compress_statistics,
+            scales_dtype=q.scales_dtype)
+    else:
+        embed = embed_w.astype(jnp.bfloat16)
     if cfg.tie_word_embeddings or "lm_head.weight" not in read.names:
-        head_w = embed.astype(jnp.float32)
+        head_w = embed_w.astype(jnp.float32)
     else:
         head_w = read("lm_head.weight").astype(jnp.float32)
     if q.quantize_lm_head:
@@ -212,7 +219,7 @@ def load_hf_llama(
 
     final_norm = read("model.norm.weight").astype(jnp.bfloat16)
     if specs is not None:
-        embed = jax.device_put(embed, specs.embed)
+        embed = jax.tree.map(jax.device_put, embed, specs.embed)
         final_norm = jax.device_put(final_norm, specs.final_norm)
 
     params = LlamaParams(embed=embed, layers=layers,

@@ -135,7 +135,7 @@ class LlamaLayer:
 
 @struct.dataclass
 class LlamaParams:
-    embed: jnp.ndarray       # [vocab, hidden] bf16 (kept dense, like bnb)
+    embed: Any               # bf16 [vocab, hidden] (bnb-style) or QLinear
     layers: LlamaLayer       # stacked: every leaf has leading [L]
     final_norm: jnp.ndarray  # [hidden]
     lm_head: Any             # QLinear (quantize_lm_head) or bf16 [vocab, hidden]
@@ -278,7 +278,11 @@ def init_llama_params(
         layers = write_layer(layers, make_layer(i), jnp.int32(i))
 
     ke, kh = jax.random.split(jax.random.fold_in(key, 10**6))
-    embed = jax.random.normal(ke, (cfg.vocab_size, h), jnp.bfloat16) * scale
+    if q.quantize_embedding:
+        embed = qlin(ke, cfg.vocab_size, h)
+    else:
+        embed = jax.random.normal(
+            ke, (cfg.vocab_size, h), jnp.bfloat16) * scale
     if q.quantize_lm_head:
         lm_head = qlin(kh, cfg.vocab_size, h)
     else:
@@ -336,6 +340,27 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
     c = cos[:, :, None, :].astype(x.dtype)
     s = sin[:, :, None, :].astype(x.dtype)
     return x * c + rot * s
+
+
+def embed_lookup(embed: Any, token_ids: jnp.ndarray,
+                 quant_type: str = "fp4") -> jnp.ndarray:
+    """Embedding gather; for a quantized table, gather the packed rows
+    and scales and dequantize just those rows (B*T rows of work, plain
+    XLA — this runs outside any Pallas kernel)."""
+    if not isinstance(embed, QLinear):
+        return embed[token_ids].astype(jnp.bfloat16)
+    from ..ops.gemv import _SHIFTS
+    from ..quant.codebooks import get_4bit_code
+
+    code = jnp.asarray(get_4bit_code(quant_type))
+    g = embed.wp[token_ids]                          # [..., H/8] int32
+    s = embed.scales[token_ids].astype(jnp.float32)  # [..., H/64]
+    srep = jnp.repeat(s, 8, axis=-1)
+    planes = [jnp.take(code, (g >> sh) & 15, axis=0) * srep
+              for sh in _SHIFTS]                     # each [..., H/8]
+    # element 8c+j comes from plane j: stack minor then flatten
+    out = jnp.stack(planes, axis=-1)
+    return out.reshape(*g.shape[:-1], g.shape[-1] * 8).astype(jnp.bfloat16)
 
 
 def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
@@ -472,7 +497,8 @@ def _forward(
     over the stacked layers."""
     B, T = token_ids.shape
     S = cache.max_seq
-    x = params.embed[token_ids].astype(jnp.bfloat16)   # [B, T, hidden]
+    x = embed_lookup(params.embed, token_ids,
+                     cfg.quant.quant_type)             # [B, T, hidden]
 
     pos = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (B,))
     positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import ServeConfig
 from ..models.llama import (
     KVCache,
+    embed_lookup,
     LlamaConfig,
     LlamaLayer,
     LlamaParams,
@@ -69,7 +70,9 @@ def pp_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
     )
     lm_head = (QLinear(wp=P(None, None), scales=P(None, None))
                if cfg.quant.quantize_lm_head else P(None, None))
-    return LlamaParams(embed=P(None, None), layers=layer,
+    embed = (QLinear(wp=P(None, None), scales=P(None, None))
+             if cfg.quant.quantize_embedding else P(None, None))
+    return LlamaParams(embed=embed, layers=layer,
                        final_norm=P(None), lm_head=lm_head)
 
 
@@ -146,7 +149,7 @@ def _pp_forward(
         pos_t = jnp.where(active, pos_mb[safe_idx], 0)
 
         # stage 0 ingests fresh tokens; other stages consume the buffer
-        x_embed = params.embed[toks_t].astype(jnp.bfloat16)
+        x_embed = embed_lookup(params.embed, toks_t, cfg.quant.quant_type)
         x = jnp.where(stage == 0, x_embed, buf)
 
         positions = pos_t[:, None] + jnp.arange(T, dtype=jnp.int32)[None]

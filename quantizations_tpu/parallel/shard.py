@@ -85,8 +85,10 @@ def llama_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
     )
     lm_head = (_col(False) if cfg.quant.quantize_lm_head
                else P(AXIS, None))
+    embed = (QLinear(wp=P(None, None), scales=P(None, None))
+             if cfg.quant.quantize_embedding else P(None, None))
     return LlamaParams(
-        embed=P(None, None), layers=layer,
+        embed=embed, layers=layer,
         final_norm=P(None), lm_head=lm_head,
     )
 

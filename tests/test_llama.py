@@ -139,3 +139,30 @@ def test_bf16_scales_footprint_option():
     # bf16 scale rounding: small logit drift, same scale of outputs
     np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
                                rtol=0, atol=0.3)
+
+
+def test_quantized_embedding_and_footprint():
+    """quantize_embedding + bf16 scales: same generation quality class,
+    ~25% of bf16 weight bytes."""
+    import dataclasses
+
+    from quantizations_tpu.config import QuantConfig
+    from quantizations_tpu.utils.profiling import model_weight_bytes
+
+    cfg_q = dataclasses.replace(CFG, quant=QuantConfig(
+        quantize_embedding=True, scales_dtype=jnp.bfloat16))
+    p_ref = init_llama_params(CFG, seed=0)
+    p_q = init_llama_params(cfg_q, seed=0)
+    from quantizations_tpu.models.llama import QLinear
+
+    assert isinstance(p_q.embed, QLinear)
+    assert model_weight_bytes(p_q) < model_weight_bytes(p_ref)
+
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=5,
+                        temperature=0.0, donate_cache=False)
+    gen = make_generate_fn(cfg_q, serve)
+    ids = jnp.asarray([[3, 1, 4, 1]], jnp.int32)
+    toks, _ = gen(p_q, ids, KVCache.create(cfg_q, 1, MAX_SEQ),
+                  jax.random.PRNGKey(0))
+    assert toks.shape == (1, 5)
+    assert int(toks.max()) < CFG.vocab_size
