@@ -31,6 +31,9 @@ def main() -> None:
     p.add_argument("--prompt-len", type=int, default=16)
     p.add_argument("--max-seq", type=int, default=128)
     p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
+    p.add_argument("--lean", action="store_true",
+                   help="quantize the embedding + bf16 scales "
+                        "(~25%% of bf16 weight bytes)")
     args = p.parse_args()
 
     import jax
@@ -52,8 +55,11 @@ def main() -> None:
     import dataclasses
 
     base = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
+    qkw = {}
+    if args.lean:
+        qkw = dict(quantize_embedding=True, scales_dtype=jnp.bfloat16)
     cfg = dataclasses.replace(
-        base, quant=QuantConfig(quant_type=args.quant_type))
+        base, quant=QuantConfig(quant_type=args.quant_type, **qkw))
     serve = ServeConfig(
         max_seq_len=args.max_seq, max_new_tokens=args.new_tokens,
         temperature=0.0, donate_cache=True,
@@ -126,7 +132,8 @@ def main() -> None:
         wbytes * args.new_tokens / med / 1e9, 1)
 
     line = {
-        "metric": f"decode_tps_llama3_{args.preset}_{args.quant_type}_b1",
+        "metric": (f"decode_tps_llama3_{args.preset}_{args.quant_type}"
+                   + ("_lean" if args.lean else "") + "_b1"),
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / REFERENCE_QUANT_TPS, 4),
