@@ -126,14 +126,25 @@ def _take16_chunked(tbl128, codes):
 
 def _plane_fn(tm, tbl_ref, lut: str, lut_fn):
     """(wp, j) -> unscaled fp32 values ``[TM, K8]``
-    (``plane_j[m, c]`` = codebook value of element ``8c+j``)."""
-    if lut == "take16":
+    (``plane_j[m, c]`` = codebook value of element ``8c+j``).
+
+    ``mix<k>`` decodes planes ``j < k`` through the vector gather and the
+    rest through the arithmetic/select path — the two lowerings occupy
+    different issue resources, so interleaving them can beat either one
+    alone (raced in benchmarks/nf4_lut_probe.py)."""
+    gather = None
+    if lut == "take16" or lut.startswith("mix"):
         tbl16 = tbl_ref[0, 0:1, :128]                 # [1, 128]
         tbl128 = jnp.broadcast_to(tbl16, (tm, 128))
-        fn = lambda c: _take16_chunked(tbl128, c)
+        gather = lambda c: _take16_chunked(tbl128, c)
+    if lut == "take16":
+        fn_for = lambda j: gather
+    elif lut.startswith("mix"):
+        k = int(lut[3:])
+        fn_for = lambda j: gather if j < k else lut_fn
     else:
-        fn = lut_fn
-    return lambda wp, j: fn((wp >> _SHIFTS[j]) & 15)
+        fn_for = lambda j: lut_fn
+    return lambda wp, j: fn_for(j)((wp >> _SHIFTS[j]) & 15)
 
 
 def _gemv_kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
@@ -206,26 +217,39 @@ def _lut_setup(quant_type: str, lut: Optional[str], k8: int):
     if lut is None:
         lut = DEFAULT_LUT
     if lut == "fp4_bits" and quant_type != "fp4":
-        lut = "take16"
+        # no bit-arithmetic decode for arbitrary codebooks; gather+tree
+        # mix measured fastest for NF4 (benchmarks/nf4_lut_probe.py:
+        # mix4 247us vs take16 260us vs tree 277us at [14336,4096])
+        lut = "mix4"
     code = get_4bit_code(quant_type)
-    if lut == "take16":
-        # pad to 256 lanes so one table shape serves both strategies
-        t = np.zeros((1, 1, 256), np.float32)
-        t[0, 0, :16] = np.asarray(code, np.float32)
-        tbl = t
-    else:
-        tbl = np.zeros((1, 1, 256), np.float32)  # unused, tiny
     out_factor = 1.0
-    if lut == "fp4_bits":
+    lut_fn = None
+    tbl_vals = None
+    if lut == "fp4_bits" or (lut.startswith("mix") and quant_type == "fp4"):
+        # arithmetic planes decode RAW values (codebook x 12); the 1/12
+        # folds into the scales once per block. mix's gather table is
+        # scaled x12 to live in the same raw domain.
         from .lut import lut_fp4_bits_raw
 
         lut_fn = lut_fp4_bits_raw
         out_factor = 1.0 / 12.0
-    elif lut == "tree":
+        if lut.startswith("mix"):
+            tbl_vals = np.asarray(code, np.float32) * 12.0
+    elif lut == "tree" or (lut.startswith("mix") and quant_type != "fp4"):
         lut_fn = make_lut("tree", code)
-    else:
-        lut_fn = None
-    return lut, lut_fn, jnp.asarray(tbl), out_factor
+        if lut.startswith("mix"):
+            tbl_vals = np.asarray(code, np.float32)
+    if lut == "take16":
+        tbl_vals = np.asarray(code, np.float32)
+    if lut == "linear":
+        # PROBE ONLY (benchmarks): decode = code value itself (1 convert).
+        # Not a valid codebook — measures the kernel's non-decode floor.
+        lut_fn = lambda c: c.astype(jnp.float32)
+    # pad to 256 lanes so one table shape serves every strategy
+    t = np.zeros((1, 1, 256), np.float32)
+    if tbl_vals is not None:
+        t[0, 0, :16] = tbl_vals
+    return lut, lut_fn, jnp.asarray(t), out_factor
 
 
 def _pick_tiles(M: int, K8: int, batch: int,

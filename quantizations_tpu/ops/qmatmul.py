@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gemv import _SHIFTS, _lut_setup, _pick_tiles, _take16_chunked
+from .gemv import _lut_setup, _pick_tiles, _plane_fn
 
 __all__ = ["matmul_4bit_pallas"]
 
@@ -58,16 +58,12 @@ def _kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
     srep = jnp.dot(sf, Rfull,
                    preferred_element_type=jnp.float32)   # [TM, kc]
 
-    if lut == "take16":
-        tbl16 = jnp.broadcast_to(tbl_ref[0, 0:1, :128], (tm, 128))
-        fn = lambda c: _take16_chunked(tbl16, c)
-    else:
-        fn = lut_fn
+    plane = _plane_fn(tm, tbl_ref, lut, lut_fn)
     # one MXU dot per nibble plane — avoids any in-kernel reshape/concat
     tt = xp_ref.shape[0]
     part = jnp.zeros((tt, tm), jnp.float32)
     for j in range(8):
-        Wj = (fn((wp >> _SHIFTS[j]) & 15) * srep
+        Wj = (plane(wp, j) * srep
               ).astype(jnp.bfloat16)                 # [TM, kc]
         xj = xp_ref[:, j, :].astype(jnp.bfloat16)    # [TT, kc]
         part = part + jax.lax.dot_general(
