@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lut_tree", "lut_fp4_bits", "lut_take", "make_lut", "LUT_NAMES"]
+__all__ = ["lut_tree", "lut_fp4_bits", "lut_take", "fp4_pair_patterns",
+           "make_lut", "LUT_NAMES"]
 
 
 def lut_tree(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:
@@ -72,6 +73,43 @@ def lut_fp4_bits(codes: jnp.ndarray, table: Sequence[float] = ()) -> jnp.ndarray
     (``lut_fp4_bits_raw`` divided by 12; the product is exactly the
     fp32-rounded codebook — verified against the table in tests)."""
     return lut_fp4_bits_raw(codes) * jnp.float32(1.0 / 12.0)
+
+
+def fp4_pair_patterns(words: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """SWAR FP4 decode of TWO codes per int32 lane into the bf16 bit
+    patterns of the RAW values (codebook x 12), packed low/high half.
+
+    ``words`` holds codes for a ROW PAIR: bits ``[shift, shift+4)`` carry
+    the even row's code, bits ``[shift+16, shift+20)`` the odd row's
+    (see ``pack_pair_rows``). The int32 result bitcasts to two bf16
+    sublanes via Mosaic's clean row-pair interleave (int32 row i -> bf16
+    rows 2i/2i+1, measured exact in benchmarks/bitcast_probe.py).
+
+    Both 16-bit halves are assembled simultaneously with carry-safe
+    arithmetic (~18 ops per 2 codes vs ~13 ops per 1 code for
+    ``lut_fp4_bits_raw``):
+
+        e >= 1: pattern = (131<<7) + (m<<6) - (e<<6)   [affine in bits]
+        e == 0: pattern = m * 0x3D80                    [0 or 0.0625]
+
+    blended per half with an XOR mask (no cross-half borrows; the
+    mask is built via a bit-14 carry trick and a shift/sub expansion,
+    avoiding int32 multiplies).
+    """
+    pair = (words >> shift) & 0x000F000F
+    t1 = pair & 0x00010001                     # mantissa bit per half
+    t2 = pair & 0x00060006                     # exponent bits per half
+    sgn = pair & 0x00080008
+    affine = (0x41804180 + (t1 << 6)) - (t2 << 6)
+    e0pat = t1 * 0x3D80                        # bf16(0.0625) per half
+    # mask = 0xFFFF per half iff e > 0: adding 0x3FFE carries into bit
+    # 14 exactly when e != 0 (e in {0,2,4,6}; max 0x4004 < 0x8000 so
+    # halves never interact), then (sb<<2) - (sb>>14) expands the bit
+    # to a full 16-bit mask in both halves at once.
+    sb = (t2 + 0x3FFE3FFE) & 0x40004000
+    mask = (sb << 2) - (sb >> 14)
+    bits = e0pat ^ ((e0pat ^ affine) & mask)
+    return bits | (sgn << 12)
 
 
 def lut_take(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:

@@ -29,8 +29,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gemv import _lut_setup, _pick_tiles, _plane_fn
+from .lut import fp4_pair_patterns
 
-__all__ = ["matmul_4bit_pallas"]
+__all__ = ["matmul_4bit_pallas", "matmul_4bit_pallas_stacked",
+           "matmul_4bit_pair_pallas", "matmul_4bit_pair_pallas_stacked",
+           "pack_pair_rows", "planar_to_pair", "pair_to_planar",
+           "pair_permute_activation"]
 
 
 def _kernel(wp_ref, xp_ref, s_ref, tbl_ref, o_ref, *, lut, lut_fn,
@@ -208,4 +212,258 @@ def matmul_4bit_pallas_stacked(
         ),
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), wp, xp, scales, tbl)
+    return out
+
+
+
+
+# --------------------------------------------------------------------------
+# SWAR row-pair layout ("pair"): the fastest FP4 decode path
+# --------------------------------------------------------------------------
+#
+# Layout of ``wp2 [M/2, K/4]`` (same total bytes as planar): the word
+# axis is the concatenation of an EVEN-group half and an ODD-group half,
+#
+#   w <  K/8 : word (i, w) covers columns c = 8w + p      (p in 0..3)
+#   w >= K/8 : word (i, w) covers columns c = 8(w-K/8) + 4 + p
+#
+# with the even logical row's code at bits [4p, 4p+4) and the odd row's
+# at [16+4p, 16+4p+4). One ``(wp2 >> 4p) & 0x000F000F`` exposes a
+# (row 2i, row 2i+1) code pair per lane; ``fp4_pair_patterns`` assembles
+# both bf16 patterns SWAR-style, and Mosaic's int32->bf16 bitcast drops
+# them onto sublanes 2i/2i+1 in logical row order (measured exact in
+# benchmarks/bitcast_probe.py). The half-concat (rather than
+# interleaving even/odd words) keeps every conversion a full-lane
+# op — no size-2/4 minor axes, which TPU tiled layouts pad 32-64x.
+#
+# The layout is LOCAL to an array: a row-parallel (K-sharded) weight
+# must be converted per shard (convert after sharding, or keep planar).
+
+
+def nibble_swap(x: jnp.ndarray) -> jnp.ndarray:
+    """Swap the two nibbles of every byte of an int32 array."""
+    m = 0x0F0F0F0F
+    return ((x >> 4) & m) | ((x & m) << 4)
+
+
+def planar_to_pair(wp: jnp.ndarray) -> jnp.ndarray:
+    """Planar packed words ``[..., M, K/8]`` -> pair layout
+    ``[..., M/2, K/4]``. Pure full-lane bit ops + one lane concat (safe
+    on TPU tiled layouts; runs once at load/convert time)."""
+    nse = nibble_swap(wp[..., 0::2, :])   # even rows
+    nso = nibble_swap(wp[..., 1::2, :])   # odd rows
+    E = (nse & 0xFFFF) | ((nso & 0xFFFF) << 16)
+    O = ((nse >> 16) & 0xFFFF) | (nso & ~0xFFFF)
+    return jnp.concatenate([E, O], axis=-1)
+
+
+def pair_to_planar(wp2: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`planar_to_pair` (used when resharding a pair
+    array onto a K-split mesh axis)."""
+    k8 = wp2.shape[-1] // 2
+    E, O = wp2[..., :k8], wp2[..., k8:]
+    nse = (E & 0xFFFF) | ((O & 0xFFFF) << 16)
+    nso = ((E >> 16) & 0xFFFF) | (O & ~0xFFFF)
+    we = nibble_swap(nse)
+    wo = nibble_swap(nso)
+    inter = jnp.stack([we, wo], axis=-2)          # [..., M/2, 2, K/8]
+    return inter.reshape(*wp2.shape[:-2], 2 * wp2.shape[-2], k8)
+
+
+def pack_pair_rows(packed_u8: jnp.ndarray, rows: int,
+                   cols: int) -> jnp.ndarray:
+    """bnb flat packed bytes -> pair layout ``[rows/2, cols/4]``."""
+    from .gemv import pack_i32_rows
+
+    return planar_to_pair(pack_i32_rows(packed_u8, rows, cols))
+
+
+def pair_permute_activation(x: jnp.ndarray) -> jnp.ndarray:
+    """``[T, K] -> [T, 4, K/4]`` matching the pair layout's column map:
+    ``xp[t, p, w] = x[t, 8w+p]`` for ``w < K/8`` else
+    ``x[t, 8(w-K/8)+4+p]``."""
+    T, K = x.shape
+    xa = x.reshape(T, K // 8, 8).swapaxes(1, 2)    # [T, 8, K/8]
+    return jnp.concatenate([xa[:, :4, :], xa[:, 4:, :]], axis=2)
+
+
+def _pair_kernel(wp_ref, xp_ref, s_ref, o_ref, *, out_factor, kc4, k8):
+    wp = wp_ref[:] if len(wp_ref.shape) == 2 else wp_ref[0]  # [TM2, kc4]
+    s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]      # [TM, NB]
+    tm2 = wp.shape[0]
+    tm = 2 * tm2
+    k_id = pl.program_id(2)
+
+    # Scales per word in one one-hot bf16 MXU pass (exact for one-hot;
+    # the bf16 scale rounding is this path's numerics class). Word w's
+    # 64-element block is ((w_global % K8) // 8) — the halves of the
+    # pair word axis revisit the same blocks at +4 column offset.
+    nb_total = s.shape[1]
+    blk = jax.lax.broadcasted_iota(jnp.int32, (nb_total, kc4), 0)
+    wl = jax.lax.broadcasted_iota(jnp.int32, (nb_total, kc4), 1)
+    wg = wl + k_id * kc4
+    Rfull = ((wg % k8) // 8 == blk).astype(jnp.bfloat16)
+    sf = s.astype(jnp.bfloat16)
+    if out_factor != 1.0:
+        sf = sf * jnp.bfloat16(out_factor)
+    srep = jnp.dot(sf, Rfull,
+                   preferred_element_type=jnp.float32
+                   ).astype(jnp.bfloat16)                 # [TM, kc4]
+
+    tt = xp_ref.shape[0]
+    part = jnp.zeros((tt, tm), jnp.float32)
+    for p in range(4):
+        D = fp4_pair_patterns(wp, 4 * p)                  # [TM2, kc4]
+        Wp = pltpu.bitcast(D, jnp.bfloat16)               # [TM, kc4]
+        Wj = Wp * srep
+        xj = xp_ref[:, p, :].astype(jnp.bfloat16)         # [TT, kc4]
+        part = part + jax.lax.dot_general(
+            xj, Wj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [TT, TM]
+
+    @pl.when(k_id == 0)
+    def _():
+        o_ref[:] = part
+
+    @pl.when(k_id != 0)
+    def _():
+        o_ref[:] = o_ref[:] + part
+
+
+def _pick_tiles_pair(M: int, K4: int, tile_m: Optional[int]):
+    """(tile_m, kc4) for the pair kernel. Live VMEM per logical row is
+    ~12 bytes/word-lane (packed int32 on half rows, one decoded int32
+    plane, bf16 product + srep), about half the planar model — so the
+    kernel affords tile_m 256 at kc4 1024 (measured fastest band on
+    v5e; 512 is marginally faster standalone but doubles VMEM inside
+    the full decode program)."""
+    if K4 % 128:
+        kc4 = K4
+    else:
+        kc4 = next(d for d in range(min(K4, 1024), 0, -128) if K4 % d == 0)
+    if tile_m is None:
+        tile_m = 256
+        while tile_m > 128 and tile_m * 12 * kc4 >= 4 * 2**20:
+            tile_m //= 2
+    while M % tile_m:
+        tile_m //= 2
+    if tile_m % 2:
+        tile_m *= 2
+    return tile_m, kc4
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_t", "interpret"),
+)
+def matmul_4bit_pair_pallas(
+    wp2: jnp.ndarray,      # [M/2, K/4] int32 pair layout
+    scales: jnp.ndarray,   # [M, K/64] float
+    x: jnp.ndarray,        # [T, K]
+    tile_m: Optional[int] = None,
+    tile_t: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """FP4-only fused dequant+matmul via SWAR pair decode: two bf16
+    weight patterns are assembled per int32 lane (~9 VPU ops per 2
+    codes vs ~13 per code for the planar fp4_bits path) and bitcast
+    directly into the MXU operand. Numerics identical to
+    ``matmul_4bit_pallas`` (same bf16 weight/scale rounding class).
+    Measured on v5e at [14336,4096] T=1: 145us vs planar 173us."""
+    M2, K4 = wp2.shape
+    M, K = 2 * M2, 4 * K4
+    T = x.shape[0]
+    assert x.shape[1] == K
+    assert scales.shape == (M, K // 64), (scales.shape, (M, K // 64))
+    while T % tile_t:
+        tile_t //= 2
+    tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m)
+
+    xp = pair_permute_activation(x)
+
+    kernel = functools.partial(_pair_kernel, out_factor=1.0 / 12.0,
+                               kc4=kc4, k8=K4 // 2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(T // tile_t, M // tile_m, K4 // kc4),
+        in_specs=[
+            pl.BlockSpec((tile_m // 2, kc4), lambda t, i, kq: (i, kq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, 4, kc4), lambda t, i, kq: (t, 0, kq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, K // 64), lambda t, i, kq: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_t, tile_m),
+                               lambda t, i, kq: (t, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * M * K,
+            bytes_accessed=M2 * K4 * 4 + T * K * 4 + T * M * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wp2, xp, scales)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_t", "interpret"),
+)
+def matmul_4bit_pair_pallas_stacked(
+    wp2: jnp.ndarray,        # [L, M/2, K/4] int32 pair layout
+    scales: jnp.ndarray,     # [L, M, K/64] float
+    x: jnp.ndarray,          # [T, K]
+    layer_idx: jnp.ndarray,  # scalar int32
+    tile_m: Optional[int] = None,
+    tile_t: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Layer-indexed pair-decode matmul over stacked weights (scalar
+    prefetch reads layer ``i`` straight from the stacked HBM buffer)."""
+    L, M2, K4 = wp2.shape
+    M, K = 2 * M2, 4 * K4
+    T = x.shape[0]
+    assert x.shape[1] == K
+    assert scales.shape == (L, M, K // 64)
+    while T % tile_t:
+        tile_t //= 2
+    tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m)
+    xp = pair_permute_activation(x)
+
+    def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, o_ref):
+        _pair_kernel(wp_ref[0], xp_ref, s_ref[0], o_ref,
+                     out_factor=1.0 / 12.0, kc4=kc4, k8=K4 // 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // tile_t, M // tile_m, K4 // kc4),
+        in_specs=[
+            pl.BlockSpec((1, tile_m // 2, kc4),
+                         lambda t, i, kq, idx: (idx[0], i, kq)),
+            pl.BlockSpec((tile_t, 4, kc4),
+                         lambda t, i, kq, idx: (t, 0, kq)),
+            pl.BlockSpec((1, tile_m, K // 64),
+                         lambda t, i, kq, idx: (idx[0], i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_t, tile_m),
+                               lambda t, i, kq, idx: (t, i)),
+    )
+    out = pl.pallas_call(
+        k_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * M * K,
+            bytes_accessed=M2 * K4 * 4 + T * K * 4 + T * M * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), wp2, xp, scales)
     return out
