@@ -32,7 +32,12 @@ __all__ = ["dequantized_params", "logit_parity", "perplexity",
 
 def _dense_from_qlinear(ql: QLinear, quant_type: str) -> jnp.ndarray:
     """QLinear -> dense bf16 [out, in] in the ORIGINAL column order."""
-    Wp = dequantize_permuted(ql.wp, ql.scales, quant_type,
+    wp = ql.wp
+    if ql.layout == "pair":
+        from ..ops.qmatmul import pair_to_planar
+
+        wp = pair_to_planar(wp)
+    Wp = dequantize_permuted(wp, ql.scales, quant_type,
                              dtype=jnp.bfloat16)   # [M, K] permuted cols
     M, K = Wp.shape
     # invert the plane permutation: permuted col j*K/8 + c -> original 8c+j

@@ -140,12 +140,12 @@ def load_hf_llama(
             return x
         return jax.device_put(x, spec_path)
 
-    def qlin(name: str, spec=None) -> QLinear:
+    def qlin(name: str, spec=None, layout: str = "auto") -> QLinear:
         W = read(name)
         ql = quantize_linear(
             W, blocksize=q.blocksize, quant_type=q.quant_type,
             compress_statistics=q.compress_statistics,
-            scales_dtype=q.scales_dtype,
+            scales_dtype=q.scales_dtype, layout=layout,
         )
         if spec is not None:
             ql = QLinear(wp=jax.device_put(ql.wp, spec.wp),
@@ -178,12 +178,14 @@ def load_hf_llama(
             q=qlin(p + "self_attn.q_proj.weight", layer_slice("q")),
             k=qlin(p + "self_attn.k_proj.weight", layer_slice("k")),
             v=qlin(p + "self_attn.v_proj.weight", layer_slice("v")),
-            o=qlin(p + "self_attn.o_proj.weight", layer_slice("o")),
+            o=qlin(p + "self_attn.o_proj.weight", layer_slice("o"),
+                   layout="planar" if mesh is not None else "auto"),
             mlp_norm=read(p + "post_attention_layernorm.weight"
                           ).astype(jnp.bfloat16),
             gate=qlin(p + "mlp.gate_proj.weight", layer_slice("gate")),
             up=qlin(p + "mlp.up_proj.weight", layer_slice("up")),
-            down=qlin(p + "mlp.down_proj.weight", layer_slice("down")),
+            down=qlin(p + "mlp.down_proj.weight", layer_slice("down"),
+                      layout="planar" if mesh is not None else "auto"),
         ))
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     if specs is not None:

@@ -102,18 +102,32 @@ TINY_LLAMA = LlamaConfig(
 class QLinear:
     """A 4-bit linear weight in the TPU runtime layout: packed int32
     words + resolved fp32 scales (double-quant already inverted — the
-    load-time hoist of reference core.py:467)."""
+    load-time hoist of reference core.py:467).
 
-    wp: jnp.ndarray       # int32 [out, in // 8]
+    Two packed layouts share this container and are told apart by
+    shape (no extra pytree field, so pspec/treedef maps stay trivial):
+
+    - ``planar``: ``wp [out, in/8]`` — one row per output feature,
+      8 codes per word (ops/gemv.py layout algebra).
+    - ``pair``: ``wp [out/2, in/4]`` — SWAR row-pair layout for the
+      fastest FP4 decode kernel (ops/qmatmul.py pair section).
+    """
+
+    wp: jnp.ndarray       # int32 [out, in//8] (planar) or [out/2, in//4]
     scales: jnp.ndarray   # float32 [out, in // 64]
 
     @property
+    def layout(self) -> str:
+        return ("planar" if self.wp.shape[-2] == self.scales.shape[-2]
+                else "pair")
+
+    @property
     def out_features(self) -> int:
-        return self.wp.shape[0]
+        return self.scales.shape[-2]
 
     @property
     def in_features(self) -> int:
-        return self.wp.shape[1] * 8
+        return self.scales.shape[-1] * 64
 
 
 @struct.dataclass
@@ -174,7 +188,7 @@ class KVCache:
 @functools.partial(
     jax.jit,
     static_argnames=("blocksize", "quant_type", "compress_statistics",
-                     "scales_dtype"),
+                     "scales_dtype", "layout"),
 )
 def quantize_linear(
     W: jnp.ndarray,
@@ -182,6 +196,7 @@ def quantize_linear(
     quant_type: str = "fp4",
     compress_statistics: bool = True,
     scales_dtype=jnp.float32,
+    layout: str = "auto",
 ) -> QLinear:
     """Quantize a ``[out, in]`` weight into the runtime :class:`QLinear`
     form (packed words + resolved scales). The full bnb ``QuantState`` is
@@ -220,6 +235,14 @@ def quantize_linear(
         scales = dequantize_absmax(state).reshape(out_f, in_f // blocksize)
     if blocksize != 64:
         scales = jnp.repeat(scales, blocksize // 64, axis=1)
+    if layout == "auto":
+        # the SWAR pair decode exists only for FP4 (bit-pattern
+        # arithmetic); arbitrary codebooks stay planar
+        layout = "pair" if quant_type == "fp4" and out_f % 2 == 0 else "planar"
+    if layout == "pair":
+        from ..ops.qmatmul import planar_to_pair
+
+        wp = planar_to_pair(wp)
     return QLinear(wp=wp, scales=scales.astype(scales_dtype))
 
 
@@ -353,11 +376,24 @@ def embed_lookup(embed: Any, token_ids: jnp.ndarray,
     from ..quant.codebooks import get_4bit_code
 
     code = jnp.asarray(get_4bit_code(quant_type))
-    g = embed.wp[token_ids]                          # [..., H/8] int32
     s = embed.scales[token_ids].astype(jnp.float32)  # [..., H/64]
-    srep = jnp.repeat(s, 8, axis=-1)
-    planes = [jnp.take(code, (g >> sh) & 15, axis=0) * srep
-              for sh in _SHIFTS]                     # each [..., H/8]
+    srep = jnp.repeat(s, 8, axis=-1)                 # [..., H/8]
+    if embed.layout == "pair":
+        # pair layout: token row r lives in word row r//2, 16-bit half
+        # r%2; word w < H/8 covers columns 8w+p, else 8(w-H/8)+4+p
+        g2 = embed.wp[token_ids // 2]                # [..., H/4] int32
+        h = (g2 >> (16 * (token_ids % 2))[..., None]) & 0xFFFF
+        k8 = h.shape[-1] // 2
+        gE, gO = h[..., :k8], h[..., k8:]
+        planes = [jnp.take(code, (gE >> (4 * p)) & 15, axis=0) * srep
+                  for p in range(4)]
+        planes += [jnp.take(code, (gO >> (4 * p)) & 15, axis=0) * srep
+                   for p in range(4)]
+        g = gE
+    else:
+        g = embed.wp[token_ids]                      # [..., H/8] int32
+        planes = [jnp.take(code, (g >> sh) & 15, axis=0) * srep
+                  for sh in _SHIFTS]                 # each [..., H/8]
     # element 8c+j comes from plane j: stack minor then flatten
     out = jnp.stack(planes, axis=-1)
     return out.reshape(*g.shape[:-1], g.shape[-1] * 8).astype(jnp.bfloat16)
@@ -375,14 +411,20 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
     if lin.wp.ndim == 3:
         tokens = x2.shape[0]
         on_tpu = jax.default_backend() == "tpu"
+        pair = lin.layout == "pair"
+        if pair and tokens <= QMATMUL_MAX_TOKENS and on_tpu:
+            from ..ops.qmatmul import matmul_4bit_pair_pallas_stacked
+
+            return matmul_4bit_pair_pallas_stacked(
+                lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx)
         qmm_ok = tokens in (1, 2, 4) or tokens % 8 == 0
-        if tokens <= QMATMUL_MAX_TOKENS and qmm_ok and on_tpu:
+        if not pair and tokens <= QMATMUL_MAX_TOKENS and qmm_ok and on_tpu:
             from ..ops.qmatmul import matmul_4bit_pallas_stacked
 
             return matmul_4bit_pallas_stacked(
                 lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
                 quant_type=qcfg.quant_type)
-        if tokens <= GEMV_MAX_TOKENS and on_tpu:
+        if not pair and tokens <= GEMV_MAX_TOKENS and on_tpu:
             return gemv_4bit_pallas_stacked(
                 lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
                 quant_type=qcfg.quant_type)
@@ -418,8 +460,8 @@ def _layer_forward(
     position keeps it proportional to actual sequence lengths."""
     B, T, h = x.shape
     D = cfg.head_dim
-    n_q = layer.q.wp.shape[-2] // D     # per-shard query heads
-    n_kv = layer.k.wp.shape[-2] // D    # per-shard kv heads
+    n_q = layer.q.out_features // D     # per-shard query heads
+    n_kv = layer.k.out_features // D    # per-shard kv heads
     G = n_q // n_kv
     qcfg = cfg.quant
 

@@ -111,6 +111,18 @@ def apply_4bit(
     """
     tokens = x2.shape[0]
     on_tpu = use_pallas and jax.default_backend() == "tpu"
+    pair = wp.shape[-2] != scales.shape[-2]      # SWAR row-pair layout
+    if pair and tokens <= QMATMUL_MAX_TOKENS and on_tpu:
+        from ..ops.qmatmul import matmul_4bit_pair_pallas
+
+        return matmul_4bit_pair_pallas(
+            wp, scales, x2.astype(compute_dtype))
+    if pair:
+        # XLA fallback / prefill: recover the planar words (one-time
+        # int ops, fused into the dequant by XLA)
+        from ..ops.qmatmul import pair_to_planar
+
+        wp = pair_to_planar(wp)
     # the fused dequant+matmul kernel wins at EVERY small batch size on
     # v5e (B=1: 215us vs the VPU-fma GEMV's 235us at [14336,4096]; B=8:
     # 231 vs 633 — the MXU absorbs the per-row multiply-accumulate); the

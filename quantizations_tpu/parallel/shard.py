@@ -99,10 +99,26 @@ def cache_pspec() -> KVCache:
                    v=P(None, None, AXIS, None, None))
 
 
+def _ensure_planar(ql: QLinear) -> QLinear:
+    """Row-parallel (K-sharded) weights must use the planar layout: the
+    SWAR pair layout's word axis is shard-LOCAL (its even/odd halves
+    don't slice congruently with K), so o/down are repacked before
+    placement. Column-parallel pair weights shard fine on the row axis."""
+    if ql.layout == "pair":
+        from ..models.llama import QLinear as QL
+        from ..ops.qmatmul import pair_to_planar
+
+        return QL(wp=pair_to_planar(ql.wp), scales=ql.scales)
+    return ql
+
+
 def shard_llama_params(params: LlamaParams, mesh: Mesh,
                        cfg: LlamaConfig) -> LlamaParams:
     """Place a (host or single-device) param pytree onto the mesh."""
     validate_tp(cfg, mesh.shape[AXIS])
+    layers = params.layers
+    params = params.replace(layers=layers.replace(
+        o=_ensure_planar(layers.o), down=_ensure_planar(layers.down)))
     specs = llama_param_pspecs(cfg)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

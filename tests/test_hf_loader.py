@@ -113,7 +113,12 @@ def test_load_onto_mesh(hf_dir):
 
     mesh = make_mesh((2,), ("tp",))
     cfg, params = load_hf_llama(hf_dir, mesh=mesh)
-    # column-parallel q: sharded over rows
+    # column-parallel q: sharded over rows (pair layout halves wp rows)
+    per_shard_rows = HEADS * HD // 2
+    if params.layers.q.layout == "pair":
+        per_shard_rows //= 2
     shard_shapes = [s.data.shape
                     for s in params.layers.q.wp.addressable_shards]
-    assert all(ss[1] == HEADS * HD // 2 for ss in shard_shapes)
+    assert all(ss[1] == per_shard_rows for ss in shard_shapes)
+    # row-parallel down stays planar (pair layout is shard-local on K)
+    assert params.layers.down.layout == "planar"

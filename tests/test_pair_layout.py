@@ -1,0 +1,123 @@
+"""SWAR row-pair layout: packing round-trips, XLA-path equivalence with
+the planar layout, and the layout-aware model plumbing (CPU; the Pallas
+pair kernel itself is validated on hardware via bench/benchmarks)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from quantizations_tpu.ops.gemv import pack_i32_rows
+from quantizations_tpu.ops.qmatmul import (
+    pair_permute_activation,
+    pair_to_planar,
+    planar_to_pair,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_planar_pair_roundtrip(rng):
+    for (M, K) in [(16, 64), (128, 512), (30, 256)]:
+        if M % 2:
+            continue
+        by = jnp.asarray(
+            rng.integers(0, 256, (M, K // 2), dtype=np.int64).astype(np.int32))
+        wp = pack_i32_rows(by, M, K)
+        wp2 = planar_to_pair(wp)
+        assert wp2.shape == (M // 2, K // 4)
+        assert bool(jnp.all(pair_to_planar(wp2) == wp))
+
+
+def test_pair_layout_stacked_roundtrip(rng):
+    by = jnp.asarray(
+        rng.integers(0, 256, (3, 8, 32), dtype=np.int64).astype(np.int32))
+    wp = pack_i32_rows(by.reshape(-1, 32), 24, 64).reshape(3, 8, 8)
+    wp2 = planar_to_pair(wp)
+    assert wp2.shape == (3, 4, 16)
+    assert bool(jnp.all(pair_to_planar(wp2) == wp))
+
+
+def test_pair_column_map(rng):
+    """wp2 word w plane p exposes exactly the columns the layout doc
+    promises, matched by pair_permute_activation."""
+    M, K = 4, 64
+    codes = rng.integers(0, 16, (M, K)).astype(np.int64)
+    by = np.zeros((M, K // 2), np.int64)
+    # bnb byte = even<<4 | odd
+    by = (codes[:, 0::2] << 4) | codes[:, 1::2]
+    wp = pack_i32_rows(jnp.asarray(by.astype(np.int32)), M, K)
+    wp2 = np.asarray(planar_to_pair(wp))
+    K8 = K // 8
+    for i in range(M // 2):
+        for w in range(K // 4):
+            for p in range(4):
+                c = 8 * w + p if w < K8 else 8 * (w - K8) + 4 + p
+                lo = (wp2[i, w] >> (4 * p)) & 15
+                hi = (wp2[i, w] >> (16 + 4 * p)) & 15
+                assert lo == codes[2 * i, c], (i, w, p)
+                assert hi == codes[2 * i + 1, c], (i, w, p)
+    # activation permute aligns x with the same map
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    xp = np.asarray(pair_permute_activation(x))
+    for w in range(K // 4):
+        for p in range(4):
+            c = 8 * w + p if w < K8 else 8 * (w - K8) + 4 + p
+            np.testing.assert_array_equal(xp[:, p, w], np.asarray(x)[:, c])
+
+
+def test_model_pair_vs_planar_equivalence(rng):
+    """Tiny model end-to-end: pair runtime layout produces the same
+    tokens as the planar layout on the XLA path."""
+    import dataclasses
+
+    from quantizations_tpu.config import QuantConfig, ServeConfig
+    from quantizations_tpu.models.llama import (
+        TINY_LLAMA, init_llama_params, quantize_linear)
+    from quantizations_tpu.serve.generate import make_generate_fn
+
+    cfg = dataclasses.replace(TINY_LLAMA, quant=QuantConfig(quant_type="fp4"))
+    serve = ServeConfig(max_seq_len=32, max_new_tokens=8, temperature=0.0)
+    params = init_llama_params(cfg, seed=0)
+    assert params.layers.q.layout == "pair"
+
+    # planar twin: convert every pair leaf back
+    from quantizations_tpu.models.llama import QLinear
+
+    def to_planar(leaf):
+        if isinstance(leaf, QLinear) and leaf.layout == "pair":
+            return QLinear(wp=pair_to_planar(leaf.wp), scales=leaf.scales)
+        return leaf
+
+    params_planar = jax.tree.map(
+        to_planar, params,
+        is_leaf=lambda x: isinstance(x, QLinear))
+
+    from quantizations_tpu.models.llama import KVCache
+
+    gen = make_generate_fn(cfg, serve)
+    prompt = jnp.asarray([[3, 5, 7, 11]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    cache = KVCache.create(cfg, 1, serve.max_seq_len)
+    toks_pair = np.asarray(gen(params, prompt, cache, key)[0])
+    cache = KVCache.create(cfg, 1, serve.max_seq_len)
+    toks_planar = np.asarray(gen(params_planar, prompt, cache, key)[0])
+    np.testing.assert_array_equal(toks_pair, toks_planar)
+
+
+def test_quantize_linear_layouts(rng):
+    from quantizations_tpu.models.llama import quantize_linear
+
+    W = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
+    pair = quantize_linear(W)
+    assert pair.layout == "pair" and pair.wp.shape == (16, 32)
+    assert pair.out_features == 32 and pair.in_features == 128
+    planar = quantize_linear(W, layout="planar")
+    assert planar.layout == "planar" and planar.wp.shape == (32, 16)
+    # nf4 has no pair decode -> planar
+    nf4 = quantize_linear(W, quant_type="nf4")
+    assert nf4.layout == "planar"
+    assert bool(jnp.all(pair_to_planar(pair.wp) == planar.wp))

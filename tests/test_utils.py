@@ -94,5 +94,8 @@ def test_tied_embeddings_loader(tmp_path, rng):
 
     cfg, params = load_hf_llama(str(tmp_path))
     assert cfg.tie_word_embeddings
-    # quantized head built from the embedding weight
-    assert params.lm_head.wp.shape == (V, H // 8)
+    # quantized head built from the embedding weight (default fp4 runtime
+    # layout is the SWAR pair layout: [V/2, H/4])
+    assert params.lm_head.out_features == V
+    assert params.lm_head.in_features == H
+    assert params.lm_head.wp.shape == (V // 2, H // 4)
