@@ -9,7 +9,7 @@ lives in one validated dataclass (SURVEY.md §5, config subsystem).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -72,6 +72,8 @@ class ServeConfig:
     max_new_tokens: int = 60                 # reference bench: 60 tokens
     temperature: float = 0.0                 # 0 => greedy
     top_k: int = 0                           # 0 => no top-k mask
+    top_p: float = 1.0                       # 1.0 => no nucleus mask
+    eos_id: Optional[int] = None             # freeze a row once it emits eos
     seed: int = 0
     donate_cache: bool = True
 

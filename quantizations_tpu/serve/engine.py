@@ -68,6 +68,7 @@ class Engine:
         prefill_buckets: tuple = (16, 64, 256),
         temperature: float = 0.0,
         top_k: int = 0,
+        top_p: float = 1.0,
         seed: int = 0,
         mesh=None,
     ):
@@ -119,6 +120,14 @@ class Engine:
                 if top_k > 0:
                     kth = jnp.sort(lt, axis=-1)[:, -top_k][:, None]
                     lt = jnp.where(lt < kth, -jnp.inf, lt)
+                if top_p < 1.0:
+                    srt = jnp.sort(lt, axis=-1)[:, ::-1]
+                    probs = jax.nn.softmax(srt, axis=-1)
+                    cum = jnp.cumsum(probs, axis=-1)
+                    keep = (cum - probs) < jnp.float32(top_p)
+                    thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                                  keepdims=True)
+                    lt = jnp.where(lt < thr, -jnp.inf, lt)
                 sampled = jax.random.categorical(
                     key, lt, axis=-1).astype(jnp.int32)
                 nxt = jnp.where(temps == 0.0, greedy, sampled)
@@ -141,7 +150,7 @@ class Engine:
             # logits of the LAST VALID prompt token
             logit = jnp.take_along_axis(
                 logits, jnp.reshape(plen - 1, (1, 1, 1)), axis=1)[:, 0]
-            tok = sample_logits(logit, key, temperature, top_k)
+            tok = sample_logits(logit, key, temperature, top_k, top_p)
             return tok, scratch
 
         if mesh is None:

@@ -35,15 +35,26 @@ def sample_logits(
     key: jnp.ndarray,
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jnp.ndarray:
-    """Greedy (temperature 0) or temperature/top-k categorical sampling.
-    Static knobs — the sampler is baked into the jitted loop."""
+    """Greedy (temperature 0) or temperature/top-k/top-p (nucleus)
+    categorical sampling. Static knobs — the sampler is baked into the
+    jitted loop; top-p keeps the smallest prefix of probability-sorted
+    tokens whose mass reaches ``top_p``."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / jnp.float32(temperature)
     if top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        srt = jnp.sort(logits, axis=-1)[:, ::-1]          # descending
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < jnp.float32(top_p)  # mass BEFORE token
+        thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                      keepdims=True)
+        logits = jnp.where(logits < thr, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
@@ -56,25 +67,36 @@ def _generate_impl(
     max_new_tokens: int,
     temperature: float,
     top_k: int,
+    top_p: float = 1.0,
+    eos_id: Optional[int] = None,
     axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Prefill + scan-decode. Returns (tokens [B, max_new_tokens], cache)."""
+    """Prefill + scan-decode. Returns (tokens [B, max_new_tokens], cache).
+
+    ``eos_id`` set freezes a row to eos once it emits eos (no early exit
+    — the scan length is static — but the row stops changing, matching
+    HF ``generate`` semantics; the engine drains such slots for real)."""
     B, P = prompt_ids.shape
     logits, cache = prefill(params, prompt_ids, cache, cfg,
                             axis_name=axis_name, last_token_only=True)
     key, sub = jax.random.split(key)
-    tok = sample_logits(logits[:, -1, :], sub, temperature, top_k)
+    tok = sample_logits(logits[:, -1, :], sub, temperature, top_k, top_p)
+    done = (jnp.full((B,), False) if eos_id is None
+            else tok == jnp.int32(eos_id))
 
     def step(carry, _):
-        tok, cache, pos, key = carry
+        tok, done, cache, pos, key = carry
         logits, cache = decode_step(params, tok[:, None], cache, pos, cfg,
                                     axis_name=axis_name)
         key, sub = jax.random.split(key)
-        nxt = sample_logits(logits, sub, temperature, top_k)
-        return (nxt, cache, pos + 1, key), nxt
+        nxt = sample_logits(logits, sub, temperature, top_k, top_p)
+        if eos_id is not None:
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            done = done | (nxt == jnp.int32(eos_id))
+        return (nxt, done, cache, pos + 1, key), nxt
 
-    (_, cache, _, _), toks = jax.lax.scan(
-        step, (tok, cache, jnp.int32(P), key), None,
+    (_, _, cache, _, _), toks = jax.lax.scan(
+        step, (tok, done, cache, jnp.int32(P), key), None,
         length=max_new_tokens - 1,
     )
     tokens = jnp.concatenate([tok[:, None], toks.T.astype(jnp.int32)], axis=1)
@@ -97,6 +119,8 @@ def make_generate_fn(
         max_new_tokens=serve.max_new_tokens,
         temperature=serve.temperature,
         top_k=serve.top_k,
+        top_p=serve.top_p,
+        eos_id=serve.eos_id,
         axis_name=axis_name,
     )
     if axis_name is not None:

@@ -86,3 +86,62 @@ def test_per_request_temperature_and_streaming(params):
     # streaming saw every token of both requests
     assert sorted(t for u, t in streamed if u == u_greedy) == sorted(ref)
     assert len([1 for u, _ in streamed if u == u_hot]) == 5
+
+
+def test_top_p_sampling_masks_tail():
+    """top-p keeps the smallest prefix of probability-sorted tokens whose
+    mass reaches p — a peaked distribution becomes effectively greedy."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantizations_tpu.serve.generate import sample_logits
+
+    logits = jnp.log(jnp.asarray([[0.6, 0.25, 0.1, 0.05]], jnp.float32))
+    keys = jax.random.split(jax.random.PRNGKey(0), 200)
+    # p=0.5: only token 0 survives (its own mass already reaches 0.5)
+    toks = jnp.stack([sample_logits(logits, k, temperature=1.0, top_p=0.5)
+                      for k in keys[:50]])
+    assert bool(jnp.all(toks == 0))
+    # p=0.7: tokens {0, 1} survive; token 2/3 never drawn
+    toks = jnp.stack([sample_logits(logits, k, temperature=1.0, top_p=0.7)
+                      for k in keys])
+    assert set(np.unique(np.asarray(toks))) <= {0, 1}
+    assert 1 in np.asarray(toks)
+    # p=1.0: no mask — all tokens reachable
+    toks = jnp.stack([sample_logits(logits, k, temperature=1.0)
+                      for k in keys])
+    assert set(np.unique(np.asarray(toks))) == {0, 1, 2, 3}
+
+
+def test_eos_freeze_in_generate():
+    """A row that emits serve.eos_id keeps emitting it for the rest of
+    the (static-length) scan."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from quantizations_tpu.models.llama import KVCache, init_llama_params
+    from quantizations_tpu.serve.generate import make_generate_fn
+
+    cfg = CFG
+    serve0 = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=10)
+    params = init_llama_params(cfg, seed=0)
+    prompt = jnp.asarray([[3, 5, 7, 11]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    gen = make_generate_fn(cfg, serve0)
+    toks = np.asarray(gen(params, prompt,
+                          KVCache.create(cfg, 1, serve0.max_seq_len),
+                          key)[0])[0]
+    eos = int(toks[3])  # pretend the 4th generated token is eos
+    serve_eos = dataclasses.replace(serve0, eos_id=eos)
+    gen2 = make_generate_fn(cfg, serve_eos)
+    toks2 = np.asarray(gen2(params, prompt,
+                            KVCache.create(cfg, 1, serve0.max_seq_len),
+                            key)[0])[0]
+    first = int(np.argmax(toks2 == eos))
+    assert eos in toks2.tolist()
+    assert (toks2[first:] == eos).all()
+    # tokens before the first eos match the unconstrained run
+    np.testing.assert_array_equal(toks2[:first], toks[:first])
