@@ -121,3 +121,16 @@ def test_quantize_linear_layouts(rng):
     nf4 = quantize_linear(W, quant_type="nf4")
     assert nf4.layout == "planar"
     assert bool(jnp.all(pair_to_planar(pair.wp) == planar.wp))
+
+
+def test_embed_lookup_pair_matches_planar(rng):
+    from quantizations_tpu.models.llama import (
+        QLinear, embed_lookup, quantize_linear)
+
+    W = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    pair = quantize_linear(W)
+    planar = QLinear(wp=pair_to_planar(pair.wp), scales=pair.scales)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 5)))
+    np.testing.assert_array_equal(
+        np.asarray(embed_lookup(pair, ids)),
+        np.asarray(embed_lookup(planar, ids)))
