@@ -167,6 +167,11 @@ class Params4bit:
     def shape(self):
         return self.quant_state.shape
 
+    @property
+    def layout(self) -> str:
+        return ("planar" if self.wp.shape[-2] == self.scales.shape[-2]
+                else "pair")
+
     @classmethod
     def quantize(
         cls,
@@ -174,10 +179,14 @@ class Params4bit:
         blocksize: int = 64,
         quant_type: str = "fp4",
         compress_statistics: bool = True,
+        layout: str = "planar",
     ) -> "Params4bit":
         """Quantize a ``[out, in]`` weight (the reference quantizes on
         device placement, core.py:139-161; here it is an explicit pure
-        function, jittable and shardable)."""
+        function, jittable and shardable). ``layout="pair"`` stores the
+        SWAR row-pair words for the fastest FP4 decode kernel (the
+        model runtime's default; the module layer defaults to planar,
+        the bit-faithful bnb byte order)."""
         out_f, in_f = W.shape
         if in_f % max(blocksize, 8):
             raise ValueError(
@@ -195,11 +204,24 @@ class Params4bit:
             # block sizes to the per-64 granularity it expects.
             rep = blocksize // 64
             scales = jnp.repeat(scales, rep, axis=1)
+        if layout == "pair":
+            if quant_type != "fp4" or out_f % 2:
+                raise ValueError(
+                    "pair layout requires quant_type='fp4' and an even "
+                    f"out_features (got {quant_type}, {out_f})")
+            from ..ops.qmatmul import planar_to_pair
+
+            wp = planar_to_pair(wp)
         return cls(wp=wp, scales=scales, quant_state=state)
 
     def packed_u8(self) -> jnp.ndarray:
         """bnb byte-layout view ``[(n+1)//2, 1]`` of the packed codes."""
-        u8 = jax.lax.bitcast_convert_type(self.wp, jnp.uint8)
+        wp = self.wp
+        if self.layout == "pair":
+            from ..ops.qmatmul import pair_to_planar
+
+            wp = pair_to_planar(wp)
+        u8 = jax.lax.bitcast_convert_type(wp, jnp.uint8)
         return u8.reshape(-1, 1)
 
 
@@ -239,10 +261,11 @@ class Linear4bit:
         quant_type: str = "fp4",
         blocksize: int = 64,
         use_pallas: bool = True,
+        layout: str = "planar",
     ) -> "Linear4bit":
         params = Params4bit.quantize(
             W, blocksize=blocksize, quant_type=quant_type,
-            compress_statistics=compress_statistics,
+            compress_statistics=compress_statistics, layout=layout,
         )
         return cls(weight=params, bias=bias, compute_dtype=compute_dtype,
                    use_pallas=use_pallas)

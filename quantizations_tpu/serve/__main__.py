@@ -29,6 +29,9 @@ def main() -> None:
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--eos-id", type=int, default=None,
+                   help="freeze a row to this id once emitted")
     p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways (devices on the mesh)")
@@ -46,6 +49,7 @@ def main() -> None:
     serve = ServeConfig(
         max_seq_len=args.max_seq, max_new_tokens=args.max_new_tokens,
         temperature=args.temperature, top_k=args.top_k,
+        top_p=args.top_p, eos_id=args.eos_id,
     )
 
     tokenizer = None

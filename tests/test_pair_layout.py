@@ -134,3 +134,20 @@ def test_embed_lookup_pair_matches_planar(rng):
     np.testing.assert_array_equal(
         np.asarray(embed_lookup(pair, ids)),
         np.asarray(embed_lookup(planar, ids)))
+
+
+def test_linear4bit_pair_layout(rng):
+    """Module layer with pair layout: same outputs as planar, and
+    packed_u8 round-trips to the bnb byte order."""
+    from quantizations_tpu.nn.linear import Linear4bit
+
+    W = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((3, 128)).astype(np.float32))
+    lin_planar = Linear4bit.create(W)
+    lin_pair = Linear4bit.create(W, layout="pair")
+    assert lin_pair.weight.layout == "pair"
+    np.testing.assert_array_equal(
+        np.asarray(lin_pair(x)), np.asarray(lin_planar(x)))
+    np.testing.assert_array_equal(
+        np.asarray(lin_pair.weight.packed_u8()),
+        np.asarray(lin_planar.weight.packed_u8()))
