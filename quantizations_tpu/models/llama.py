@@ -380,11 +380,15 @@ def embed_lookup(embed: Any, token_ids: jnp.ndarray,
     srep = jnp.repeat(s, 8, axis=-1)                 # [..., H/8]
     if embed.layout == "pair":
         # pair layout: token row r lives in word row r//2, 16-bit half
-        # r%2; word w < H/8 covers columns 8w+p, else 8(w-H/8)+4+p
+        # r%2; the word axis is block-major (ops/qmatmul.py) — undo
+        # that per gathered row, then the halves expose plane nibbles
+        from ..ops.qmatmul import _unblockmajor
+
         g2 = embed.wp[token_ids // 2]                # [..., H/4] int32
         h = (g2 >> (16 * (token_ids % 2))[..., None]) & 0xFFFF
         k8 = h.shape[-1] // 2
-        gE, gO = h[..., :k8], h[..., k8:]
+        gE = _unblockmajor(h[..., :k8])
+        gO = _unblockmajor(h[..., k8:])
         planes = [jnp.take(code, (gE >> (4 * p)) & 15, axis=0) * srep
                   for p in range(4)]
         planes += [jnp.take(code, (gO >> (4 * p)) & 15, axis=0) * srep

@@ -222,19 +222,27 @@ def matmul_4bit_pallas_stacked(
 # --------------------------------------------------------------------------
 #
 # Layout of ``wp2 [M/2, K/4]`` (same total bytes as planar): the word
-# axis is the concatenation of an EVEN-group half and an ODD-group half,
+# axis is BLOCK-MAJOR — ``w = r*NB + b`` with ``b`` the 64-element quant
+# block (NB = K/64 of them) and ``r`` in [0, 16) the word's position
+# inside the block:
 #
-#   w <  K/8 : word (i, w) covers columns c = 8w + p      (p in 0..3)
-#   w >= K/8 : word (i, w) covers columns c = 8(w-K/8) + 4 + p
+#   r < 8  : word (i, w) covers columns c = 64b + 8r + p       (p in 0..3)
+#   r >= 8 : word (i, w) covers columns c = 64b + 8(r-8) + 4 + p
 #
 # with the even logical row's code at bits [4p, 4p+4) and the odd row's
 # at [16+4p, 16+4p+4). One ``(wp2 >> 4p) & 0x000F000F`` exposes a
 # (row 2i, row 2i+1) code pair per lane; ``fp4_pair_patterns`` assembles
 # both bf16 patterns SWAR-style, and Mosaic's int32->bf16 bitcast drops
 # them onto sublanes 2i/2i+1 in logical row order (measured exact in
-# benchmarks/bitcast_probe.py). The half-concat (rather than
-# interleaving even/odd words) keeps every conversion a full-lane
-# op — no size-2/4 minor axes, which TPU tiled layouts pad 32-64x.
+# benchmarks/bitcast_probe.py).
+#
+# Block-major word order makes the per-word scale row a pure lane
+# TILE-REPEAT of the per-block scale row — the kernel builds it with a
+# merge-bitcast (bf16 scales -> int32 row pairs) + ``pltpu.repeat``,
+# no one-hot MXU expansion and no layout mismatch with the decoded
+# weights (benchmarks/srep_repeat_probe.py: 135us vs 146us at
+# [14336,4096]). Every conversion below is a full-lane op — no size-2/4
+# minor axes, which TPU tiled layouts pad 32-64x.
 #
 # The layout is LOCAL to an array: a row-parallel (K-sharded) weight
 # must be converted per shard (convert after sharding, or keep planar).
@@ -246,22 +254,36 @@ def nibble_swap(x: jnp.ndarray) -> jnp.ndarray:
     return ((x >> 4) & m) | ((x & m) << 4)
 
 
+def _blockmajor(h: jnp.ndarray) -> jnp.ndarray:
+    """[..., K/8] u-ordered half -> [..., K/8] (r, b)-ordered half."""
+    nb = h.shape[-1] // 8
+    return h.reshape(*h.shape[:-1], nb, 8).swapaxes(-1, -2).reshape(
+        *h.shape[:-1], 8 * nb)
+
+
+def _unblockmajor(h: jnp.ndarray) -> jnp.ndarray:
+    nb = h.shape[-1] // 8
+    return h.reshape(*h.shape[:-1], 8, nb).swapaxes(-1, -2).reshape(
+        *h.shape[:-1], 8 * nb)
+
+
 def planar_to_pair(wp: jnp.ndarray) -> jnp.ndarray:
     """Planar packed words ``[..., M, K/8]`` -> pair layout
-    ``[..., M/2, K/4]``. Pure full-lane bit ops + one lane concat (safe
+    ``[..., M/2, K/4]``. Pure full-lane bit ops + lane reshuffles (safe
     on TPU tiled layouts; runs once at load/convert time)."""
     nse = nibble_swap(wp[..., 0::2, :])   # even rows
     nso = nibble_swap(wp[..., 1::2, :])   # odd rows
     E = (nse & 0xFFFF) | ((nso & 0xFFFF) << 16)
     O = ((nse >> 16) & 0xFFFF) | (nso & ~0xFFFF)
-    return jnp.concatenate([E, O], axis=-1)
+    return jnp.concatenate([_blockmajor(E), _blockmajor(O)], axis=-1)
 
 
 def pair_to_planar(wp2: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`planar_to_pair` (used when resharding a pair
-    array onto a K-split mesh axis)."""
+    array onto a K-split mesh axis and by the XLA fallback paths)."""
     k8 = wp2.shape[-1] // 2
-    E, O = wp2[..., :k8], wp2[..., k8:]
+    E = _unblockmajor(wp2[..., :k8])
+    O = _unblockmajor(wp2[..., k8:])
     nse = (E & 0xFFFF) | ((O & 0xFFFF) << 16)
     nso = ((E >> 16) & 0xFFFF) | (O & ~0xFFFF)
     we = nibble_swap(nse)
@@ -279,36 +301,34 @@ def pack_pair_rows(packed_u8: jnp.ndarray, rows: int,
 
 
 def pair_permute_activation(x: jnp.ndarray) -> jnp.ndarray:
-    """``[T, K] -> [T, 4, K/4]`` matching the pair layout's column map:
-    ``xp[t, p, w] = x[t, 8w+p]`` for ``w < K/8`` else
-    ``x[t, 8(w-K/8)+4+p]``."""
+    """``[T, K] -> [T, 4, K/4]`` matching the pair layout's block-major
+    column map: ``xp[t, p, r*NB+b] = x[t, 64b + 8r + p]`` for ``r < 8``,
+    odd-nibble planes (``+4+p``) in the second half."""
     T, K = x.shape
     xa = x.reshape(T, K // 8, 8).swapaxes(1, 2)    # [T, 8, K/8]
-    return jnp.concatenate([xa[:, :4, :], xa[:, 4:, :]], axis=2)
+    return jnp.concatenate(
+        [_blockmajor(xa[:, :4, :]), _blockmajor(xa[:, 4:, :])], axis=2)
 
 
-def _pair_kernel(wp_ref, xp_ref, s_ref, o_ref, *, out_factor, kc4, k8):
+def _pair_kernel(wp_ref, xp_ref, s_ref, o_ref, *, out_factor, kc4):
     wp = wp_ref[:] if len(wp_ref.shape) == 2 else wp_ref[0]  # [TM2, kc4]
     s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]      # [TM, NB]
     tm2 = wp.shape[0]
     tm = 2 * tm2
     k_id = pl.program_id(2)
 
-    # Scales per word in one one-hot bf16 MXU pass (exact for one-hot;
-    # the bf16 scale rounding is this path's numerics class). Word w's
-    # 64-element block is ((w_global % K8) // 8) — the halves of the
-    # pair word axis revisit the same blocks at +4 column offset.
+    # Per-word scales: the block-major word order makes them a pure
+    # lane tile-repeat of the per-block scale row. Merge-bitcast packs
+    # scale row pairs the same way the decode bitcast unpacks weight
+    # row pairs, so srep lands in the decoded weights' layout class
+    # (the bf16 scale rounding is this path's numerics class).
     nb_total = s.shape[1]
-    blk = jax.lax.broadcasted_iota(jnp.int32, (nb_total, kc4), 0)
-    wl = jax.lax.broadcasted_iota(jnp.int32, (nb_total, kc4), 1)
-    wg = wl + k_id * kc4
-    Rfull = ((wg % k8) // 8 == blk).astype(jnp.bfloat16)
     sf = s.astype(jnp.bfloat16)
     if out_factor != 1.0:
         sf = sf * jnp.bfloat16(out_factor)
-    srep = jnp.dot(sf, Rfull,
-                   preferred_element_type=jnp.float32
-                   ).astype(jnp.bfloat16)                 # [TM, kc4]
+    sp = pltpu.bitcast(sf, jnp.int32)                     # [TM2, NB]
+    srep = pltpu.bitcast(pltpu.repeat(sp, kc4 // nb_total, axis=1),
+                         jnp.bfloat16)                    # [TM, kc4]
 
     tt = xp_ref.shape[0]
     part = jnp.zeros((tt, tm), jnp.float32)
@@ -336,11 +356,15 @@ def _pick_tiles_pair(M: int, K4: int, tile_m: Optional[int]):
     plane, bf16 product + srep), about half the planar model — so the
     kernel affords tile_m 256 at kc4 1024 (measured fastest band on
     v5e; 512 is marginally faster standalone but doubles VMEM inside
-    the full decode program)."""
+    the full decode program). kc4 must be a multiple of NB = K4/16 so
+    every chunk covers whole r-slices of the block-major word order
+    (the scale tile-repeat requires it)."""
+    nb = K4 // 16
     if K4 % 128:
         kc4 = K4
     else:
-        kc4 = next(d for d in range(min(K4, 1024), 0, -128) if K4 % d == 0)
+        kc4 = next((d for d in range(min(K4, 1024), 0, -128)
+                    if K4 % d == 0 and d % nb == 0), K4)
     if tile_m is None:
         tile_m = 256
         while tile_m > 128 and tile_m * 12 * kc4 >= 4 * 2**20:
@@ -382,7 +406,7 @@ def matmul_4bit_pair_pallas(
     xp = pair_permute_activation(x)
 
     kernel = functools.partial(_pair_kernel, out_factor=1.0 / 12.0,
-                               kc4=kc4, k8=K4 // 2)
+                               kc4=kc4)
     out = pl.pallas_call(
         kernel,
         grid=(T // tile_t, M // tile_m, K4 // kc4),
@@ -437,7 +461,7 @@ def matmul_4bit_pair_pallas_stacked(
 
     def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, o_ref):
         _pair_kernel(wp_ref[0], xp_ref, s_ref[0], o_ref,
-                     out_factor=1.0 / 12.0, kc4=kc4, k8=K4 // 2)
+                     out_factor=1.0 / 12.0, kc4=kc4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -52,10 +52,18 @@ def test_pair_column_map(rng):
     wp = pack_i32_rows(jnp.asarray(by.astype(np.int32)), M, K)
     wp2 = np.asarray(planar_to_pair(wp))
     K8 = K // 8
+    NB = K // 64
+
+    def col(w, p):
+        # block-major word order: w = r*NB + b (second half = odd planes)
+        half, wl = (1, w - 8 * NB) if w >= 8 * NB else (0, w)
+        r, b = wl // NB, wl % NB
+        return 64 * b + 8 * r + 4 * half + p
+
     for i in range(M // 2):
         for w in range(K // 4):
             for p in range(4):
-                c = 8 * w + p if w < K8 else 8 * (w - K8) + 4 + p
+                c = col(w, p)
                 lo = (wp2[i, w] >> (4 * p)) & 15
                 hi = (wp2[i, w] >> (16 + 4 * p)) & 15
                 assert lo == codes[2 * i, c], (i, w, p)
@@ -65,8 +73,8 @@ def test_pair_column_map(rng):
     xp = np.asarray(pair_permute_activation(x))
     for w in range(K // 4):
         for p in range(4):
-            c = 8 * w + p if w < K8 else 8 * (w - K8) + 4 + p
-            np.testing.assert_array_equal(xp[:, p, w], np.asarray(x)[:, c])
+            np.testing.assert_array_equal(
+                xp[:, p, w], np.asarray(x)[:, col(w, p)])
 
 
 def test_model_pair_vs_planar_equivalence(rng):
