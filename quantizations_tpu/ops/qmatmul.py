@@ -366,8 +366,8 @@ def _pick_tiles_pair(M: int, K4: int, tile_m: Optional[int]):
         kc4 = next((d for d in range(min(K4, 1024), 0, -128)
                     if K4 % d == 0 and d % nb == 0), K4)
     if tile_m is None:
-        tile_m = 256
-        while tile_m > 128 and tile_m * 12 * kc4 >= 4 * 2**20:
+        tile_m = 512
+        while tile_m > 128 and tile_m * 12 * kc4 >= 8 * 2**20:
             tile_m //= 2
     while M % tile_m:
         tile_m //= 2
