@@ -43,8 +43,12 @@ class QuantConfig:
     quantize_embedding: bool = False
     # dtype of the RESOLVED per-block scales held in HBM. fp32 is
     # bit-faithful to bnb's decoded statistics; bfloat16 halves the
-    # scale footprint (scales are 10% of weight bytes) at ~0.2% scale
-    # rounding error — a footprint knob, off by default.
+    # scale footprint (scales are ~11% of weight bytes) and is
+    # numerically identical on the MXU decode path (which rounds scales
+    # to bf16 in-kernel) — but measured ~10% SLOWER end-to-end on v5e
+    # (standalone kernel time is flat; the regression is XLA-level in
+    # the full decode program), so it stays a footprint knob, off by
+    # default.
     scales_dtype: Any = jnp.float32
 
     def __post_init__(self):
