@@ -236,9 +236,12 @@ def quantize_linear(
     if blocksize != 64:
         scales = jnp.repeat(scales, blocksize // 64, axis=1)
     if layout == "auto":
-        # the SWAR pair decode exists only for FP4 (bit-pattern
-        # arithmetic); arbitrary codebooks stay planar
-        layout = "pair" if quant_type == "fp4" and out_f % 2 == 0 else "planar"
+        # FP4's SWAR bit-arithmetic pair decode wins decisively; the
+        # generic xor-select pair tree (pair_patterns_tree) measured
+        # SLOWER than the planar gather mix for NF4 on v5e (24.9 vs
+        # 30.2 tok/s e2e), so arbitrary codebooks default to planar
+        layout = ("pair" if quant_type == "fp4" and out_f % 2 == 0
+                  else "planar")
     if layout == "pair":
         from ..ops.qmatmul import planar_to_pair
 
@@ -420,7 +423,8 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
             from ..ops.qmatmul import matmul_4bit_pair_pallas_stacked
 
             return matmul_4bit_pair_pallas_stacked(
-                lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx)
+                lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
+                quant_type=qcfg.quant_type)
         qmm_ok = tokens in (1, 2, 4) or tokens % 8 == 0
         if not pair and tokens <= QMATMUL_MAX_TOKENS and qmm_ok and on_tpu:
             from ..ops.qmatmul import matmul_4bit_pallas_stacked

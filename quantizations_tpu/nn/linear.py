@@ -116,7 +116,7 @@ def apply_4bit(
         from ..ops.qmatmul import matmul_4bit_pair_pallas
 
         return matmul_4bit_pair_pallas(
-            wp, scales, x2.astype(compute_dtype))
+            wp, scales, x2.astype(compute_dtype), quant_type=quant_type)
     if pair:
         # XLA fallback / prefill: recover the planar words (one-time
         # int ops, fused into the dequant by XLA)
@@ -205,10 +205,9 @@ class Params4bit:
             rep = blocksize // 64
             scales = jnp.repeat(scales, rep, axis=1)
         if layout == "pair":
-            if quant_type != "fp4" or out_f % 2:
+            if out_f % 2:
                 raise ValueError(
-                    "pair layout requires quant_type='fp4' and an even "
-                    f"out_features (got {quant_type}, {out_f})")
+                    f"pair layout requires even out_features (got {out_f})")
             from ..ops.qmatmul import planar_to_pair
 
             wp = planar_to_pair(wp)

@@ -28,25 +28,25 @@ so the kernel works against a permuted activation ``xp[j, c] = x[8c+j]``
 and the 64-element quant block of ``(j, c)`` is ``c // 8`` independent of
 ``j`` — one scale array serves all planes.
 
-Performance ceiling (measured, v5e): the kernel is VPU-bound at ~147
-GB/s vs a measured 591 GB/s streaming roof. Exact FP4 decode costs ~17
-VPU ops/code (extract 2, exponent/mantissa bit-assembly 8, subnormal-
-pair select 5, sign 2) and the VPU runs ~5-8 T ops/s. Alternatives
-measured or analyzed and rejected on THIS hardware generation:
+Performance ceiling (measured, v5e): this fp32 GEMV kernel is VPU-bound
+at ~147 GB/s vs a measured 591 GB/s streaming roof. Exact FP4 decode
+costs ~17 VPU ops/code (extract 2, exponent/mantissa bit-assembly 8,
+subnormal-pair select 5, sign 2) and the VPU runs ~5-8 T ops/s. Notes
+from the ceiling hunt on THIS hardware generation:
 - vector gathers (``take16``): Mosaic ``dynamic_gather`` costs ~30
   op-equivalents/element and is single-vreg row-local (290us vs 225us).
 - pltpu.repeat TILES (not element-repeat), so per-element scale
-  expansion has no cheap form; applying scales after a local one-hot
-  group-reduce matmul (exact at HIGHEST) is the efficient encoding.
-- bf16-pair decode (2 values per int32 op stream via per-half bit
-  arithmetic, ~12 ops/code; the bit construction verified exact for all
-  256 byte values) dies on consumption: pltpu.bitcast int32->bf16
-  produces a clean row-pair interleave only at single-vreg shapes — at
-  production tile sizes the mapping is a scattered per-vreg permutation
-  (measured), sublane strides don't lower, and every recovery path
-  re-inflates MXU or gather cost past the VPU savings.
-A per-lane hardware table gather (as on GPUs' shared memory) would cut
-decode to ~4 ops/code; revisit on hardware with faster gathers.
+  expansion has no cheap form here; applying scales after a local
+  one-hot group-reduce matmul (exact at HIGHEST) is the efficient
+  encoding for this fp32 path.
+- bf16-pair SWAR decode (two values assembled per int32 lane, ~9 ops
+  per 2 codes): the production MXU path. An earlier session measured
+  pltpu.bitcast int32->bf16 as "scattered" at large shapes; the
+  characterization in benchmarks/bitcast_probe.py shows it is in fact a
+  CLEAN sublane interleave (int32 row i -> bf16 rows 2i/2i+1) at every
+  probed multi-vreg shape. ops/qmatmul.py's pair kernels build on it
+  and reach ~252 GB/s; this kernel remains the bit-faithful fp32
+  reference (fp32 products can't ride the pair bitcast).
 """
 
 from __future__ import annotations
@@ -241,9 +241,10 @@ def _lut_setup(quant_type: str, lut: Optional[str], k8: int):
             tbl_vals = np.asarray(code, np.float32)
     if lut == "take16":
         tbl_vals = np.asarray(code, np.float32)
-    if lut == "linear":
+    if lut == "probe_linear":
         # PROBE ONLY (benchmarks): decode = code value itself (1 convert).
-        # Not a valid codebook — measures the kernel's non-decode floor.
+        # Not a valid codebook — measures the kernel's non-decode floor;
+        # outputs are numerically meaningless.
         lut_fn = lambda c: c.astype(jnp.float32)
     # pad to 256 lanes so one table shape serves every strategy
     t = np.zeros((1, 1, 256), np.float32)

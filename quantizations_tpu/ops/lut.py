@@ -112,6 +112,42 @@ def fp4_pair_patterns(words: jnp.ndarray, shift: int) -> jnp.ndarray:
     return bits | (sgn << 12)
 
 
+def pair_patterns_tree(words: jnp.ndarray, shift: int,
+                       table: Sequence[float]) -> jnp.ndarray:
+    """SWAR decode of TWO codes per int32 lane for an ARBITRARY 16-entry
+    codebook (the NF4 path): a 4-level XOR-select tree over the bf16 bit
+    patterns of the table, evaluated on both 16-bit halves at once.
+
+    Per level the select is ``A ^ ((A ^ B) & mask)`` with per-half masks
+    expanded from code bits via ``(mb << 16) - mb`` — XOR blending never
+    carries across halves, so arbitrary (signed) patterns are safe.
+    ~55 ops per 2 codes vs ~30 gather op-equivalents per 1 code for the
+    in-kernel dynamic gather."""
+    import ml_dtypes
+
+    pat = np.asarray(np.asarray(table, np.float32).astype(ml_dtypes.bfloat16)
+                     ).view(np.uint16).astype(np.uint64)
+    both = [int(p | (p << np.uint64(16))) for p in pat]  # per-half const
+
+    def c32(v):  # uint32 bit pattern -> int32 jnp constant
+        return jnp.int32(np.uint32(v & 0xFFFFFFFF).astype(np.int32))
+
+    pair = (words >> shift) & 0x000F000F
+    masks = []
+    for b in range(4):
+        mb = (pair >> b) & 0x00010001
+        masks.append((mb << 16) - mb)                 # full-half masks
+
+    lvl = []
+    for i in range(8):
+        A, B = both[2 * i], both[2 * i + 1]
+        lvl.append(c32(A) ^ (c32(A ^ B) & masks[0]))
+    for b in range(1, 4):
+        lvl = [lvl[2 * i] ^ ((lvl[2 * i] ^ lvl[2 * i + 1]) & masks[b])
+               for i in range(len(lvl) // 2)]
+    return lvl[0]
+
+
 def lut_take(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:
     """Direct gather — lets the compiler pick the lowering. Works under
     XLA everywhere; in Mosaic kernels support depends on the backend

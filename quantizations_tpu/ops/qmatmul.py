@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gemv import _lut_setup, _pick_tiles, _plane_fn
-from .lut import fp4_pair_patterns
+from .lut import fp4_pair_patterns, pair_patterns_tree
 
 __all__ = ["matmul_4bit_pallas", "matmul_4bit_pallas_stacked",
            "matmul_4bit_pair_pallas", "matmul_4bit_pair_pallas_stacked",
@@ -310,7 +310,19 @@ def pair_permute_activation(x: jnp.ndarray) -> jnp.ndarray:
         [_blockmajor(xa[:, :4, :]), _blockmajor(xa[:, 4:, :])], axis=2)
 
 
-def _pair_kernel(wp_ref, xp_ref, s_ref, o_ref, *, out_factor, kc4):
+def _pair_fn(quant_type: str):
+    """(words, shift) -> packed bf16 pattern pairs, plus the scale
+    factor folded into srep (FP4 decodes RAW values, codebook x 12)."""
+    if quant_type == "fp4":
+        return fp4_pair_patterns, 1.0 / 12.0
+    from ..quant.codebooks import get_4bit_code
+
+    code = get_4bit_code(quant_type)
+    return (lambda w, sh: pair_patterns_tree(w, sh, code)), 1.0
+
+
+def _pair_kernel(wp_ref, xp_ref, s_ref, o_ref, *, out_factor, kc4,
+                 pair_fn=fp4_pair_patterns):
     wp = wp_ref[:] if len(wp_ref.shape) == 2 else wp_ref[0]  # [TM2, kc4]
     s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]      # [TM, NB]
     tm2 = wp.shape[0]
@@ -333,7 +345,7 @@ def _pair_kernel(wp_ref, xp_ref, s_ref, o_ref, *, out_factor, kc4):
     tt = xp_ref.shape[0]
     part = jnp.zeros((tt, tm), jnp.float32)
     for p in range(4):
-        D = fp4_pair_patterns(wp, 4 * p)                  # [TM2, kc4]
+        D = pair_fn(wp, 4 * p)                            # [TM2, kc4]
         Wp = pltpu.bitcast(D, jnp.bfloat16)               # [TM, kc4]
         Wj = Wp * srep
         xj = xp_ref[:, p, :].astype(jnp.bfloat16)         # [TT, kc4]
@@ -378,12 +390,13 @@ def _pick_tiles_pair(M: int, K4: int, tile_m: Optional[int]):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_m", "tile_t", "interpret"),
+    static_argnames=("quant_type", "tile_m", "tile_t", "interpret"),
 )
 def matmul_4bit_pair_pallas(
     wp2: jnp.ndarray,      # [M/2, K/4] int32 pair layout
     scales: jnp.ndarray,   # [M, K/64] float
     x: jnp.ndarray,        # [T, K]
+    quant_type: str = "fp4",
     tile_m: Optional[int] = None,
     tile_t: int = 256,
     interpret: bool = False,
@@ -405,8 +418,9 @@ def matmul_4bit_pair_pallas(
 
     xp = pair_permute_activation(x)
 
-    kernel = functools.partial(_pair_kernel, out_factor=1.0 / 12.0,
-                               kc4=kc4)
+    pair_fn, out_factor = _pair_fn(quant_type)
+    kernel = functools.partial(_pair_kernel, out_factor=out_factor,
+                               kc4=kc4, pair_fn=pair_fn)
     out = pl.pallas_call(
         kernel,
         grid=(T // tile_t, M // tile_m, K4 // kc4),
@@ -436,13 +450,14 @@ def matmul_4bit_pair_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_m", "tile_t", "interpret"),
+    static_argnames=("quant_type", "tile_m", "tile_t", "interpret"),
 )
 def matmul_4bit_pair_pallas_stacked(
     wp2: jnp.ndarray,        # [L, M/2, K/4] int32 pair layout
     scales: jnp.ndarray,     # [L, M, K/64] float
     x: jnp.ndarray,          # [T, K]
     layer_idx: jnp.ndarray,  # scalar int32
+    quant_type: str = "fp4",
     tile_m: Optional[int] = None,
     tile_t: int = 256,
     interpret: bool = False,
@@ -459,9 +474,11 @@ def matmul_4bit_pair_pallas_stacked(
     tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m)
     xp = pair_permute_activation(x)
 
+    pair_fn, out_factor = _pair_fn(quant_type)
+
     def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, o_ref):
         _pair_kernel(wp_ref[0], xp_ref, s_ref[0], o_ref,
-                     out_factor=1.0 / 12.0, kc4=kc4)
+                     out_factor=out_factor, kc4=kc4, pair_fn=pair_fn)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

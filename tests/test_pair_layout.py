@@ -125,9 +125,12 @@ def test_quantize_linear_layouts(rng):
     assert pair.out_features == 32 and pair.in_features == 128
     planar = quantize_linear(W, layout="planar")
     assert planar.layout == "planar" and planar.wp.shape == (32, 16)
-    # nf4 has no pair decode -> planar
+    # nf4 defaults to planar (the pair xor-tree measured slower than
+    # the planar gather mix on v5e); explicit pair still works
     nf4 = quantize_linear(W, quant_type="nf4")
     assert nf4.layout == "planar"
+    nf4p = quantize_linear(W, quant_type="nf4", layout="pair")
+    assert nf4p.layout == "pair"
     assert bool(jnp.all(pair_to_planar(pair.wp) == planar.wp))
 
 
