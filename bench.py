@@ -34,6 +34,8 @@ def main() -> None:
     p.add_argument("--lean", action="store_true",
                    help="quantize the embedding + bf16 scales "
                         "(~25%% of bf16 weight bytes)")
+    p.add_argument("--batch-sweep", action="store_true",
+                   help="also measure batch 16/32 aggregate TPS")
     args = p.parse_args()
 
     import jax
@@ -101,7 +103,8 @@ def main() -> None:
     # memory/VPU cost across tokens (the continuous-batching engine's
     # steady state). One jitted call per batch size.
     batched = {}
-    for Bn in (4, 8):
+    batch_sizes = (4, 8, 16, 32) if args.batch_sweep else (4, 8)
+    for Bn in batch_sizes:
         idsn = jnp.tile(ids, (Bn, 1))
         genn = make_generate_fn(cfg, serve)
 
@@ -144,6 +147,8 @@ def main() -> None:
         "batch4_vs_baseline": round(tps4 / REFERENCE_QUANT_TPS, 4),
         "batch8_tokens_per_s": round(tps8, 3),
         "batch8_vs_baseline": round(tps8 / REFERENCE_QUANT_TPS, 4),
+        **{f"batch{b}_tokens_per_s": round(batched[b], 3)
+           for b in batch_sizes if b > 8},
         "init_s": round(init_s, 2),
         "new_tokens": args.new_tokens,
         "device": str(dev.device_kind),
