@@ -413,13 +413,14 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
     ``idx`` straight out of the stacked HBM buffer — slicing the stack
     with XLA would copy every weight byte once per call (SURVEY.md §7
     hard part 3: decode is HBM-bound, traffic is the budget)."""
-    from ..nn.linear import GEMV_MAX_TOKENS, QMATMUL_MAX_TOKENS
+    from ..nn.linear import (GEMV_MAX_TOKENS, PAIR_QMATMUL_MAX_TOKENS,
+                             QMATMUL_MAX_TOKENS)
 
     if lin.wp.ndim == 3:
         tokens = x2.shape[0]
         on_tpu = jax.default_backend() == "tpu"
         pair = lin.layout == "pair"
-        if pair and tokens <= QMATMUL_MAX_TOKENS and on_tpu:
+        if pair and tokens <= PAIR_QMATMUL_MAX_TOKENS and on_tpu:
             from ..ops.qmatmul import matmul_4bit_pair_pallas_stacked
 
             return matmul_4bit_pair_pallas_stacked(

@@ -54,6 +54,11 @@ GEMV_MAX_TOKENS = 8
 # v5e: T=16 fused 251us vs XLA 349us; T=128 fused 426us vs XLA 348us).
 QMATMUL_MAX_TOKENS = 64
 
+# The SWAR pair kernel holds on longer before the dense pair matmul
+# takes over (measured at [14336,4096]: T=256 fused 404us vs dense
+# 433us; T=512: 782 vs 625).
+PAIR_QMATMUL_MAX_TOKENS = 256
+
 _SHIFTS = tuple(8 * (j // 2) + (4 - 4 * (j % 2)) for j in range(8))
 
 
@@ -91,6 +96,42 @@ def permute_cols(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def dense_matmul_pair(
+    x2: jnp.ndarray,
+    wp2: jnp.ndarray,
+    scales: jnp.ndarray,
+    quant_type: str,
+    compute_dtype: Any = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Prefill matmul DIRECTLY from the pair layout: dequantize the
+    even-row and odd-row 16-bit halves as two ``[M/2, K]`` matrices in
+    the pair column order (matched by ``pair_permute_activation``), dot
+    each, and interleave the OUTPUT columns — all full-lane ops. An
+    in-jit ``pair_to_planar`` + planar dequant costs ~1.1 ms extra per
+    call at [14336,4096] (the row re-interleave's size-2 sublane axis);
+    this path matches the planar XLA prefill throughput instead."""
+    from ..ops.qmatmul import pair_permute_activation
+
+    M2, K4 = wp2.shape[-2:]
+    T = x2.shape[0]
+    NB = scales.shape[-1]
+    lut = "fp4_bits" if quant_type == "fp4" else "tree"
+    lut_fn = make_lut(lut, get_4bit_code(quant_type))
+    xf = pair_permute_activation(x2.astype(compute_dtype)).reshape(
+        T, 4 * K4)
+    rep = K4 // NB
+    ys = []
+    for rows, base in ((slice(0, None, 2), 0), (slice(1, None, 2), 16)):
+        srep = jnp.tile(scales[rows, :].astype(jnp.float32), (1, rep))
+        planes = [
+            (lut_fn((wp2 >> (base + 4 * p)) & 15) * srep
+             ).astype(compute_dtype) for p in range(4)
+        ]
+        Wh = jnp.concatenate(planes, axis=1)          # [M/2, K] pair cols
+        ys.append(jnp.dot(xf, Wh.T, preferred_element_type=jnp.float32))
+    return jnp.stack(ys, axis=-1).reshape(T, 2 * M2)
+
+
 def apply_4bit(
     x2: jnp.ndarray,
     wp: jnp.ndarray,
@@ -112,14 +153,20 @@ def apply_4bit(
     tokens = x2.shape[0]
     on_tpu = use_pallas and jax.default_backend() == "tpu"
     pair = wp.shape[-2] != scales.shape[-2]      # SWAR row-pair layout
-    if pair and tokens <= QMATMUL_MAX_TOKENS and on_tpu:
-        from ..ops.qmatmul import matmul_4bit_pair_pallas
+    if pair and on_tpu:
+        # fused pair kernel up to its measured crossover vs the dense
+        # pair matmul, then dequant straight from the pair layout
+        if tokens <= PAIR_QMATMUL_MAX_TOKENS:
+            from ..ops.qmatmul import matmul_4bit_pair_pallas
 
-        return matmul_4bit_pair_pallas(
-            wp, scales, x2.astype(compute_dtype), quant_type=quant_type)
+            return matmul_4bit_pair_pallas(
+                wp, scales, x2.astype(compute_dtype),
+                quant_type=quant_type)
+        return dense_matmul_pair(x2, wp, scales, quant_type,
+                                 compute_dtype=compute_dtype)
     if pair:
-        # XLA fallback / prefill: recover the planar words (one-time
-        # int ops, fused into the dequant by XLA)
+        # CPU/XLA fallback: recover the planar words so the pair layout
+        # is numerically indistinguishable from planar in tests
         from ..ops.qmatmul import pair_to_planar
 
         wp = pair_to_planar(wp)

@@ -162,3 +162,48 @@ def test_linear4bit_pair_layout(rng):
     np.testing.assert_array_equal(
         np.asarray(lin_pair.weight.packed_u8()),
         np.asarray(lin_planar.weight.packed_u8()))
+
+
+def test_pair_kernel_interpret(rng):
+    """Pair Pallas kernel in interpret mode (CPU CI), incl. odd token
+    counts (tile_t collapses to 1). Tolerance is loose: interpret-mode
+    emulation of bf16 ops differs from hardware in rounding points."""
+    from quantizations_tpu.ops.qmatmul import (
+        matmul_4bit_pair_pallas, matmul_4bit_pallas)
+
+    M, K = 256, 512
+    by = jnp.asarray(
+        rng.integers(0, 256, (M, K // 2), dtype=np.int64).astype(np.int32))
+    wp = pack_i32_rows(by, M, K)
+    wp2 = planar_to_pair(wp)
+    scales = jnp.asarray(rng.random((M, K // 64), np.float32))
+    for T in (1, 3, 8):
+        x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
+        a = np.asarray(matmul_4bit_pair_pallas(
+            wp2, scales, x, interpret=True))
+        b = np.asarray(matmul_4bit_pallas(
+            wp, scales, x, quant_type="fp4", interpret=True))
+        denom = np.max(np.abs(b)) + 1e-9
+        assert np.max(np.abs(a - b)) / denom < 5e-3, T
+
+
+def test_dense_matmul_pair_matches_planar(rng):
+    """The pair-native dense matmul (prefill path) matches the planar
+    dequant+dot within fp32 accumulation-order noise."""
+    from quantizations_tpu.nn.linear import (
+        dense_matmul_pair, dequantize_permuted, permute_cols)
+
+    M, K = 128, 512
+    by = jnp.asarray(
+        rng.integers(0, 256, (M, K // 2), dtype=np.int64).astype(np.int32))
+    wp = pack_i32_rows(by, M, K)
+    wp2 = planar_to_pair(wp)
+    scales = jnp.asarray(rng.random((M, K // 64), np.float32))
+    x = jnp.asarray(rng.standard_normal((9, K)).astype(np.float32))
+    for qt in ("fp4", "nf4"):
+        a = np.asarray(dense_matmul_pair(x, wp2, scales, qt))
+        W = dequantize_permuted(wp, scales, qt, dtype=jnp.bfloat16)
+        b = np.asarray(jnp.dot(permute_cols(x.astype(jnp.bfloat16)), W.T,
+                               preferred_element_type=jnp.float32))
+        denom = np.max(np.abs(b)) + 1e-9
+        assert np.max(np.abs(a - b)) / denom < 2e-2, qt
