@@ -36,6 +36,8 @@ def main() -> None:
                         "(~25%% of bf16 weight bytes)")
     p.add_argument("--batch-sweep", action="store_true",
                    help="also measure batch 16/32 aggregate TPS")
+    p.add_argument("--prefill", action="store_true",
+                   help="also measure prefill throughput at T=512")
     args = p.parse_args()
 
     import jax
@@ -121,6 +123,32 @@ def main() -> None:
     tps4 = batched[4]
     tps8 = batched[8]
 
+    prefill_stats = {}
+    if args.prefill:
+        import functools
+
+        from quantizations_tpu.models.llama import prefill as prefill_fn
+
+        T = min(512, serve.max_seq_len - 1)
+        pf = jax.jit(functools.partial(
+            prefill_fn, cfg=cfg, last_token_only=True))
+        pids = (jnp.arange(T, dtype=jnp.int32)[None, :] * 7 + 11
+                ) % cfg.vocab_size
+        out, _ = pf(params, pids, KVCache.create(cfg, 1, serve.max_seq_len))
+        np.asarray(out)
+        ts = []
+        for _ in range(3):
+            cache = KVCache.create(cfg, 1, serve.max_seq_len)
+            t0 = time.perf_counter()
+            out, _ = pf(params, pids, cache)
+            np.asarray(out)
+            ts.append(time.perf_counter() - t0)
+        prefill_stats = {
+            "prefill_t": T,
+            "prefill_ms": round(min(ts) * 1e3, 1),
+            "prefill_tokens_per_s": round(T / min(ts), 1),
+        }
+
     mem = {}
     stats = getattr(dev, "memory_stats", lambda: None)()
     if stats:
@@ -153,6 +181,7 @@ def main() -> None:
         "new_tokens": args.new_tokens,
         "device": str(dev.device_kind),
         "backend": jax.default_backend(),
+        **prefill_stats,
         **mem,
     }
     print(json.dumps(line))

@@ -420,7 +420,10 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
         tokens = x2.shape[0]
         on_tpu = jax.default_backend() == "tpu"
         pair = lin.layout == "pair"
-        if pair and tokens <= PAIR_QMATMUL_MAX_TOKENS and on_tpu:
+        from ..ops.qmatmul import pair_tokens_ok
+
+        if (pair and tokens <= PAIR_QMATMUL_MAX_TOKENS and on_tpu
+                and pair_tokens_ok(tokens)):
             from ..ops.qmatmul import matmul_4bit_pair_pallas_stacked
 
             return matmul_4bit_pair_pallas_stacked(

@@ -156,7 +156,9 @@ def apply_4bit(
     if pair and on_tpu:
         # fused pair kernel up to its measured crossover vs the dense
         # pair matmul, then dequant straight from the pair layout
-        if tokens <= PAIR_QMATMUL_MAX_TOKENS:
+        from ..ops.qmatmul import pair_tokens_ok
+
+        if tokens <= PAIR_QMATMUL_MAX_TOKENS and pair_tokens_ok(tokens):
             from ..ops.qmatmul import matmul_4bit_pair_pallas
 
             return matmul_4bit_pair_pallas(

@@ -32,6 +32,7 @@ from .gemv import _lut_setup, _pick_tiles, _plane_fn
 from .lut import fp4_pair_patterns, pair_patterns_tree
 
 __all__ = ["matmul_4bit_pallas", "matmul_4bit_pallas_stacked",
+           "pair_tokens_ok",
            "matmul_4bit_pair_pallas", "matmul_4bit_pair_pallas_stacked",
            "pack_pair_rows", "planar_to_pair", "pair_to_planar",
            "pair_permute_activation"]
@@ -246,6 +247,16 @@ def matmul_4bit_pallas_stacked(
 #
 # The layout is LOCAL to an array: a row-parallel (K-sharded) weight
 # must be converted per shard (convert after sharding, or keep planar).
+
+
+def pair_tokens_ok(tokens: int, tile_t: int = 256) -> bool:
+    """Whether the pair kernels can tile ``tokens`` rows: the collapsed
+    token tile must equal the row count or be sublane-divisible (the
+    Mosaic block rule: last-two block dims divisible by (8, 128) or
+    equal to the array dims)."""
+    while tokens % tile_t:
+        tile_t //= 2
+    return tile_t == tokens or tile_t % 8 == 0
 
 
 def nibble_swap(x: jnp.ndarray) -> jnp.ndarray:
