@@ -118,6 +118,29 @@ def quantize_codebook_codes(x: jnp.ndarray, code: jnp.ndarray) -> jnp.ndarray:
     return idx.reshape(x.shape).astype(jnp.uint8)
 
 
+def quantize_codebook_codes_stochastic(
+    x: jnp.ndarray, code: jnp.ndarray, key: jnp.ndarray
+) -> jnp.ndarray:
+    """Stochastic rounding against a sorted codebook: round to the upper
+    bracketing entry with probability ``(x - lower) / (upper - lower)``
+    — unbiased within the bracket (E[dequant] == x). Semantics of the
+    reference's ``dQuantize<STOCHASTIC=1>`` template (kernels.cu:195-255;
+    the reference ships the kernel but its Python layer never enables
+    it — here it is a first-class option)."""
+    flat = x.reshape(-1)
+    hi = jnp.clip(jnp.searchsorted(code, flat, side="left"),
+                  0, code.shape[0] - 1)
+    lo = jnp.maximum(hi - 1, 0)
+    cl = jnp.take(code, lo)
+    ch = jnp.take(code, hi)
+    denom = ch - cl
+    frac = jnp.where(denom > 0, (flat - cl) / denom, 0.0)
+    frac = jnp.clip(frac, 0.0, 1.0)
+    r = jax.random.uniform(key, flat.shape, jnp.float32)
+    idx = jnp.where(r < frac, hi, lo)
+    return idx.reshape(x.shape).astype(jnp.uint8)
+
+
 _CODES_FN = {"fp4": quantize_fp4_codes, "nf4": quantize_nf4_codes}
 
 
@@ -180,11 +203,16 @@ def quantize_blockwise(
     A: jnp.ndarray,
     code: Optional[jnp.ndarray] = None,
     blocksize: int = 256,
+    stochastic: bool = False,
+    key: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, QuantState]:
     """8-bit blockwise quantization against a 256-entry codebook.
 
     Reference core.py:317-366 (kernel kernels.cu:340-478, General8bit
     path). Returns (uint8 codes with A's shape, QuantState).
+    ``stochastic=True`` (with a PRNG ``key``) rounds stochastically —
+    unbiased, for accumulating statistics (the reference's unused
+    STOCHASTIC kernel template, kernels.cu:239-255).
     """
     if code is None:
         code = jnp.asarray(create_dynamic_map())
@@ -193,7 +221,13 @@ def quantize_blockwise(
     blocked, absmax, n = _block_absmax(flat, blocksize)
     inv = jnp.where(absmax > 0, 1.0 / absmax, 0.0)
     norm = blocked * inv[:, None]
-    q = quantize_codebook_codes(norm, code).reshape(-1)[:n].reshape(A.shape)
+    if stochastic:
+        if key is None:
+            raise ValueError("stochastic quantization needs a PRNG key")
+        q = quantize_codebook_codes_stochastic(norm, code, key)
+    else:
+        q = quantize_codebook_codes(norm, code)
+    q = q.reshape(-1)[:n].reshape(A.shape)
     state = QuantState(
         absmax=absmax,
         code=code,

@@ -182,3 +182,44 @@ def test_quant_state_bnb_dict_round_trip(rng):
     np.testing.assert_array_equal(out1, out2)
     assert state2.quant_type == "nf4"
     assert state2.shape == (64, 128)
+
+
+def test_stochastic_blockwise_unbiased():
+    """Stochastic 8-bit rounding: deterministic per key, unbiased in
+    expectation, and exact for on-grid values."""
+    import jax
+
+    from quantizations_tpu.quant.functional import (
+        dequantize_blockwise, quantize_blockwise)
+
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.uniform(-1, 1, 512).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    q1, st1 = quantize_blockwise(A, blocksize=256, stochastic=True, key=key)
+    q2, _ = quantize_blockwise(A, blocksize=256, stochastic=True, key=key)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+
+    # unbiased: mean dequant over many keys approaches A much closer
+    # than the one-shot rounding error
+    acc = np.zeros(A.shape, np.float64)
+    NKEYS = 64
+    for i in range(NKEYS):
+        q, st = quantize_blockwise(A, blocksize=256, stochastic=True,
+                                   key=jax.random.PRNGKey(i))
+        acc += np.asarray(dequantize_blockwise(q, st), dtype=np.float64)
+    mean_err = np.abs(acc / NKEYS - np.asarray(A, np.float64)).mean()
+    qd, std = quantize_blockwise(A, blocksize=256)
+    det_err = np.abs(np.asarray(dequantize_blockwise(qd, std), np.float64)
+                     - np.asarray(A, np.float64)).mean()
+    assert mean_err < det_err * 0.5, (mean_err, det_err)
+
+    # exact codebook values quantize losslessly under any key (each
+    # 256-block is the full codebook x 0.5, so absmax normalization
+    # recovers the grid exactly)
+    _, st = quantize_blockwise(A, blocksize=256)
+    grid = np.asarray(st.code) * 0.5
+    G = jnp.asarray(np.tile(grid, 2).astype(np.float32))
+    qg, stg = quantize_blockwise(G, blocksize=256, stochastic=True,
+                                 key=jax.random.PRNGKey(7))
+    back = np.asarray(dequantize_blockwise(qg, stg))
+    np.testing.assert_allclose(back, np.asarray(G), rtol=0, atol=1e-6)
