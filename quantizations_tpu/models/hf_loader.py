@@ -73,6 +73,12 @@ def config_from_hf(model_dir: str,
         max_position_embeddings=hf.get("max_position_embeddings", 8192),
         tie_word_embeddings=bool(hf.get("tie_word_embeddings", False)),
         rope_scaling=rope_scaling,
+        # Qwen2-family checkpoints carry additive qkv bias; HF Llama
+        # configs expose "attention_bias" (default off), Qwen2 models
+        # imply it via the architecture name
+        attention_bias=bool(hf.get(
+            "attention_bias",
+            any(a.startswith("Qwen2") for a in hf.get("architectures", [])))),
         quant=quant or QuantConfig(),
     )
 
@@ -170,6 +176,11 @@ def load_hf_llama(
             )
         return None
 
+    def bias(name):
+        if not cfg.attention_bias:
+            return None
+        return read(name).astype(jnp.bfloat16)
+
     per_layer = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
@@ -178,6 +189,9 @@ def load_hf_llama(
             q=qlin(p + "self_attn.q_proj.weight", layer_slice("q")),
             k=qlin(p + "self_attn.k_proj.weight", layer_slice("k")),
             v=qlin(p + "self_attn.v_proj.weight", layer_slice("v")),
+            q_bias=bias(p + "self_attn.q_proj.bias"),
+            k_bias=bias(p + "self_attn.k_proj.bias"),
+            v_bias=bias(p + "self_attn.v_proj.bias"),
             o=qlin(p + "self_attn.o_proj.weight", layer_slice("o"),
                    layout="planar" if mesh is not None else "auto"),
             mlp_norm=read(p + "post_attention_layernorm.weight"
@@ -240,6 +254,10 @@ def _iter_qlinears(params: LlamaParams) -> Iterator[Tuple[str, Any]]:
     yield "layers.mlp_norm", params.layers.mlp_norm
     for attr in ("q", "k", "v", "o", "gate", "up", "down"):
         yield f"layers.{attr}", getattr(params.layers, attr)
+    for attr in ("q_bias", "k_bias", "v_bias"):
+        leaf = getattr(params.layers, attr)
+        if leaf is not None:
+            yield f"layers.{attr}", leaf
     yield "lm_head", params.lm_head
 
 
@@ -279,12 +297,18 @@ def load_quantized(path: str, cfg: LlamaConfig) -> LlamaParams:
             )
         return jnp.asarray(t[name]).astype(jnp.bfloat16)
 
+    def get_opt(name):
+        return get(name) if name in t else None
+
     layers = LlamaLayer(
         attn_norm=get("layers.attn_norm"),
         q=get("layers.q"), k=get("layers.k"), v=get("layers.v"),
         o=get("layers.o"),
         mlp_norm=get("layers.mlp_norm"),
         gate=get("layers.gate"), up=get("layers.up"), down=get("layers.down"),
+        q_bias=get_opt("layers.q_bias"),
+        k_bias=get_opt("layers.k_bias"),
+        v_bias=get_opt("layers.v_bias"),
     )
     return LlamaParams(
         embed=get("embed"), layers=layers,

@@ -67,6 +67,9 @@ class LlamaConfig:
     # HF "llama3"-type rope scaling: (factor, low_freq_factor,
     # high_freq_factor, original_max_position_embeddings). None = off.
     rope_scaling: Optional[Tuple[float, float, float, int]] = None
+    # Qwen2-style additive bias on the q/k/v projections (HF
+    # config.json "attention_bias"; Llama models ship without it)
+    attention_bias: bool = False
     # decode attention via the Pallas flash-decode kernel
     # (ops/attention.py) instead of the XLA einsum path
     use_flash_attention: bool = False
@@ -134,7 +137,8 @@ class QLinear:
 class LlamaLayer:
     """One decoder layer's parameters. In :class:`LlamaParams` every leaf
     carries a leading ``[num_layers]`` axis and is consumed by
-    ``lax.scan``."""
+    ``lax.scan``. The bias fields are ``None`` for Llama checkpoints and
+    bf16 vectors for Qwen2-style ``attention_bias`` models."""
 
     attn_norm: jnp.ndarray   # [hidden]
     q: QLinear
@@ -145,6 +149,9 @@ class LlamaLayer:
     gate: QLinear
     up: QLinear
     down: QLinear
+    q_bias: Optional[jnp.ndarray] = None
+    k_bias: Optional[jnp.ndarray] = None
+    v_bias: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
@@ -275,6 +282,13 @@ def init_llama_params(
 
     def make_layer(i: int) -> LlamaLayer:
         ks = jax.random.split(jax.random.fold_in(key, i), 7)
+        def b(key, n):
+            if not cfg.attention_bias:
+                return None
+            return (jax.random.normal(key, (n,), jnp.float32)
+                    * scale).astype(jnp.bfloat16)
+
+        kb = jax.random.split(jax.random.fold_in(key, i + 10**5), 3)
         return LlamaLayer(
             attn_norm=jnp.ones((h,), jnp.bfloat16),
             q=qlin(ks[0], qs, h),
@@ -285,6 +299,7 @@ def init_llama_params(
             gate=qlin(ks[4], inter, h),
             up=qlin(ks[5], inter, h),
             down=qlin(ks[6], h, inter),
+            q_bias=b(kb[0], qs), k_bias=b(kb[1], kvs), v_bias=b(kb[2], kvs),
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -481,9 +496,16 @@ def _layer_forward(
     with jax.named_scope("attn"):
         xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
         x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
-        q = _ql(x2, layer.q, qcfg, idx).reshape(B, T, n_q, D)
-        k = _ql(x2, layer.k, qcfg, idx).reshape(B, T, n_kv, D)
-        v = _ql(x2, layer.v, qcfg, idx).reshape(B, T, n_kv, D)
+        q = _ql(x2, layer.q, qcfg, idx)
+        k = _ql(x2, layer.k, qcfg, idx)
+        v = _ql(x2, layer.v, qcfg, idx)
+        if layer.q_bias is not None:
+            q = q + layer.q_bias.astype(q.dtype)
+            k = k + layer.k_bias.astype(k.dtype)
+            v = v + layer.v_bias.astype(v.dtype)
+        q = q.reshape(B, T, n_q, D)
+        k = k.reshape(B, T, n_kv, D)
+        v = v.reshape(B, T, n_kv, D)
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -574,6 +596,9 @@ def _forward(
             attn_norm=stacked.attn_norm[i], mlp_norm=stacked.mlp_norm[i],
             q=stacked.q, k=stacked.k, v=stacked.v, o=stacked.o,
             gate=stacked.gate, up=stacked.up, down=stacked.down,
+            q_bias=(None if stacked.q_bias is None else stacked.q_bias[i]),
+            k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
+            v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
         )
         x, ck_i, cv_i = _layer_forward(
             x, layer, ck[i], cv[i], pos, cos, sin, mask, cfg,

@@ -61,12 +61,14 @@ def _stage_qlinear() -> QLinear:
 
 
 def pp_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
+    ab = P(PP_AXIS, None) if cfg.attention_bias else None
     layer = LlamaLayer(
         attn_norm=P(PP_AXIS, None),
         q=_stage_qlinear(), k=_stage_qlinear(), v=_stage_qlinear(),
         o=_stage_qlinear(),
         mlp_norm=P(PP_AXIS, None),
         gate=_stage_qlinear(), up=_stage_qlinear(), down=_stage_qlinear(),
+        q_bias=ab, k_bias=ab, v_bias=ab,
     )
     lm_head = (QLinear(wp=P(None, None), scales=P(None, None))
                if cfg.quant.quantize_lm_head else P(None, None))
@@ -105,6 +107,9 @@ def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
             attn_norm=stacked.attn_norm[i], mlp_norm=stacked.mlp_norm[i],
             q=stacked.q, k=stacked.k, v=stacked.v, o=stacked.o,
             gate=stacked.gate, up=stacked.up, down=stacked.down,
+            q_bias=(None if stacked.q_bias is None else stacked.q_bias[i]),
+            k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
+            v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
         )
         x, ck_i, cv_i = _layer_forward(
             x, layer, ck[i], cv[i], pos, cos, sin, mask, cfg,

@@ -77,11 +77,13 @@ def _row(lead_l: bool) -> QLinear:
 
 def llama_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
     """PartitionSpec pytree matching :class:`LlamaParams`."""
+    ab = P(None, AXIS) if cfg.attention_bias else None
     layer = LlamaLayer(
         attn_norm=P(None, None),
         q=_col(True), k=_col(True), v=_col(True), o=_row(True),
         mlp_norm=P(None, None),
         gate=_col(True), up=_col(True), down=_row(True),
+        q_bias=ab, k_bias=ab, v_bias=ab,
     )
     lm_head = (_col(False) if cfg.quant.quantize_lm_head
                else P(AXIS, None))
@@ -147,6 +149,8 @@ def make_sharded_generate_fn(
         max_new_tokens=serve.max_new_tokens,
         temperature=serve.temperature,
         top_k=serve.top_k,
+        top_p=serve.top_p,
+        eos_id=serve.eos_id,
         axis_name=AXIS,
     )
     mapped = jax.shard_map(

@@ -124,3 +124,78 @@ def test_load_onto_mesh(hf_dir):
     assert all(ss[1] == per_shard_rows for ss in shard_shapes)
     # row-parallel down stays planar (pair layout is shard-local on K)
     assert params.layers.down.layout == "planar"
+
+
+def test_qwen2_style_attention_bias(tmp_path):
+    """A Qwen2-architecture checkpoint (qkv bias) loads, biases flow
+    through the forward, and the pre-quantized save/load round-trips
+    them."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "qwen_tiny"
+    d.mkdir()
+    cfgj = {
+        "architectures": ["Qwen2ForCausalLM"],
+        "vocab_size": VOCAB, "hidden_size": H,
+        "intermediate_size": INTER, "num_hidden_layers": LAYERS,
+        "num_attention_heads": HEADS, "num_key_value_heads": KV,
+        "head_dim": HD, "rope_theta": 10000.0, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 64, "tie_word_embeddings": False,
+    }
+    (d / "config.json").write_text(json.dumps(cfgj))
+
+    def w(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    tensors = {
+        "model.embed_tokens.weight": w(VOCAB, H),
+        "model.norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": w(VOCAB, H),
+    }
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        tensors[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        tensors[p + "post_attention_layernorm.weight"] = np.ones(
+            H, np.float32)
+        tensors[p + "self_attn.q_proj.weight"] = w(HEADS * HD, H)
+        tensors[p + "self_attn.k_proj.weight"] = w(KV * HD, H)
+        tensors[p + "self_attn.v_proj.weight"] = w(KV * HD, H)
+        tensors[p + "self_attn.q_proj.bias"] = w(HEADS * HD)
+        tensors[p + "self_attn.k_proj.bias"] = w(KV * HD)
+        tensors[p + "self_attn.v_proj.bias"] = w(KV * HD)
+        tensors[p + "self_attn.o_proj.weight"] = w(H, HEADS * HD)
+        tensors[p + "mlp.gate_proj.weight"] = w(INTER, H)
+        tensors[p + "mlp.up_proj.weight"] = w(INTER, H)
+        tensors[p + "mlp.down_proj.weight"] = w(H, INTER)
+    save_file(tensors, str(d / "model.safetensors"))
+
+    cfg, params = load_hf_llama(str(d))
+    assert cfg.attention_bias
+    assert params.layers.q_bias is not None
+    assert params.layers.q_bias.shape == (LAYERS, HEADS * HD)
+
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    import functools
+
+    pf = jax.jit(functools.partial(prefill, cfg=cfg))
+    logits, _ = pf(params, ids, KVCache.create(cfg, 1, 16))
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    # zeroing the biases changes the logits (they are live in the path)
+    import dataclasses as _dc
+
+    params0 = params.replace(layers=params.layers.replace(
+        q_bias=jnp.zeros_like(params.layers.q_bias),
+        k_bias=jnp.zeros_like(params.layers.k_bias),
+        v_bias=jnp.zeros_like(params.layers.v_bias)))
+    logits0, _ = pf(params0, ids, KVCache.create(cfg, 1, 16))
+    assert not np.allclose(np.asarray(logits), np.asarray(logits0))
+
+    # pre-quantized round-trip preserves biases
+    path = str(tmp_path / "q.safetensors")
+    save_quantized(params, path)
+    loaded = load_quantized(path, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.layers.q_bias, dtype=np.float32),
+        np.asarray(params.layers.q_bias, dtype=np.float32))
