@@ -79,6 +79,14 @@ def config_from_hf(model_dir: str,
         attention_bias=bool(hf.get(
             "attention_bias",
             any(a.startswith("Qwen2") for a in hf.get("architectures", [])))),
+        # Mistral ships "sliding_window"; Qwen2 carries the field but
+        # gates it behind "use_sliding_window" (default off there)
+        sliding_window=(hf.get("sliding_window")
+                        if hf.get("use_sliding_window",
+                                  not any(a.startswith("Qwen2")
+                                          for a in hf.get("architectures",
+                                                          [])))
+                        else None),
         quant=quant or QuantConfig(),
     )
 

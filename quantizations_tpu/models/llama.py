@@ -70,6 +70,11 @@ class LlamaConfig:
     # Qwen2-style additive bias on the q/k/v projections (HF
     # config.json "attention_bias"; Llama models ship without it)
     attention_bias: bool = False
+    # Mistral-style sliding-window attention: each query attends only
+    # the last ``sliding_window`` positions (within the preallocated
+    # cache — this bounds attention, it is not a ring buffer). None =
+    # full causal.
+    sliding_window: Optional[int] = None
     # decode attention via the Pallas flash-decode kernel
     # (ops/attention.py) instead of the XLA einsum path
     use_flash_attention: bool = False
@@ -516,7 +521,8 @@ def _layer_forward(
         cache_v = upd(cache_v, v.astype(cache_v.dtype).swapaxes(1, 2), pos)
 
         S_att = attend_len or cache_k.shape[2]
-        if cfg.use_flash_attention and T == 1:
+        if (cfg.use_flash_attention and T == 1
+                and cfg.sliding_window is None):
             from ..ops.attention import flash_decode_attention
 
             attn = flash_decode_attention(
@@ -584,6 +590,9 @@ def _forward(
     S_att = attend_len or S
     key_pos = jnp.arange(S_att, dtype=jnp.int32)
     mask = key_pos[None, None, :] <= positions[:, :, None]  # [B, T, S_att]
+    if cfg.sliding_window is not None:
+        mask = mask & (key_pos[None, None, :]
+                       > positions[:, :, None] - cfg.sliding_window)
 
     stacked = params.layers  # every QLinear leaf keeps its [L] axis; the
     # scan body passes the layer index down so the decode kernel can read

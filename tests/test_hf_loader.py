@@ -199,3 +199,34 @@ def test_qwen2_style_attention_bias(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded.layers.q_bias, dtype=np.float32),
         np.asarray(params.layers.q_bias, dtype=np.float32))
+
+
+def test_mistral_style_sliding_window_config(tmp_path):
+    """Mistral-format config: sliding_window honored; Qwen2 gates it
+    behind use_sliding_window (off by default)."""
+    d = tmp_path / "m"
+    d.mkdir()
+    base = {
+        "vocab_size": 64, "hidden_size": 64, "intermediate_size": 128,
+        "num_hidden_layers": 1, "num_attention_heads": 1,
+        "num_key_value_heads": 1, "head_dim": 64,
+    }
+    (d / "config.json").write_text(json.dumps({
+        **base, "architectures": ["MistralForCausalLM"],
+        "sliding_window": 4096}))
+    from quantizations_tpu.models.hf_loader import config_from_hf
+
+    cfg = config_from_hf(str(d))
+    assert cfg.sliding_window == 4096 and not cfg.attention_bias
+
+    (d / "config.json").write_text(json.dumps({
+        **base, "architectures": ["Qwen2ForCausalLM"],
+        "sliding_window": 32768}))
+    cfg = config_from_hf(str(d))
+    assert cfg.sliding_window is None and cfg.attention_bias
+
+    (d / "config.json").write_text(json.dumps({
+        **base, "architectures": ["Qwen2ForCausalLM"],
+        "sliding_window": 32768, "use_sliding_window": True}))
+    cfg = config_from_hf(str(d))
+    assert cfg.sliding_window == 32768

@@ -166,3 +166,50 @@ def test_quantized_embedding_and_footprint():
                   jax.random.PRNGKey(0))
     assert toks.shape == (1, 5)
     assert int(toks.max()) < CFG.vocab_size
+
+
+def test_sliding_window_masks_old_positions():
+    """With sliding_window=W, logits at position p ignore keys at
+    positions <= p - W: shifting far-past cache content must not change
+    the output, while near-past content must."""
+    import dataclasses
+
+    import numpy as np
+
+    from quantizations_tpu.models.llama import (
+        KVCache, TINY_LLAMA, decode_step, init_llama_params)
+
+    W = 4
+    cfg = dataclasses.replace(TINY_LLAMA, sliding_window=W)
+    params = init_llama_params(cfg, seed=0)
+    B, S = 1, 16
+    rng = np.random.default_rng(0)
+
+    def run(cache_bytes):
+        cache = KVCache(k=jnp.asarray(cache_bytes[0]),
+                        v=jnp.asarray(cache_bytes[1]))
+        tok = jnp.asarray([[7]], jnp.int32)
+        logits, _ = decode_step(params, tok, cache,
+                                jnp.asarray([10], jnp.int32), cfg)
+        return np.asarray(logits)
+
+    L = cfg.num_hidden_layers
+    KV = cfg.num_key_value_heads
+    D = cfg.head_dim
+    base_k = rng.standard_normal((L, B, KV, S, D)).astype(np.float32)
+    base_v = rng.standard_normal((L, B, KV, S, D)).astype(np.float32)
+
+    a = run((base_k, base_v))
+    # perturb positions 0..5 (all <= 10 - W = 6 -> outside the window...
+    # window is (10-W, 10] = positions 7..10; 0..6 are masked)
+    far_k, far_v = base_k.copy(), base_v.copy()
+    far_k[:, :, :, :6] += 100.0
+    far_v[:, :, :, :6] += 100.0
+    b = run((far_k, far_v))
+    np.testing.assert_array_equal(a, b)
+    # perturbing an in-window position changes the logits
+    near_k, near_v = base_k.copy(), base_v.copy()
+    near_k[:, :, :, 9] += 1.0
+    near_v[:, :, :, 9] += 1.0
+    c = run((near_k, near_v))
+    assert not np.allclose(a, c)
