@@ -1,0 +1,181 @@
+"""Prompt-lookup speculative decoding (greedy-exact).
+
+Batch-1 decode is HBM-bound: every step streams all packed weights for
+ONE token. Verifying K drafted tokens in a single forward streams the
+weights once for up to K+... accepted tokens — the fused pair kernel
+(ops/qmatmul.py) is nearly batch-flat for small T, so acceptance
+translates almost 1:1 into decode TPS.
+
+The drafter is model-free "prompt lookup": propose the K tokens that
+followed the most recent earlier occurrence of the current bigram in the
+token history (prompt + generated so far). Drafts cost nothing and hit
+often on natural text (quotes, code, templated spans). Verification is
+exact greedy: the emitted stream is IDENTICAL to token-by-token greedy
+decoding, whatever the drafts are (tested).
+
+No reference analogue — the reference rides HF ``model.generate``
+batch-1 (reference README.md:118-121); this is a TPU-native serving
+feature enabled by the batch-flat decode kernel.
+
+Greedy only (temperature 0): acceptance is defined by argmax equality.
+
+Numerics caveat (standard for speculative decoding): the T=K verify
+forward and the T=1 sequential forward differ in low-order float bits,
+so a near-tied argmax can flip — the emitted stream is greedy-exact
+w.r.t. the VERIFY forward's numerics (bit-identical to sequential on
+the fp32 CPU path, tested; on-chip bf16 ties may diverge, which random
+-weight models hit constantly and trained models rarely).
+
+Measured (v5e, random weights): zero-acceptance worst case costs 11%
+(48.8 vs 54.9 tok/s on 8B — the pair kernel is nearly batch-flat, so a
+K=8 verify streams weights once for 8 slots); at the tiny preset's
+measured 2.2 tokens/verify-step the same acceptance on a weight-bound
+8B decode translates ~1:1 into TPS.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ServeConfig
+from ..models.llama import KVCache, LlamaConfig, LlamaParams, prefill
+from .generate import _generate_impl
+
+__all__ = ["make_speculative_generate_fn", "draft_prompt_lookup"]
+
+
+def draft_prompt_lookup(hist: jnp.ndarray, hcnt: jnp.ndarray,
+                        k: int) -> jnp.ndarray:
+    """Propose ``k`` tokens per row from the most recent earlier match
+    of the current bigram in ``hist[:, :hcnt]``.
+
+    hist: [B, S] token history (prompt + generated), hcnt: [B] valid
+    lengths (>= 2). Rows with no match propose a repeat of the last
+    token — any draft is sound, verification rejects bad ones.
+    """
+    B, S = hist.shape
+    j = jnp.arange(S, dtype=jnp.int32)[None, :]
+    last1 = jnp.take_along_axis(hist, (hcnt - 1)[:, None], axis=1)
+    last2 = jnp.take_along_axis(hist, (hcnt - 2)[:, None], axis=1)
+    nxt = jnp.concatenate([hist[:, 1:], hist[:, :1]], axis=1)  # hist[j+1]
+    match = ((hist == last2) & (nxt == last1)
+             & (j + 1 < (hcnt - 1)[:, None]))       # strictly earlier
+    jm = jnp.max(jnp.where(match, j, -1), axis=1)   # [B] last match or -1
+    start = jnp.where(jm >= 0, jm + 2, (hcnt - 1))  # draft source offset
+
+    def take_k(row, s):
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([row, row[:k]]), s, k)  # wrap-safe
+
+    return jax.vmap(take_k)(hist, jnp.minimum(start, S - 1))
+
+
+def _spec_impl(
+    params: LlamaParams,
+    prompt_ids: jnp.ndarray,      # [B, P]
+    cache: KVCache,
+    cfg: LlamaConfig,
+    max_new_tokens: int,
+    draft_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """Returns (tokens [B, max_new_tokens], accept_steps, cache).
+
+    ``accept_steps`` is the number of verify forwards used — the
+    decode-weight-stream count; plain greedy would use
+    ``max_new_tokens``."""
+    B, P = prompt_ids.shape
+    N = max_new_tokens
+    K = draft_k
+
+    logits, cache = prefill(params, prompt_ids, cache, cfg,
+                            last_token_only=True)
+    t0 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    S_hist = P + N + K + 2
+    hist = jnp.zeros((B, S_hist), jnp.int32)
+    hist = jax.lax.dynamic_update_slice(hist, prompt_ids, (0, 0))
+    hist = jax.vmap(lambda h, t: h.at[P].set(t))(hist, t0)
+    hcnt = jnp.full((B,), P + 1, jnp.int32)
+
+    out = jnp.zeros((B, N + K), jnp.int32)
+    out = jax.vmap(lambda o, t: o.at[0].set(t))(out, t0)
+
+    # carry: pending token per row, cache write position, emitted count,
+    # history, verify-step counter
+    state = dict(
+        pending=t0,
+        # t0 is sampled but not yet fed: its key lands at position P in
+        # the first verify forward
+        pos=jnp.full((B,), P, jnp.int32),
+        cnt=jnp.ones((B,), jnp.int32),
+        hist=hist, hcnt=hcnt, out=out, cache=cache,
+        steps=jnp.int32(0),
+    )
+
+    def cond(s):
+        return jnp.min(s["cnt"]) < N
+
+    def body(s):
+        draft = draft_prompt_lookup(s["hist"], s["hcnt"], K)   # [B, K]
+        feed = jnp.concatenate(
+            [s["pending"][:, None], draft[:, :K - 1]], axis=1)  # [B, K]
+        logits, cache = prefill(params, feed, s["cache"], cfg,
+                                pos=s["pos"])
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)       # [B, K]
+        ok = draft[:, :K - 1] == g[:, :K - 1]
+        # a = leading-match count in [0, K-1]
+        a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+        emit_n = a + 1                                          # [1, K]
+
+        idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+        live = idx < emit_n[:, None]
+        # append g[:, :emit_n] to out at cnt and to hist at hcnt
+        def scatter(buf, base, vals, live):
+            pos = jnp.clip(base[:, None] + idx, 0, buf.shape[1] - 1)
+            onehot = (pos[:, :, None]
+                      == jnp.arange(buf.shape[1])[None, None, :])
+            upd = jnp.sum(
+                jnp.where(live[:, :, None] & onehot, vals[:, :, None], 0),
+                axis=1)
+            written = jnp.any(live[:, :, None] & onehot, axis=1)
+            return jnp.where(written, upd, buf)
+
+        out = scatter(s["out"], s["cnt"], g, live)
+        hist = scatter(s["hist"], s["hcnt"], g, live)
+        pending = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
+        return dict(
+            pending=pending,
+            pos=s["pos"] + emit_n,
+            cnt=s["cnt"] + emit_n,
+            hist=hist, hcnt=s["hcnt"] + emit_n, out=out, cache=cache,
+            steps=s["steps"] + 1,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["out"][:, :N], state["steps"], state["cache"]
+
+
+def make_speculative_generate_fn(
+    cfg: LlamaConfig,
+    serve: ServeConfig,
+    draft_k: int = 8,
+) -> Callable:
+    """Jitted speculative generate: ``(params, prompt_ids, cache) ->
+    (tokens [B, max_new_tokens], verify_steps, cache)``. Greedy only;
+    output is token-identical to ``make_generate_fn`` at temperature 0.
+
+    ``draft_k`` must keep the verify forward inside the fused pair
+    kernel band (<= 256 rows incl. batch) — 8 is a good default: the
+    kernel is nearly batch-flat there and misdrafts waste little."""
+    if serve.temperature != 0.0:
+        raise ValueError("speculative decoding is greedy-only "
+                         "(serve.temperature must be 0)")
+    fn = functools.partial(
+        _spec_impl, cfg=cfg, max_new_tokens=serve.max_new_tokens,
+        draft_k=draft_k)
+    donate = (2,) if serve.donate_cache else ()
+    return jax.jit(fn, donate_argnums=donate)

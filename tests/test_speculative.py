@@ -1,0 +1,65 @@
+"""Prompt-lookup speculative decoding: greedy-exact equivalence and
+drafting behavior (CPU)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quantizations_tpu.config import ServeConfig
+from quantizations_tpu.models.llama import (
+    KVCache, TINY_LLAMA, init_llama_params)
+from quantizations_tpu.serve.generate import make_generate_fn
+from quantizations_tpu.serve.speculative import (
+    draft_prompt_lookup, make_speculative_generate_fn)
+
+CFG = TINY_LLAMA
+SERVE = ServeConfig(max_seq_len=128, max_new_tokens=24, temperature=0.0)
+
+
+def test_draft_prompt_lookup():
+    hist = jnp.asarray([[5, 6, 7, 8, 9, 5, 6, 0, 0, 0]], jnp.int32)
+    hcnt = jnp.asarray([7], jnp.int32)
+    # current bigram (5, 6) matched at j=0 -> draft from position 2
+    d = np.asarray(draft_prompt_lookup(hist, hcnt, 3))
+    np.testing.assert_array_equal(d[0], [7, 8, 9])
+    # no earlier match -> repeat of last token
+    hist2 = jnp.asarray([[1, 2, 3, 4, 0, 0]], jnp.int32)
+    d2 = np.asarray(draft_prompt_lookup(hist2, jnp.asarray([4]), 2))
+    np.testing.assert_array_equal(d2[0], [4, 0])
+
+
+def test_speculative_matches_greedy():
+    """Spec decode emits the EXACT greedy token stream for any drafts."""
+    params = init_llama_params(CFG, seed=0)
+    # prompts engineered with repetition (lookup hits) and without
+    prompts = [
+        [3, 5, 7, 11, 3, 5, 7, 11],
+        [1, 2, 3, 4, 5, 6, 7, 9],
+    ]
+    gen = make_generate_fn(CFG, SERVE)
+    spec = make_speculative_generate_fn(CFG, SERVE, draft_k=4)
+    for p in prompts:
+        ids = jnp.asarray([p], jnp.int32)
+        ref = np.asarray(
+            gen(params, ids, KVCache.create(CFG, 1, SERVE.max_seq_len),
+                jax.random.PRNGKey(0))[0])
+        toks, steps, _ = spec(
+            params, ids, KVCache.create(CFG, 1, SERVE.max_seq_len))
+        np.testing.assert_array_equal(np.asarray(toks), ref)
+        assert int(steps) <= SERVE.max_new_tokens
+
+
+def test_speculative_batch():
+    params = init_llama_params(CFG, seed=1)
+    ids = jnp.asarray([[3, 5, 7, 11, 3, 5, 7, 11],
+                       [2, 4, 6, 8, 2, 4, 6, 8]], jnp.int32)
+    gen = make_generate_fn(CFG, SERVE)
+    spec = make_speculative_generate_fn(CFG, SERVE, draft_k=4)
+    ref = np.asarray(
+        gen(params, ids, KVCache.create(CFG, 2, SERVE.max_seq_len),
+            jax.random.PRNGKey(0))[0])
+    toks, steps, _ = spec(
+        params, ids, KVCache.create(CFG, 2, SERVE.max_seq_len))
+    np.testing.assert_array_equal(np.asarray(toks), ref)
