@@ -36,14 +36,13 @@ measured 2.2 tokens/verify-step the same acceptance on a weight-bound
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ServeConfig
 from ..models.llama import KVCache, LlamaConfig, LlamaParams, prefill
-from .generate import _generate_impl
 
 __all__ = ["make_speculative_generate_fn", "draft_prompt_lookup"]
 
