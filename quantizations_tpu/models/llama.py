@@ -470,8 +470,8 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
 def _layer_forward(
     x: jnp.ndarray,              # [B, T, hidden]
     layer: LlamaLayer,           # single layer (no L axis)
-    cache_k: jnp.ndarray,        # [B, KV, S, D] this layer's cache
-    cache_v: jnp.ndarray,
+    ck: jnp.ndarray,             # [L, B, KV, S, D] FULL stacked cache
+    cv: jnp.ndarray,
     pos: jnp.ndarray,            # [B] int32: per-slot write offsets
     cos: jnp.ndarray,            # [B, T, D]
     sin: jnp.ndarray,
@@ -479,12 +479,20 @@ def _layer_forward(
     cfg: LlamaConfig,
     axis_name: Optional[str] = None,
     idx: Optional[jnp.ndarray] = None,   # layer index for stacked weights
+                                         # AND the cache layer slot
     attend_len: Optional[int] = None,    # static: attention reads only
                                          # cache[:, :attend_len]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. Head counts derive from the (per-shard) weight
     shapes so the same code runs under shard_map. ``pos`` is per-batch-slot
     (continuous batching: every slot sits at its own sequence offset).
+
+    The STACKED cache is passed whole and updated with per-row
+    single-position ``dynamic_update_slice`` (in place on the scan
+    carry); attention reads a pure layer slice. Extracting a per-layer
+    cache, updating it, and writing it back (the previous structure)
+    made XLA materialize the full layer slice twice per layer — measured
+    ~35% of decode step time at batch 4, 2k cache.
 
     ``attend_len`` bounds the attention window to the valid cache prefix
     — at a 8k max_seq, reading the whole preallocated cache would cost
@@ -515,10 +523,15 @@ def _layer_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        upd = jax.vmap(
-            lambda c, kn, p: jax.lax.dynamic_update_slice(c, kn, (0, p, 0)))
-        cache_k = upd(cache_k, k.astype(cache_k.dtype).swapaxes(1, 2), pos)
-        cache_v = upd(cache_v, v.astype(cache_v.dtype).swapaxes(1, 2), pos)
+        li = jnp.int32(0) if idx is None else idx
+        kn = k.astype(ck.dtype).swapaxes(1, 2)   # [B, KV, T, D]
+        vn = v.astype(cv.dtype).swapaxes(1, 2)
+        for b in range(B):
+            at = (li, jnp.int32(b), jnp.int32(0), pos[b], jnp.int32(0))
+            ck = jax.lax.dynamic_update_slice(ck, kn[b][None, None], at)
+            cv = jax.lax.dynamic_update_slice(cv, vn[b][None, None], at)
+        cache_k = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+        cache_v = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
 
         S_att = attend_len or cache_k.shape[2]
         if (cfg.use_flash_attention and T == 1
@@ -557,7 +570,7 @@ def _layer_forward(
         if axis_name is not None:
             d = jax.lax.psum(d, axis_name)
         x = x + d.reshape(B, T, h).astype(x.dtype)
-    return x, cache_k, cache_v
+    return x, ck, cv
 
 
 def _forward(
@@ -609,12 +622,10 @@ def _forward(
             k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
             v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
         )
-        x, ck_i, cv_i = _layer_forward(
-            x, layer, ck[i], cv[i], pos, cos, sin, mask, cfg,
+        x, ck, cv = _layer_forward(
+            x, layer, ck, cv, pos, cos, sin, mask, cfg,
             axis_name=axis_name, idx=i, attend_len=attend_len,
         )
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, ck_i[None], i, axis=0)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, cv_i[None], i, axis=0)
         return (x, ck, cv), None
 
     idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)

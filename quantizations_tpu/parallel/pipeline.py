@@ -111,11 +111,9 @@ def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
             k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
             v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
         )
-        x, ck_i, cv_i = _layer_forward(
-            x, layer, ck[i], cv[i], pos, cos, sin, mask, cfg,
+        x, ck, cv = _layer_forward(
+            x, layer, ck, cv, pos, cos, sin, mask, cfg,
             idx=jnp.int32(i), attend_len=attend_len)
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, ck_i[None], i, 0)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, cv_i[None], i, 0)
     return x, ck, cv
 
 
