@@ -536,22 +536,31 @@ def _layer_forward(
         S_att = attend_len or cache_k.shape[2]
         if (cfg.use_flash_attention and T == 1
                 and cfg.sliding_window is None):
-            from ..ops.attention import flash_decode_attention
+            from ..ops.attention import flash_decode_attention_stacked
 
-            attn = flash_decode_attention(
-                q[:, 0].reshape(B, n_kv, G, D),
-                cache_k[:, :, :S_att], cache_v[:, :, :S_att],
-                pos + 1,
+            attn = flash_decode_attention_stacked(
+                q[:, 0].reshape(B, n_kv, G, D), ck, cv, li, pos + 1,
+                attend_len=S_att,
                 interpret=jax.default_backend() != "tpu",
             ).reshape(B * T, n_q * D)
         else:
-            qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
-            kf = cache_k[:, :, :S_att].astype(jnp.float32)
-            vf = cache_v[:, :, :S_att].astype(jnp.float32)
-            scores = jnp.einsum("btkgd,bksd->btkgs", qg, kf) * (D ** -0.5)
+            # MXU attention with cache-native (bf16) operands and fp32
+            # accumulation: casting the cache slice to fp32 materialized
+            # 2x the cache bytes through HBM per layer (measured ~2x the
+            # attention floor at a 2k window); softmax stays fp32.
+            # XLA:CPU has no bf16 dot -> fp32 operands off-TPU.
+            adt = (cache_k.dtype if jax.default_backend() == "tpu"
+                   else jnp.float32)
+            kf = cache_k[:, :, :S_att].astype(adt)
+            vf = cache_v[:, :, :S_att].astype(adt)
+            qg = q.reshape(B, T, n_kv, G, D).astype(adt)
+            scores = jnp.einsum(
+                "btkgd,bksd->btkgs", qg, kf,
+                preferred_element_type=jnp.float32) * (D ** -0.5)
             scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
             w = jax.nn.softmax(scores, axis=-1)
-            attn = jnp.einsum("btkgs,bksd->btkgd", w, vf)
+            attn = jnp.einsum("btkgs,bksd->btkgd", w.astype(vf.dtype), vf,
+                              preferred_element_type=jnp.float32)
             attn = attn.reshape(B * T, n_q * D)
 
         o = _ql(attn, layer.o, qcfg, idx)

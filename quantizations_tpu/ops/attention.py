@@ -22,20 +22,22 @@ output on the last S block — the standard flash-decode recurrence.
 from __future__ import annotations
 
 import functools
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_decode_attention"]
+__all__ = ["flash_decode_attention", "flash_decode_attention_stacked"]
 
 _NEG = -1e30
 
 
 def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-            *, s_blk, scale, n_kv):
+            *, s_blk, scale, n_kv, len_off=0):
     sq = pl.program_id(1)
-    b = pl.program_id(0) // n_kv
+    b = len_off + pl.program_id(0) // n_kv
 
     q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, D]
     k = k_ref[0, 0].astype(jnp.float32)             # [S_BLK, D]
@@ -117,3 +119,71 @@ def flash_decode_attention(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(jnp.asarray(lengths, jnp.int32), q, cache_k, cache_v)
+
+
+@functools.partial(jax.jit, static_argnames=("attend_len", "s_blk",
+                                             "interpret"))
+def flash_decode_attention_stacked(
+    q: jnp.ndarray,        # [B, KVH, G, D]
+    cache_k: jnp.ndarray,  # [L, B, KVH, S, D] FULL stacked cache
+    cache_v: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # scalar int32
+    lengths: jnp.ndarray,    # [B] int32: attend to s < lengths[b]
+    attend_len: Optional[int] = None,  # static prefix bound (<= S)
+    s_blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Layer-indexed flash decode over the STACKED cache: the kernel's
+    DMAs read layer ``layer_idx`` (and only the first ``attend_len``
+    positions) straight from the full HBM buffer via scalar-prefetch
+    index maps. Passing a sliced cache to ``pallas_call`` instead forces
+    XLA to materialize the slice — measured ~5 ms/step extra at batch 8,
+    2k cache (the reason the sliced kernel lost to the einsum path)."""
+    B, KVH, G, D = q.shape
+    S = cache_k.shape[3]
+    S_att = attend_len or S
+    while S_att % s_blk:
+        s_blk //= 2
+    scale = D ** -0.5
+
+    kernel = functools.partial(_kernel, s_blk=s_blk, scale=scale,
+                               n_kv=KVH, len_off=1)
+
+    def k_wrap(scalars_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+               acc_scr):
+        # scalars: [1 + B] = layer idx then lengths (len_off skips idx)
+        kernel(scalars_ref, q_ref, k_ref[0], v_ref[0], o_ref,
+               m_scr, l_scr, acc_scr)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * KVH, S_att // s_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D),
+                         lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s_blk, D),
+                         lambda i, sq, sc: (sc[0], i // KVH, i % KVH,
+                                            sq, 0)),
+            pl.BlockSpec((1, 1, 1, s_blk, D),
+                         lambda i, sq, sc: (sc[0], i // KVH, i % KVH,
+                                            sq, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+    scalars = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.asarray(lengths, jnp.int32).reshape(B)])
+    return pl.pallas_call(
+        k_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scalars, q, cache_k, cache_v)
