@@ -135,23 +135,41 @@ class Engine:
 
             return _step
 
-        # prefill of ONE sequence into a scratch cache (later inserted
-        # into the batch cache at a slot).
-        # Padding caveat: positions [plen, bucket) of the scratch cache
-        # hold garbage keys, but decode overwrites position p before any
-        # query can attend it (the mask is s <= pos and pos advances one
-        # step at a time), so they are never read.
-        def _pf(p, ids, plen, key):
-            scratch = KVCache.create(cfg, 1, self.max_seq,
-                                     kv_heads=kv_shard)
+        # chunked prefill of ONE sequence into a scratch cache (later
+        # inserted into the batch cache at a slot): each chunk is a
+        # bucket-shaped slice written at ``start`` — prompts longer than
+        # the largest bucket prefill in several passes (queries of a
+        # later chunk attend the earlier chunks' keys through the cache).
+        # Padding caveat: positions [start+plen, start+bucket) hold
+        # garbage keys, but the NEXT chunk (or decode) overwrites
+        # position p before any query can attend it, so they are never
+        # read.
+        def _pf(p, ids, scratch, start, plen, key):
             # ids [1, blen] left-aligned; positions 0..plen-1 valid.
             logits, scratch = prefill(p, ids, scratch, cfg,
-                                      axis_name=axis)
-            # logits of the LAST VALID prompt token
+                                      axis_name=axis, pos=start)
+            # logits of the LAST VALID token in this chunk
             logit = jnp.take_along_axis(
                 logits, jnp.reshape(plen - 1, (1, 1, 1)), axis=1)[:, 0]
             tok = sample_logits(logit, key, temperature, top_k, top_p)
             return tok, scratch
+
+        def _fresh_scratch():
+            # GLOBAL scratch (full kv heads; the mesh sharding splits it
+            # — the per-shard kv count only applies inside shard_map)
+            scratch = KVCache.create(cfg, 1, self.max_seq)
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+
+                from ..parallel.shard import cache_pspec
+
+                scratch = jax.tree.map(
+                    lambda x, sp: jax.device_put(
+                        x, NamedSharding(mesh, sp)),
+                    scratch, cache_pspec())
+            return scratch
+
+        self._fresh_scratch = _fresh_scratch
 
         if mesh is None:
             self.cache = KVCache.create(cfg, slots, self.max_seq)
@@ -159,7 +177,7 @@ class Engine:
             def build_step(attend_len):
                 return jax.jit(_make_step(attend_len), donate_argnums=(2,))
 
-            pf = jax.jit(_pf)
+            pf = jax.jit(_pf, donate_argnums=(2,))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -182,10 +200,11 @@ class Engine:
 
             pf = jax.jit(jax.shard_map(
                 _pf, mesh=mesh,
-                in_specs=(pspecs, P(None, None), P(), P(None)),
+                in_specs=(pspecs, P(None, None), cspec, P(), P(),
+                          P(None)),
                 out_specs=(P(None), cspec),
                 check_vma=False,
-            ))
+            ), donate_argnums=(2,))
         self._build_step = build_step
         self._step_fns: Dict[int, Any] = {}
         self._prefill_fn = functools.partial(pf, params)
@@ -304,8 +323,7 @@ class Engine:
         for b in self.buckets:
             if n <= b:
                 return b
-        raise ValueError(
-            f"prompt length {n} exceeds largest bucket {self.buckets[-1]}")
+        return self.buckets[-1]   # longer prompts prefill in chunks
 
     def _admit(self) -> None:
         for slot in range(self.slots):
@@ -313,12 +331,21 @@ class Engine:
                 continue
             r = self.queue.popleft()
             plen = len(r.prompt_ids)
-            blen = self._bucket(plen)
-            ids = np.zeros((1, blen), np.int32)
-            ids[0, :plen] = r.prompt_ids
+            if plen >= self.max_seq:
+                raise ValueError(
+                    f"prompt length {plen} >= max_seq {self.max_seq}")
             self._key, sub = jax.random.split(self._key)
-            tok, scratch = self._prefill_fn(
-                jnp.asarray(ids), jnp.int32(plen), sub)
+            scratch = self._fresh_scratch()
+            start = 0
+            while start < plen:
+                take = min(plen - start, self.buckets[-1])
+                blen = self._bucket(take)
+                ids = np.zeros((1, blen), np.int32)
+                ids[0, :take] = r.prompt_ids[start:start + take]
+                tok, scratch = self._prefill_fn(
+                    jnp.asarray(ids), scratch, jnp.int32(start),
+                    jnp.int32(take), sub)
+                start += take
             self.cache = self._insert_fn(self.cache, scratch,
                                          jnp.int32(slot))
             self.active[slot] = r

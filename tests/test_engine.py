@@ -145,3 +145,24 @@ def test_eos_freeze_in_generate():
     assert (toks2[first:] == eos).all()
     # tokens before the first eos match the unconstrained run
     np.testing.assert_array_equal(toks2[:first], toks[:first])
+
+
+def test_chunked_prefill_long_prompt():
+    """A prompt longer than the largest prefill bucket prefills in
+    chunks and generates the same tokens as the whole-prompt jitted
+    generate path."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantizations_tpu.models.llama import KVCache, init_llama_params
+    from quantizations_tpu.serve.engine import Engine
+    from quantizations_tpu.serve.generate import make_generate_fn
+
+    params = init_llama_params(CFG, seed=0)
+    serve = ServeConfig(max_seq_len=MAX_SEQ)
+    # buckets max out at 8; prompt of 19 forces 3 chunks (8 + 8 + 3)
+    eng = Engine(params, CFG, serve, slots=2, prefill_buckets=(4, 8))
+    prompt = [(i * 7 + 3) % CFG.vocab_size for i in range(19)]
+    uid = eng.submit(prompt, max_new_tokens=6)
+    done = eng.run()
+    assert done[uid].output_ids == _reference_tokens(params, prompt, 6)
