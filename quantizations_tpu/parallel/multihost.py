@@ -25,8 +25,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["initialize", "make_dp_tp_mesh", "is_multihost",
-           "host_local_batch"]
+__all__ = ["initialize", "make_dp_tp_mesh", "make_dp_tp_generate_fn",
+           "is_multihost", "host_local_batch"]
 
 
 def initialize(
@@ -82,3 +82,48 @@ def host_local_batch(global_batch: int) -> int:
     if global_batch % n:
         raise ValueError(f"global batch {global_batch} % hosts {n} != 0")
     return global_batch // n
+
+
+def make_dp_tp_generate_fn(cfg, serve, mesh: Mesh):
+    """shard_map + jit the generate loop over a (dp, tp) mesh: the batch
+    splits across dp replicas (each runs the full TP decode with its
+    own cache shard; dp needs no per-token collectives — replicas stay
+    in step because the program is one jitted SPMD computation), tp
+    carries the per-layer psums over ICI as in the single-axis path.
+
+    ``(params, prompt_ids, cache, key) -> (tokens, cache)`` with
+    prompt/tokens batch-sharded over dp; params are TP-sharded and
+    dp-replicated (shard.llama_param_pspecs says nothing about dp, which
+    under a 2-axis mesh means replication on dp). Batch must divide dp.
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..serve.generate import _generate_impl
+    from .shard import AXIS, cache_pspec, llama_param_pspecs, validate_tp
+
+    validate_tp(cfg, mesh.shape[AXIS])
+    pspecs = llama_param_pspecs(cfg)
+    cs = cache_pspec()
+    cspec = type(cs)(k=P(None, "dp", AXIS, None, None),
+                     v=P(None, "dp", AXIS, None, None))
+
+    body = functools.partial(
+        _generate_impl,
+        cfg=cfg,
+        max_new_tokens=serve.max_new_tokens,
+        temperature=serve.temperature,
+        top_k=serve.top_k,
+        top_p=serve.top_p,
+        eos_id=serve.eos_id,
+        axis_name=AXIS,
+    )
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, P("dp", None), cspec, P(None)),
+        out_specs=(P("dp", None), cspec),
+        check_vma=False,
+    )
+    donate = (2,) if serve.donate_cache else ()
+    return jax.jit(mapped, donate_argnums=donate)

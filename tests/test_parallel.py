@@ -91,3 +91,35 @@ def test_tp_prefill_logits_close(params):
     logits, _ = fn(sharded, ids, _sharded_cache(mesh, 1))
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits), rtol=0, atol=2e-2)
+
+
+def test_dp_tp_generate_matches_single_device():
+    """(dp=2, tp=4) sharded generate: batch rows split over dp, each
+    replica runs the TP decode — tokens equal the single-device run."""
+    import dataclasses
+
+    from quantizations_tpu.config import QuantConfig, ServeConfig
+    from quantizations_tpu.models.llama import (
+        KVCache, TINY_LLAMA, init_llama_params)
+    from quantizations_tpu.parallel.multihost import (
+        make_dp_tp_generate_fn, make_dp_tp_mesh)
+    from quantizations_tpu.parallel.shard import shard_llama_params
+    from quantizations_tpu.serve.generate import make_generate_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = TINY_LLAMA
+    serve = ServeConfig(max_seq_len=48, max_new_tokens=6, temperature=0.0)
+    params = init_llama_params(cfg, seed=0)
+    ids = jnp.asarray([[3, 1, 4, 1, 5], [2, 7, 1, 8, 2]], jnp.int32)
+
+    gen1 = make_generate_fn(cfg, serve)
+    ref = np.asarray(gen1(params, ids, KVCache.create(cfg, 2, 48),
+                          jax.random.PRNGKey(0))[0])
+
+    mesh = make_dp_tp_mesh(tp=4)
+    sparams = shard_llama_params(params, mesh, cfg)
+    gen = make_dp_tp_generate_fn(cfg, serve, mesh)
+    toks = np.asarray(gen(sparams, ids, KVCache.create(cfg, 2, 48),
+                          jax.random.PRNGKey(0))[0])
+    np.testing.assert_array_equal(toks, ref)
