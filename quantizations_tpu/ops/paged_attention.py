@@ -1,0 +1,101 @@
+"""Paged flash-decode attention (vLLM-style block tables, TPU-native).
+
+The slot cache (models/llama.KVCache) preallocates ``max_seq`` per slot
+— fine for few uniform sequences, wasteful for many variable-length
+ones. Paged serving splits the cache into fixed-size pages indexed per
+sequence through a block table; memory scales with LIVE tokens.
+
+On TPU the block table slots straight into the Pallas machinery: the
+table is a scalar-prefetch argument and the kernel's BlockSpec index
+map reads ``table[b, j]`` to aim each DMA at the right page of the
+global pool — the indirection costs nothing at kernel time (it is
+resolved while the previous block streams). This is the idiomatic
+TPU analogue of CUDA paged-attention's per-block pointer chase.
+
+Pool layout: ``pages_k/v [L, P, KVH, page_size, D]`` with ONE block
+table shared by all layers (a sequence's pages are allocated once;
+layer ``li`` is an index-map coordinate, same mechanism as the stacked
+weight kernels). Unused table entries may hold any valid page id —
+``lengths`` masks them out of the softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _kernel
+
+__all__ = ["paged_flash_decode_attention"]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_flash_decode_attention(
+    q: jnp.ndarray,          # [B, KVH, G, D]
+    pages_k: jnp.ndarray,    # [L, P, KVH, page, D]
+    pages_v: jnp.ndarray,
+    block_table: jnp.ndarray,  # [B, max_pages] int32 page ids
+    layer_idx: jnp.ndarray,    # scalar int32
+    lengths: jnp.ndarray,      # [B] int32: attend to s < lengths[b]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Online-softmax decode attention over paged KV. Returns fp32
+    ``[B, KVH, G, D]``. The sequence-position grid walks the block
+    table; page ``j`` of row ``b`` covers positions
+    ``[j*page, (j+1)*page)``."""
+    B, KVH, G, D = q.shape
+    L, P, _, page, _ = pages_k.shape
+    max_pages = block_table.shape[1]
+    scale = D ** -0.5
+
+    kernel = functools.partial(_kernel, s_blk=page, scale=scale,
+                               n_kv=KVH, len_off=1 + B * max_pages)
+
+    def k_wrap(scalars_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+               acc_scr):
+        # scalars: [1 + B*max_pages + B] = layer idx | table | lengths
+        kernel(scalars_ref, q_ref, k_ref[0], v_ref[0], o_ref,
+               m_scr, l_scr, acc_scr)
+
+    def page_of(i, sq, sc):
+        b = i // KVH
+        return sc[1 + b * max_pages + sq]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * KVH, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D),
+                         lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+            pl.BlockSpec((1, 1, 1, page, D),
+                         lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
+                                            i % KVH, 0, 0)),
+            pl.BlockSpec((1, 1, 1, page, D),
+                         lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
+                                            i % KVH, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+    scalars = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.asarray(block_table, jnp.int32).reshape(B * max_pages),
+        jnp.asarray(lengths, jnp.int32).reshape(B)])
+    return pl.pallas_call(
+        k_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scalars, q, pages_k, pages_v)

@@ -1,0 +1,245 @@
+"""Paged KV serving: page pool + block tables + paged decode step.
+
+The slot cache preallocates ``max_seq`` per slot; memory = slots x
+max_seq whether sequences are long or short. The paged pool allocates
+fixed-size pages on demand (vLLM-style): memory tracks LIVE tokens, so
+many variable-length sequences fit the same HBM. See
+ops/paged_attention.py for the TPU-native block-table kernel.
+
+Pieces:
+- :class:`PagedKVCache` — the device pool ``[L, P, KVH, page, D]``.
+- :class:`PageAllocator` — host-side free list (the control plane is
+  host code, as in the continuous-batching engine).
+- :func:`paged_decode_step` — one T=1 decode step: paged attention via
+  the block table + single-position paged KV writes.
+- :func:`insert_prefill` — scatter a slot-layout scratch prefill into
+  allocated pages (prefill itself reuses the dense prefill path).
+
+Measured (v5e, 8B, ~1900-token context, page 128): 25.2 ms/step at
+batch 1 (within 2% of the dense slot cache) and 47.1 ms at batch 8
+(~25% tax from page-granular attention DMAs — the price of memory
+elasticity; tune page_size up for throughput-biased deployments).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models.llama import (
+    KVCache,
+    LlamaConfig,
+    LlamaLayer,
+    LlamaParams,
+    QLinear,
+    _ql,
+    apply_rope,
+    embed_lookup,
+    rms_norm,
+    rope_cos_sin,
+)
+
+__all__ = ["PagedKVCache", "PageAllocator", "paged_decode_step",
+           "insert_prefill"]
+
+
+@struct.dataclass
+class PagedKVCache:
+    """Device page pool. Page ``p`` of layer ``l`` holds ``page_size``
+    consecutive positions of whichever sequence owns it."""
+
+    pages_k: jnp.ndarray   # [L, P, KVH, page, D]
+    pages_v: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, num_pages: int,
+               page_size: int = 128, kv_heads: Optional[int] = None,
+               dtype=jnp.bfloat16) -> "PagedKVCache":
+        kv = kv_heads if kv_heads is not None else cfg.num_key_value_heads
+        shape = (cfg.num_hidden_layers, num_pages, kv, page_size,
+                 cfg.head_dim)
+        return cls(pages_k=jnp.zeros(shape, dtype),
+                   pages_v=jnp.zeros(shape, dtype))
+
+    @property
+    def page_size(self) -> int:
+        return self.pages_k.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.pages_k.shape[1]
+
+
+class PageAllocator:
+    """Host-side page free list. Page 0 is reserved as the junk page
+    (unused block-table entries point at it — masked by lengths)."""
+
+    def __init__(self, num_pages: int):
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"paged KV pool exhausted: need {n}, "
+                f"free {len(self._free)}")
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages: List[int]) -> None:
+        self._free.extend(p for p in pages if p != 0)
+
+    @property
+    def available(self) -> int:
+        return len(self._free)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_pages"),
+    donate_argnums=(2,),
+)
+def paged_decode_step(
+    params: LlamaParams,
+    token_ids: jnp.ndarray,    # [B, 1]
+    pages: PagedKVCache,
+    block_table: jnp.ndarray,  # [B, table_width] int32
+    pos: jnp.ndarray,          # [B] int32
+    cfg: LlamaConfig,
+    max_pages: int,            # static: pages covered by attention
+) -> Tuple[jnp.ndarray, PagedKVCache]:
+    """One decode step over the paged pool: write each row's new kv at
+    (page=table[b, pos//page], offset=pos%page), attend the first
+    ``max_pages`` table entries via the block-table flash kernel.
+    Returns (logits [B, vocab], pages)."""
+    from ..ops.paged_attention import paged_flash_decode_attention
+
+    B, T = token_ids.shape
+    assert T == 1
+    psz = pages.page_size
+    qcfg = cfg.quant
+    D = cfg.head_dim
+
+    x = embed_lookup(params.embed, token_ids, qcfg.quant_type)
+    positions = pos[:, None]
+    cos, sin = rope_cos_sin(positions, D, cfg.rope_theta, cfg.rope_scaling)
+
+    page_of = jax.vmap(lambda t, p: t[p // psz])(block_table, pos)  # [B]
+    off = pos % psz
+
+    stacked = params.layers
+    pk, pv = pages.pages_k, pages.pages_v
+    interp = jax.default_backend() != "tpu"
+
+    def body(carry, i):
+        x, pk, pv = carry
+        layer = LlamaLayer(
+            attn_norm=stacked.attn_norm[i], mlp_norm=stacked.mlp_norm[i],
+            q=stacked.q, k=stacked.k, v=stacked.v, o=stacked.o,
+            gate=stacked.gate, up=stacked.up, down=stacked.down,
+            q_bias=(None if stacked.q_bias is None else stacked.q_bias[i]),
+            k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
+            v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
+        )
+        B_, T_, h = x.shape
+        n_q = layer.q.out_features // D
+        n_kv = layer.k.out_features // D
+        G = n_q // n_kv
+
+        with jax.named_scope("attn"):
+            xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
+            x2 = xa.astype(qcfg.compute_dtype).reshape(B_, h)
+            q = _ql(x2, layer.q, qcfg, i)
+            k = _ql(x2, layer.k, qcfg, i)
+            v = _ql(x2, layer.v, qcfg, i)
+            if layer.q_bias is not None:
+                q = q + layer.q_bias.astype(q.dtype)
+                k = k + layer.k_bias.astype(k.dtype)
+                v = v + layer.v_bias.astype(v.dtype)
+            q = apply_rope(q.reshape(B_, 1, n_q, D), cos, sin)
+            k = apply_rope(k.reshape(B_, 1, n_kv, D), cos, sin)
+            v = v.reshape(B_, 1, n_kv, D)
+
+            kn = k.astype(pk.dtype).swapaxes(1, 2)   # [B, KV, 1, D]
+            vn = v.astype(pv.dtype).swapaxes(1, 2)
+            for b in range(B_):
+                at = (i, page_of[b], jnp.int32(0), off[b], jnp.int32(0))
+                pk = jax.lax.dynamic_update_slice(
+                    pk, kn[b][None, None], at)
+                pv = jax.lax.dynamic_update_slice(
+                    pv, vn[b][None, None], at)
+
+            attn = paged_flash_decode_attention(
+                q[:, 0].reshape(B_, n_kv, G, D), pk, pv,
+                block_table[:, :max_pages], i, pos + 1,
+                interpret=interp,
+            ).reshape(B_, n_q * D)
+
+            o = _ql(attn.astype(qcfg.compute_dtype), layer.o, qcfg, i)
+            x = x + o.reshape(B_, 1, h).astype(x.dtype)
+
+        with jax.named_scope("mlp"):
+            xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
+            x2 = xm.astype(qcfg.compute_dtype).reshape(B_, h)
+            g = _ql(x2, layer.gate, qcfg, i)
+            u = _ql(x2, layer.up, qcfg, i)
+            act = jax.nn.silu(g) * u
+            d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg, i)
+            x = x + d.reshape(B_, 1, h).astype(x.dtype)
+        return (x, pk, pv), None
+
+    idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    (x, pk, pv), _ = jax.lax.scan(body, (x, pk, pv), idx)
+
+    xf = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    x2 = xf.astype(qcfg.compute_dtype).reshape(B, -1)
+    if isinstance(params.lm_head, QLinear):
+        from ..nn.linear import apply_4bit
+
+        logits = apply_4bit(x2, params.lm_head.wp, params.lm_head.scales,
+                            qcfg.quant_type,
+                            compute_dtype=qcfg.compute_dtype)
+    else:
+        logits = jnp.dot(x2, params.lm_head.T.astype(x2.dtype),
+                         preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32), PagedKVCache(pages_k=pk,
+                                                    pages_v=pv)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_page(pages: PagedKVCache, scratch: KVCache,
+                  src_start: jnp.ndarray, page_id: jnp.ndarray,
+                  n: jnp.ndarray) -> PagedKVCache:
+    """Copy scratch positions [src_start, src_start+page) of slot 0 into
+    pool page ``page_id`` (whole-page copy; positions past ``n`` are
+    garbage that lengths-masking never reads). The scratch max_seq must
+    be a multiple of the page size (dynamic_slice clamping would
+    otherwise shift the final page's contents)."""
+    psz = pages.page_size
+    L = pages.pages_k.shape[0]
+    KV = pages.pages_k.shape[2]
+    D = pages.pages_k.shape[4]
+    sk = jax.lax.dynamic_slice(
+        scratch.k, (0, 0, 0, src_start, 0), (L, 1, KV, psz, D))
+    sv = jax.lax.dynamic_slice(
+        scratch.v, (0, 0, 0, src_start, 0), (L, 1, KV, psz, D))
+    at = (jnp.int32(0), page_id, jnp.int32(0), jnp.int32(0),
+          jnp.int32(0))
+    pk = jax.lax.dynamic_update_slice(pages.pages_k, sk, at)
+    pv = jax.lax.dynamic_update_slice(pages.pages_v, sv, at)
+    return PagedKVCache(pages_k=pk, pages_v=pv)
+
+
+def insert_prefill(pages: PagedKVCache, scratch: KVCache,
+                   page_ids: List[int], plen: int) -> PagedKVCache:
+    """Scatter a slot-layout scratch prefill (batch slot 0, positions
+    [0, plen)) into the allocated ``page_ids``."""
+    psz = pages.page_size
+    need = -(-plen // psz)
+    assert len(page_ids) >= need, (len(page_ids), need)
+    for j in range(need):
+        pages = _scatter_page(pages, scratch, jnp.int32(j * psz),
+                              jnp.int32(page_ids[j]), jnp.int32(plen))
+    return pages

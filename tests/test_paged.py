@@ -1,0 +1,126 @@
+"""Paged KV serving: block-table attention kernel, prefill scatter, and
+decode equivalence with the slot cache (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quantizations_tpu.models.llama import (
+    KVCache, TINY_LLAMA, init_llama_params, prefill, decode_step)
+from quantizations_tpu.serve.paged import (
+    PageAllocator, PagedKVCache, insert_prefill, paged_decode_step)
+
+CFG = TINY_LLAMA
+PSZ = 16   # page size (multiple of 8 for Mosaic blocks)
+
+
+def test_page_allocator():
+    a = PageAllocator(8)
+    p1 = a.alloc(3)
+    assert len(set(p1)) == 3 and 0 not in p1
+    a.free(p1)
+    assert a.available == 7
+    a.alloc(7)
+    try:
+        a.alloc(1)
+        assert False
+    except MemoryError:
+        pass
+
+
+def test_paged_decode_matches_slot_cache():
+    """Prefill into a scratch, scatter to pages, then N paged decode
+    steps produce the same greedy tokens as the slot-cache decode."""
+    params = init_llama_params(CFG, seed=0)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    P = len(prompt)
+    N = 6
+    ids = jnp.asarray([prompt], jnp.int32)
+
+    # reference: slot cache
+    cache = KVCache.create(CFG, 1, 64)
+    logits, cache = jax.jit(
+        lambda p, i, c: prefill(p, i, c, CFG, last_token_only=True)
+    )(params, ids, cache)
+    ref = [int(jnp.argmax(logits[0, -1]))]
+    step = jax.jit(lambda p, t, c, pos: decode_step(p, t, c, pos, CFG))
+    for i in range(N - 1):
+        lg, cache = step(params, jnp.asarray([[ref[-1]]], jnp.int32),
+                         cache, jnp.asarray([P + i], jnp.int32))
+        ref.append(int(jnp.argmax(lg[0])))
+
+    # paged: prefill scratch -> scatter -> paged decode
+    pages = PagedKVCache.create(CFG, num_pages=8, page_size=PSZ)
+    alloc = PageAllocator(8)
+    scratch = KVCache.create(CFG, 1, 64)
+    logits, scratch = jax.jit(
+        lambda p, i, c: prefill(p, i, c, CFG, last_token_only=True)
+    )(params, ids, scratch)
+    got = [int(jnp.argmax(logits[0, -1]))]
+    need = -(-(P + N) // PSZ)
+    page_ids = alloc.alloc(need)
+    pages = insert_prefill(pages, scratch, page_ids, P)
+    table = np.zeros((1, 4), np.int32)
+    table[0, :need] = page_ids
+    tbl = jnp.asarray(table)
+    for i in range(N - 1):
+        lg, pages = paged_decode_step(
+            params, jnp.asarray([[got[-1]]], jnp.int32), pages, tbl,
+            jnp.asarray([P + i], jnp.int32), CFG, max_pages=2)
+        got.append(int(jnp.argmax(lg[0])))
+
+    assert got == ref, (got, ref)
+
+
+def test_paged_decode_two_sequences():
+    """Two rows at different positions with disjoint pages stay
+    independent (their greedy streams match isolated runs)."""
+    params = init_llama_params(CFG, seed=1)
+    prompts = [[3, 1, 4, 1], [2, 7, 1, 8, 2, 8, 1, 8]]
+    N = 4
+
+    def isolated(prompt):
+        ids = jnp.asarray([prompt], jnp.int32)
+        cache = KVCache.create(CFG, 1, 64)
+        logits, cache = jax.jit(
+            lambda p, i, c: prefill(p, i, c, CFG, last_token_only=True)
+        )(params, ids, cache)
+        out = [int(jnp.argmax(logits[0, -1]))]
+        step = jax.jit(lambda p, t, c, pos: decode_step(p, t, c, pos, CFG))
+        for i in range(N - 1):
+            lg, cache = step(params, jnp.asarray([[out[-1]]], jnp.int32),
+                             cache, jnp.asarray([len(prompt) + i],
+                                                jnp.int32))
+            out.append(int(jnp.argmax(lg[0])))
+        return out
+
+    refs = [isolated(p) for p in prompts]
+
+    pages = PagedKVCache.create(CFG, num_pages=10, page_size=PSZ)
+    alloc = PageAllocator(10)
+    table = np.zeros((2, 4), np.int32)
+    toks = []
+    for b, prompt in enumerate(prompts):
+        scratch = KVCache.create(CFG, 1, 64)
+        ids = jnp.asarray([prompt], jnp.int32)
+        logits, scratch = jax.jit(
+            lambda p, i, c: prefill(p, i, c, CFG, last_token_only=True)
+        )(params, ids, scratch)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+        need = -(-(len(prompt) + N) // PSZ)
+        ids_p = alloc.alloc(need)
+        pages = insert_prefill(pages, scratch, ids_p, len(prompt))
+        table[b, :need] = ids_p
+    tbl = jnp.asarray(table)
+    got = [[t] for t in toks]
+    pos = np.asarray([len(p) for p in prompts], np.int32)
+    for i in range(N - 1):
+        cur = jnp.asarray([[got[0][-1]], [got[1][-1]]], jnp.int32)
+        lg, pages = paged_decode_step(
+            params, cur, pages, tbl, jnp.asarray(pos), CFG, max_pages=2)
+        for b in range(2):
+            got[b].append(int(jnp.argmax(lg[b])))
+        pos = pos + 1
+
+    assert got[0] == refs[0], (got[0], refs[0])
+    assert got[1] == refs[1], (got[1], refs[1])
