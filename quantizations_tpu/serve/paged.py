@@ -243,3 +243,151 @@ def insert_prefill(pages: PagedKVCache, scratch: KVCache,
         pages = _scatter_page(pages, scratch, jnp.int32(j * psz),
                               jnp.int32(page_ids[j]), jnp.int32(plen))
     return pages
+
+
+class PagedEngine:
+    """Continuous batching over the paged pool: slots hold sequence
+    STATE only (the block table rows); KV memory is allocated
+    page-by-page as sequences grow and freed on completion. Greedy
+    sampling (per-request temperature rides the same vectorized select
+    as the slot engine when needed — kept greedy-only here to keep the
+    jitted step small; see serve/engine.py for the full sampler).
+
+    Admission prefills through the dense chunked path into a scratch
+    slot cache, scatters it into freshly allocated pages, then decode
+    runs :func:`paged_decode_step` with the batched block table.
+    """
+
+    def __init__(self, params: LlamaParams, cfg: LlamaConfig, *,
+                 num_pages: int, page_size: int = 128, slots: int = 4,
+                 max_seq: int = 2048, prefill_buckets=(64, 256)):
+        from collections import deque
+
+        import numpy as np
+
+        from .engine import Request
+
+        if max_seq % page_size:
+            raise ValueError("max_seq must be a multiple of page_size")
+        self.params = params
+        self.cfg = cfg
+        self.page_size = page_size
+        self.max_seq = max_seq
+        self.slots = slots
+        self.max_pages = max_seq // page_size
+        self.pages = PagedKVCache.create(cfg, num_pages, page_size)
+        self.alloc = PageAllocator(num_pages)
+        self.table = np.zeros((slots, self.max_pages), np.int32)
+        self.owned: List[List[int]] = [[] for _ in range(slots)]
+        self.pos = np.zeros(slots, np.int32)
+        self._cur = np.zeros(slots, np.int32)
+        self.active: List[Optional[object]] = [None] * slots
+        self.queue = deque()
+        self.finished = {}
+        self._uid = 0
+        self._buckets = tuple(sorted(prefill_buckets))
+        self._Request = Request
+        self._np = np
+
+        import jax as _jax
+
+        self._pf = _jax.jit(functools.partial(
+            self._prefill_impl, cfg=cfg))
+
+    @staticmethod
+    def _prefill_impl(params, ids, scratch, start, cfg):
+        from ..models.llama import prefill
+
+        return prefill(params, ids, scratch, cfg, pos=start)
+
+    def submit(self, prompt_ids, max_new_tokens: int = 32,
+               eos_id: Optional[int] = None) -> int:
+        self._uid += 1
+        self.queue.append(self._Request(
+            uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
+            max_new_tokens=max_new_tokens, eos_id=eos_id))
+        return self._uid
+
+    def _ensure_pages(self, slot: int, upto: int) -> None:
+        """Grow slot's page list to cover positions [0, upto)."""
+        need = -(-upto // self.page_size)
+        while len(self.owned[slot]) < need:
+            pg = self.alloc.alloc(1)[0]
+            self.table[slot, len(self.owned[slot])] = pg
+            self.owned[slot].append(pg)
+
+    def _admit(self) -> None:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        for slot in range(self.slots):
+            if self.active[slot] is not None or not self.queue:
+                continue
+            r = self.queue.popleft()
+            plen = len(r.prompt_ids)
+            if plen + r.max_new_tokens >= self.max_seq:
+                raise ValueError("request exceeds max_seq")
+            scratch = KVCache.create(self.cfg, 1, self.max_seq)
+            start = 0
+            while start < plen:
+                take = min(plen - start, self._buckets[-1])
+                blen = next(b for b in self._buckets if take <= b)
+                ids = self._np.zeros((1, blen), self._np.int32)
+                ids[0, :take] = r.prompt_ids[start:start + take]
+                logits, scratch = self._pf(
+                    self.params, _jnp.asarray(ids), scratch,
+                    _jnp.int32(start))
+                start += take
+            # greedy next token from the LAST VALID position of the
+            # final (possibly padded) chunk
+            tok = int(_jnp.argmax(logits[0, take - 1]))
+            self._ensure_pages(slot, plen + 1)
+            self.pages = insert_prefill(self.pages, scratch,
+                                        self.owned[slot], plen)
+            self.active[slot] = r
+            self.pos[slot] = plen
+            self._cur[slot] = tok
+
+    def step(self) -> int:
+        import jax.numpy as _jnp
+
+        self._admit()
+        act = [i for i, r in enumerate(self.active) if r is not None]
+        if not act:
+            return 0
+        for i in act:
+            self._ensure_pages(i, int(self.pos[i]) + 1)
+        live_pages = int(self._np.max((self.pos[act] // self.page_size)
+                                      + 1))
+        mp = 1
+        while mp < live_pages:
+            mp *= 2
+        mp = min(mp, self.max_pages)
+        logits, self.pages = paged_decode_step(
+            self.params, _jnp.asarray(self._cur)[:, None], self.pages,
+            _jnp.asarray(self.table), _jnp.asarray(self.pos), self.cfg,
+            max_pages=mp)
+        nxt = self._np.asarray(_jnp.argmax(logits, axis=-1))
+        for i in act:
+            r = self.active[i]
+            r.output_ids.append(int(self._cur[i]))
+            self.pos[i] += 1
+            self._cur[i] = nxt[i]
+            full = len(r.output_ids) >= r.max_new_tokens
+            hit_eos = (r.eos_id is not None
+                       and r.output_ids[-1] == r.eos_id)
+            if full or hit_eos or self.pos[i] >= self.max_seq - 1:
+                r.done = True
+                self.finished[r.uid] = r
+                self.active[i] = None
+                self.alloc.free(self.owned[i])
+                self.owned[i] = []
+                self.table[i, :] = 0
+        return len(act)
+
+    def run(self, max_steps: int = 100000):
+        steps = 0
+        while (self.queue or any(self.active)) and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.finished

@@ -124,3 +124,31 @@ def test_paged_decode_two_sequences():
 
     assert got[0] == refs[0], (got[0], refs[0])
     assert got[1] == refs[1], (got[1], refs[1])
+
+
+def test_paged_engine_matches_slot_engine():
+    """PagedEngine produces the same greedy streams as the slot Engine,
+    and frees its pages when requests finish."""
+    from quantizations_tpu.config import ServeConfig
+    from quantizations_tpu.serve.engine import Engine
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    prompts = [[3, 1, 4], [2, 7, 1, 8, 2, 8], [9, 9, 1, 2, 3]]
+    lens = [5, 7, 4]
+
+    ref_eng = Engine(params, CFG, ServeConfig(max_seq_len=64), slots=2,
+                     prefill_buckets=(8,))
+    ref_uids = [ref_eng.submit(p, max_new_tokens=n)
+                for p, n in zip(prompts, lens)]
+    ref = ref_eng.run()
+
+    eng = PagedEngine(params, CFG, num_pages=24, page_size=PSZ,
+                      slots=2, max_seq=64, prefill_buckets=(8,))
+    uids = [eng.submit(p, max_new_tokens=n)
+            for p, n in zip(prompts, lens)]
+    done = eng.run()
+    for u, ru in zip(uids, ref_uids):
+        assert done[u].output_ids == ref[ru].output_ids, u
+    # all pages returned to the allocator
+    assert eng.alloc.available == 23
