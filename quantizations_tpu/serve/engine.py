@@ -50,6 +50,22 @@ class Request:
     done: bool = False
 
 
+def iter_prefill_chunks(plen: int, buckets) -> list:
+    """(start, take, bucket_len) triples covering a prompt of ``plen``
+    tokens with bucket-shaped prefill chunks (shared by the slot Engine
+    and the PagedEngine so the padding/bucketing semantics can't
+    drift)."""
+    buckets = tuple(sorted(buckets))
+    out = []
+    start = 0
+    while start < plen:
+        take = min(plen - start, buckets[-1])
+        blen = next(b for b in buckets if take <= b)
+        out.append((start, take, blen))
+        start += take
+    return out
+
+
 class Engine:
     """Slot-based continuous batching over a fixed-shape KV cache.
 
@@ -336,16 +352,13 @@ class Engine:
                     f"prompt length {plen} >= max_seq {self.max_seq}")
             self._key, sub = jax.random.split(self._key)
             scratch = self._fresh_scratch()
-            start = 0
-            while start < plen:
-                take = min(plen - start, self.buckets[-1])
-                blen = self._bucket(take)
+            for start, take, blen in iter_prefill_chunks(
+                    plen, self.buckets):
                 ids = np.zeros((1, blen), np.int32)
                 ids[0, :take] = r.prompt_ids[start:start + take]
                 tok, scratch = self._prefill_fn(
                     jnp.asarray(ids), scratch, jnp.int32(start),
                     jnp.int32(take), sub)
-                start += take
             self.cache = self._insert_fn(self.cache, scratch,
                                          jnp.int32(slot))
             self.active[slot] = r

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from .engine import iter_prefill_chunks
 from ..models.llama import (
     KVCache,
     LlamaConfig,
@@ -43,8 +44,8 @@ from ..models.llama import (
     rope_cos_sin,
 )
 
-__all__ = ["PagedKVCache", "PageAllocator", "paged_decode_step",
-           "insert_prefill"]
+__all__ = ["PagedKVCache", "PageAllocator", "PagedEngine",
+           "paged_decode_step", "insert_prefill"]
 
 
 @struct.dataclass
@@ -284,6 +285,7 @@ class PagedEngine:
         self.active: List[Optional[object]] = [None] * slots
         self.queue = deque()
         self.finished = {}
+        self.on_token = None   # optional callable(Request, token_id)
         self._uid = 0
         self._buckets = tuple(sorted(prefill_buckets))
         self._Request = Request
@@ -292,7 +294,7 @@ class PagedEngine:
         import jax as _jax
 
         self._pf = _jax.jit(functools.partial(
-            self._prefill_impl, cfg=cfg))
+            self._prefill_impl, cfg=cfg), donate_argnums=(2,))
 
     @staticmethod
     def _prefill_impl(params, ids, scratch, start, cfg):
@@ -302,6 +304,10 @@ class PagedEngine:
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
                eos_id: Optional[int] = None) -> int:
+        if len(prompt_ids) + max_new_tokens >= self.max_seq:
+            raise ValueError(
+                f"request needs {len(prompt_ids)} + {max_new_tokens} "
+                f"positions but max_seq is {self.max_seq}")
         self._uid += 1
         self.queue.append(self._Request(
             uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
@@ -325,19 +331,14 @@ class PagedEngine:
                 continue
             r = self.queue.popleft()
             plen = len(r.prompt_ids)
-            if plen + r.max_new_tokens >= self.max_seq:
-                raise ValueError("request exceeds max_seq")
             scratch = KVCache.create(self.cfg, 1, self.max_seq)
-            start = 0
-            while start < plen:
-                take = min(plen - start, self._buckets[-1])
-                blen = next(b for b in self._buckets if take <= b)
+            for start, take, blen in iter_prefill_chunks(
+                    plen, self._buckets):
                 ids = self._np.zeros((1, blen), self._np.int32)
                 ids[0, :take] = r.prompt_ids[start:start + take]
                 logits, scratch = self._pf(
                     self.params, _jnp.asarray(ids), scratch,
                     _jnp.int32(start))
-                start += take
             # greedy next token from the LAST VALID position of the
             # final (possibly padded) chunk
             tok = int(_jnp.argmax(logits[0, take - 1]))
@@ -371,6 +372,8 @@ class PagedEngine:
         for i in act:
             r = self.active[i]
             r.output_ids.append(int(self._cur[i]))
+            if self.on_token is not None:
+                self.on_token(r, r.output_ids[-1])
             self.pos[i] += 1
             self._cur[i] = nxt[i]
             full = len(r.output_ids) >= r.max_new_tokens

@@ -89,6 +89,11 @@ def _spec_impl(
     B, P = prompt_ids.shape
     N = max_new_tokens
     K = draft_k
+    if cache.max_seq < P + N + K:
+        raise ValueError(
+            f"cache max_seq {cache.max_seq} < prompt {P} + "
+            f"max_new_tokens {N} + draft_k {K} (the verify forward "
+            "writes up to K positions past the final token)")
 
     logits, cache = prefill(params, prompt_ids, cache, cfg,
                             last_token_only=True)
@@ -128,7 +133,12 @@ def _spec_impl(
         ok = draft[:, :K - 1] == g[:, :K - 1]
         # a = leading-match count in [0, K-1]
         a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
-        emit_n = a + 1                                          # [1, K]
+        # rows that already emitted N tokens freeze (no emission, no
+        # pos advance): otherwise a finished row's pos keeps growing by
+        # K per step while slower rows drain, and the clamped cache
+        # writes would corrupt its valid KV tail
+        live_row = s["cnt"] < N
+        emit_n = jnp.where(live_row, a + 1, 0)                  # [0, K]
 
         idx = jnp.arange(K, dtype=jnp.int32)[None, :]
         live = idx < emit_n[:, None]
