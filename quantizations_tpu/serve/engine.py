@@ -335,12 +335,6 @@ class Engine:
 
     # -- internals ----------------------------------------------------------
 
-    def _bucket(self, n: int) -> int:
-        for b in self.buckets:
-            if n <= b:
-                return b
-        return self.buckets[-1]   # longer prompts prefill in chunks
-
     def _admit(self) -> None:
         for slot in range(self.slots):
             if self.active[slot] is not None or not self.queue:
