@@ -45,6 +45,7 @@ __all__ = [
     "prefill",
     "decode_step",
     "LLAMA3_8B",
+    "LLAMA3_70B",
     "TINY_LLAMA",
 ]
 
@@ -90,6 +91,16 @@ class LlamaConfig:
 
 
 LLAMA3_8B = LlamaConfig()
+
+# Llama3-70B: ~35 GB packed 4-bit — needs tp >= 4 v5e chips (weights
+# column/row-shard per parallel/shard.py; kv heads divide tp up to 8).
+LLAMA3_70B = LlamaConfig(
+    hidden_size=8192,
+    intermediate_size=28672,
+    num_hidden_layers=80,
+    num_attention_heads=64,
+    num_key_value_heads=8,
+)
 
 # Tiny config for tests and mesh dry-runs: every tensor-parallel shard (up
 # to tp=8) keeps K a multiple of the 64-element quant block.
