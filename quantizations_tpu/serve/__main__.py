@@ -35,6 +35,9 @@ def main() -> None:
     p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways (devices on the mesh)")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding "
+                        "(greedy only; single device)")
     args = p.parse_args()
 
     import jax
@@ -101,18 +104,32 @@ def main() -> None:
 
     key = jax.random.PRNGKey(serve.seed)
     t0 = time.perf_counter()
-    toks, _ = gen(params, prompt, cache, key)
+    verify_steps = None
+    if args.speculative:
+        if args.tp > 1:
+            raise SystemExit("--speculative is single-device")
+        from .speculative import make_speculative_generate_fn
+
+        spec = make_speculative_generate_fn(cfg, serve)
+        toks, steps, _ = spec(params, prompt, cache)
+        verify_steps = int(steps)
+    else:
+        toks, _ = gen(params, prompt, cache, key)
     toks = np.asarray(toks)
     dt = time.perf_counter() - t0
     out = toks[0].tolist()
     text = tokenizer.decode(out) if tokenizer is not None else None
-    print(json.dumps({
+    rec = {
         "prompt_ids": ids,
         "output_ids": out,
         "output_text": text,
         "wall_s": round(dt, 3),
         "tokens_per_s_incl_compile": round(len(out) / dt, 2),
-    }))
+    }
+    if verify_steps is not None:
+        rec["speculative_verify_steps"] = verify_steps
+        rec["tokens_per_verify_step"] = round(len(out) / verify_steps, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
