@@ -218,4 +218,35 @@ void golden_repack_bytes_to_i32(const unsigned char* packed, int32_t* out,
   }
 }
 
+// Golden pair-layout pack: bnb packed bytes of a [rows, cols] weight ->
+// the SWAR row-pair block-major int32 layout [rows/2, cols/4] used by
+// the fused FP4 decode kernel (ops/qmatmul.py documents the layout).
+// Scalar reference for differential tests of planar_to_pair.
+//
+// Word (i, w) for w = half*8*NB + r*NB + b (NB = cols/64, r in [0,8),
+// half in {0,1}) holds, at nibble p (low 16 bits: row 2i; high: 2i+1),
+// the code of column c = 64*b + 8*r + 4*half + p.
+void golden_pack_pair(const unsigned char* packed, int32_t* out,
+                      long long rows, long long cols) {
+  long long nb = cols / 64;
+  auto code_at = [&](long long r, long long c) -> uint32_t {
+    unsigned char byte = packed[(r * cols + c) / 2];
+    return (c % 2 == 0) ? (byte >> 4) : (byte & 0xF);
+  };
+  for (long long i = 0; i < rows / 2; ++i) {
+    for (long long w = 0; w < cols / 4; ++w) {
+      long long half = w / (8 * nb);
+      long long r = (w % (8 * nb)) / nb;
+      long long b = w % nb;
+      uint32_t word = 0;
+      for (int p = 0; p < 4; ++p) {
+        long long c = 64 * b + 8 * r + 4 * half + p;
+        word |= code_at(2 * i, c) << (4 * p);
+        word |= code_at(2 * i + 1, c) << (16 + 4 * p);
+      }
+      out[i * (cols / 4) + w] = (int32_t)word;
+    }
+  }
+}
+
 }  // extern "C"

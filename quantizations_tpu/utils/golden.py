@@ -52,6 +52,7 @@ def load() -> ctypes.CDLL:
         lib.golden_dequantize_blockwise_8bit.argtypes = [f32p, u8p, f32p, f32p, ll, i]
         lib.golden_gemv_4bit.argtypes = [u8p, f32p, f32p, f32p, ll, ll, i, i]
         lib.golden_repack_bytes_to_i32.argtypes = [u8p, i32p, ll]
+        lib.golden_pack_pair.argtypes = [u8p, i32p, ll, ll]
         _lib = lib
     return _lib
 
@@ -148,4 +149,15 @@ def repack_bytes_to_i32(packed: np.ndarray) -> np.ndarray:
         _u8(packed), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         packed.size,
     )
+    return out
+
+
+def pack_pair(packed: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Golden scalar pair-layout pack (differential reference for
+    ops/qmatmul.planar_to_pair)."""
+    lib = load()
+    out = np.zeros((rows // 2, cols // 4), np.int32)
+    lib.golden_pack_pair(_u8(packed.reshape(-1)),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                         rows, cols)
     return out

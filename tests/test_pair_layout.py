@@ -207,3 +207,16 @@ def test_dense_matmul_pair_matches_planar(rng):
                                preferred_element_type=jnp.float32))
         denom = np.max(np.abs(b)) + 1e-9
         assert np.max(np.abs(a - b)) / denom < 2e-2, qt
+
+
+def test_pair_pack_matches_cpp_golden(rng):
+    """planar_to_pair agrees with the scalar C++ golden pair pack."""
+    from quantizations_tpu.utils import golden
+
+    for (M, K) in [(8, 128), (32, 256)]:
+        by = rng.integers(0, 256, (M, K // 2), dtype=np.int64).astype(
+            np.uint8)
+        want = golden.pack_pair(by, M, K)
+        wp = pack_i32_rows(jnp.asarray(by.astype(np.int32)), M, K)
+        got = np.asarray(planar_to_pair(wp))
+        np.testing.assert_array_equal(got, want)
