@@ -1,0 +1,62 @@
+"""Continuous-batching engine throughput on the real chip: mixed-length
+requests through the slot engine (the serving-realistic aggregate
+number, including admission prefills and slot refills).
+
+    python benchmarks/engine_probe.py [--preset tiny]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from quantizations_tpu.config import ServeConfig
+from quantizations_tpu.models.llama import (
+    LLAMA3_8B, TINY_LLAMA, init_llama_params)
+from quantizations_tpu.serve.engine import Engine
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="8b", choices=["8b", "tiny"])
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--requests", type=int, default=24)
+    p.add_argument("--steps-per-dispatch", type=int, default=1)
+    args = p.parse_args()
+
+    cfg = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
+    params = init_llama_params(cfg, seed=0)
+    jax.block_until_ready(params)
+
+    serve = ServeConfig(max_seq_len=512)
+    eng = Engine(params, cfg, serve, slots=args.slots,
+                 prefill_buckets=(16, 64))
+    lens = [(13, 48), (40, 96), (7, 32), (60, 64)]
+    for i in range(args.requests):
+        plen, n = lens[i % len(lens)]
+        prompt = [(j * 7 + i) % cfg.vocab_size for j in range(plen)]
+        eng.submit(prompt, max_new_tokens=n)
+
+    # warm the compile caches (one admission + one step per bucket)
+    t0 = time.perf_counter()
+    eng.step()
+    warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    done = eng.run(steps_per_dispatch=args.steps_per_dispatch)
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.output_ids) for r in done.values())
+    print(f"requests={len(done)} tokens={toks} "
+          f"steps={eng._steps} wall={dt:.2f}s "
+          f"aggregate={toks/dt:.1f} tok/s (first step {warm:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

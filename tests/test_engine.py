@@ -166,3 +166,18 @@ def test_chunked_prefill_long_prompt():
     uid = eng.submit(prompt, max_new_tokens=6)
     done = eng.run()
     assert done[uid].output_ids == _reference_tokens(params, prompt, 6)
+
+
+def test_multi_step_dispatch_matches_single(params):
+    """run(steps_per_dispatch=4) emits the same greedy streams as the
+    per-step loop (retirement at window boundaries discards only the
+    throwaway tail)."""
+    serve = ServeConfig(max_seq_len=MAX_SEQ)
+    prompts = [[3, 1, 4], [2, 7, 1, 8, 2, 8], [9, 9]]
+    lens = [6, 7, 5]
+
+    eng = Engine(params, CFG, serve, slots=2, prefill_buckets=(8,))
+    uids = [eng.submit(p, max_new_tokens=n) for p, n in zip(prompts, lens)]
+    done = eng.run(steps_per_dispatch=4)
+    for uid, p, n in zip(uids, prompts, lens):
+        assert done[uid].output_ids == _reference_tokens(params, p, n), uid
