@@ -48,8 +48,7 @@ def main():
     def run(fn, unpack):
         cache = KVCache.create(cfg, 1, serve.max_seq_len)
         t0 = time.perf_counter()
-        res = fn(params, ids, cache, jax.random.PRNGKey(0)) \
-            if unpack == 2 else fn(params, ids, cache)
+        res = fn(params, ids, cache, jax.random.PRNGKey(0))
         toks = np.asarray(res[0])
         dt = time.perf_counter() - t0
         steps = int(res[1]) if unpack == 3 else args.new_tokens

@@ -111,7 +111,7 @@ def main() -> None:
         from .speculative import make_speculative_generate_fn
 
         spec = make_speculative_generate_fn(cfg, serve)
-        toks, steps, _ = spec(params, prompt, cache)
+        toks, steps, _ = spec(params, prompt, cache, key)
         verify_steps = int(steps)
     else:
         toks, _ = gen(params, prompt, cache, key)

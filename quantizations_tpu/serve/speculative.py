@@ -44,7 +44,38 @@ import jax.numpy as jnp
 from ..config import ServeConfig
 from ..models.llama import KVCache, LlamaConfig, LlamaParams, prefill
 
-__all__ = ["make_speculative_generate_fn", "draft_prompt_lookup"]
+__all__ = ["make_speculative_generate_fn", "draft_prompt_lookup",
+           "spec_accept_sample"]
+
+
+def spec_accept_sample(logits, draft, key, temperature: float):
+    """Exact speculative sampling against a DETERMINISTIC draft.
+
+    For proposal q = delta(draft), standard speculative sampling
+    reduces to: accept the draft token with probability p(draft);
+    on rejection sample from p with the draft token's mass removed
+    (renormalized) — the combined law is exactly p (tested
+    distributionally). temperature == 0 degrades to greedy argmax
+    acceptance.
+
+    logits [B, K, V], draft [B, K] -> (ok [B, K] accept mask,
+    corr [B, K] correction token per position).
+    """
+    B, K, V = logits.shape
+    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temperature == 0.0:
+        return draft == g, g
+    lt = logits / jnp.float32(temperature)
+    probs = jax.nn.softmax(lt, axis=-1)
+    pd = jnp.take_along_axis(probs, draft[..., None], axis=-1)[..., 0]
+    ku, ks = jax.random.split(key)
+    u = jax.random.uniform(ku, (B, K))
+    ok = u < pd
+    # correction: sample from p with the draft token zeroed out
+    masked = jnp.where(
+        jax.nn.one_hot(draft, V, dtype=bool), -jnp.inf, lt)
+    corr = jax.random.categorical(ks, masked, axis=-1).astype(jnp.int32)
+    return ok, corr
 
 
 def draft_prompt_lookup(hist: jnp.ndarray, hcnt: jnp.ndarray,
@@ -77,9 +108,11 @@ def _spec_impl(
     params: LlamaParams,
     prompt_ids: jnp.ndarray,      # [B, P]
     cache: KVCache,
+    key: jnp.ndarray,
     cfg: LlamaConfig,
     max_new_tokens: int,
     draft_k: int,
+    temperature: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """Returns (tokens [B, max_new_tokens], accept_steps, cache).
 
@@ -95,9 +128,12 @@ def _spec_impl(
             f"max_new_tokens {N} + draft_k {K} (the verify forward "
             "writes up to K positions past the final token)")
 
+    from .generate import sample_logits
+
     logits, cache = prefill(params, prompt_ids, cache, cfg,
                             last_token_only=True)
-    t0 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    key, sub = jax.random.split(key)
+    t0 = sample_logits(logits[:, -1, :], sub, temperature)
 
     S_hist = P + N + K + 2
     hist = jnp.zeros((B, S_hist), jnp.int32)
@@ -117,7 +153,7 @@ def _spec_impl(
         pos=jnp.full((B,), P, jnp.int32),
         cnt=jnp.ones((B,), jnp.int32),
         hist=hist, hcnt=hcnt, out=out, cache=cache,
-        steps=jnp.int32(0),
+        steps=jnp.int32(0), key=key,
     )
 
     def cond(s):
@@ -129,8 +165,11 @@ def _spec_impl(
             [s["pending"][:, None], draft[:, :K - 1]], axis=1)  # [B, K]
         logits, cache = prefill(params, feed, s["cache"], cfg,
                                 pos=s["pos"])
-        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)       # [B, K]
-        ok = draft[:, :K - 1] == g[:, :K - 1]
+        key, sub = jax.random.split(s["key"])
+        okk, corr = spec_accept_sample(logits, draft, sub, temperature)
+        # position i's acceptance covers draft[i] (fed at position i+1);
+        # draft[K-1] is never fed, so the window emits at most K tokens
+        ok = okk[:, :K - 1]
         # a = leading-match count in [0, K-1]
         a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
         # rows that already emitted N tokens freeze (no emission, no
@@ -142,6 +181,9 @@ def _spec_impl(
 
         idx = jnp.arange(K, dtype=jnp.int32)[None, :]
         live = idx < emit_n[:, None]
+        # emitted token i: the accepted draft below the rejection point,
+        # the correction sample at it (greedy: both equal argmax)
+        g = jnp.where(idx < a[:, None], draft, corr)
         # append g[:, :emit_n] to out at cnt and to hist at hcnt
         def scatter(buf, base, vals, live):
             pos = jnp.clip(base[:, None] + idx, 0, buf.shape[1] - 1)
@@ -161,7 +203,7 @@ def _spec_impl(
             pos=s["pos"] + emit_n,
             cnt=s["cnt"] + emit_n,
             hist=hist, hcnt=s["hcnt"] + emit_n, out=out, cache=cache,
-            steps=s["steps"] + 1,
+            steps=s["steps"] + 1, key=key,
         )
 
     state = jax.lax.while_loop(cond, body, state)
@@ -173,18 +215,19 @@ def make_speculative_generate_fn(
     serve: ServeConfig,
     draft_k: int = 8,
 ) -> Callable:
-    """Jitted speculative generate: ``(params, prompt_ids, cache) ->
-    (tokens [B, max_new_tokens], verify_steps, cache)``. Greedy only;
-    output is token-identical to ``make_generate_fn`` at temperature 0.
+    """Jitted speculative generate: ``(params, prompt_ids, cache, key)
+    -> (tokens [B, max_new_tokens], verify_steps, cache)``.
+
+    temperature == 0: greedy, token-identical to ``make_generate_fn``.
+    temperature > 0: exact speculative sampling (``spec_accept_sample``)
+    — the emitted stream is distributed as ordinary temperature
+    sampling whatever the drafts are.
 
     ``draft_k`` must keep the verify forward inside the fused pair
     kernel band (<= 256 rows incl. batch) — 8 is a good default: the
     kernel is nearly batch-flat there and misdrafts waste little."""
-    if serve.temperature != 0.0:
-        raise ValueError("speculative decoding is greedy-only "
-                         "(serve.temperature must be 0)")
     fn = functools.partial(
         _spec_impl, cfg=cfg, max_new_tokens=serve.max_new_tokens,
-        draft_k=draft_k)
+        draft_k=draft_k, temperature=serve.temperature)
     donate = (2,) if serve.donate_cache else ()
     return jax.jit(fn, donate_argnums=donate)

@@ -46,7 +46,8 @@ def test_speculative_matches_greedy():
             gen(params, ids, KVCache.create(CFG, 1, SERVE.max_seq_len),
                 jax.random.PRNGKey(0))[0])
         toks, steps, _ = spec(
-            params, ids, KVCache.create(CFG, 1, SERVE.max_seq_len))
+            params, ids, KVCache.create(CFG, 1, SERVE.max_seq_len),
+            jax.random.PRNGKey(0))
         np.testing.assert_array_equal(np.asarray(toks), ref)
         assert int(steps) <= SERVE.max_new_tokens
 
@@ -61,5 +62,52 @@ def test_speculative_batch():
         gen(params, ids, KVCache.create(CFG, 2, SERVE.max_seq_len),
             jax.random.PRNGKey(0))[0])
     toks, steps, _ = spec(
-        params, ids, KVCache.create(CFG, 2, SERVE.max_seq_len))
+        params, ids, KVCache.create(CFG, 2, SERVE.max_seq_len),
+        jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_spec_accept_sample_is_distributionally_exact():
+    """Accept-draft-with-prob-p(d) + rejection-resample-excluding-d
+    composes to EXACTLY the temperature-sampling law, whatever d is."""
+    from quantizations_tpu.serve.speculative import spec_accept_sample
+
+    logits = jnp.asarray([[[2.0, 1.0, 0.0, -1.0]]], jnp.float32)
+    temp = 0.8
+    p = np.asarray(jax.nn.softmax(logits[0, 0] / temp))
+    draft = jnp.asarray([[1]], jnp.int32)   # propose token 1 always
+
+    counts = np.zeros(4)
+    NKEYS = 4000
+    ok_fn = jax.jit(lambda k: spec_accept_sample(
+        logits, draft, k, temp))
+    for i in range(NKEYS):
+        ok, corr = ok_fn(jax.random.PRNGKey(i))
+        tok = 1 if bool(ok[0, 0]) else int(corr[0, 0])
+        counts[tok] += 1
+    freq = counts / NKEYS
+    np.testing.assert_allclose(freq, p, atol=0.025)
+    # greedy special case
+    ok, corr = spec_accept_sample(logits, draft, jax.random.PRNGKey(0),
+                                  0.0)
+    assert not bool(ok[0, 0]) and int(corr[0, 0]) == 0
+
+
+def test_speculative_temperature_runs():
+    """Temperature > 0 spec decode produces valid, key-deterministic
+    streams."""
+    import dataclasses
+
+    params = init_llama_params(CFG, seed=0)
+    serve = dataclasses.replace(SERVE, temperature=0.9)
+    spec = make_speculative_generate_fn(CFG, serve, draft_k=4)
+    ids = jnp.asarray([[3, 5, 7, 11, 3, 5, 7, 11]], jnp.int32)
+    t1, s1, _ = spec(params, ids,
+                     KVCache.create(CFG, 1, SERVE.max_seq_len),
+                     jax.random.PRNGKey(1))
+    t2, s2, _ = spec(params, ids,
+                     KVCache.create(CFG, 1, SERVE.max_seq_len),
+                     jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert np.all((np.asarray(t1) >= 0)
+                  & (np.asarray(t1) < CFG.vocab_size))
