@@ -407,6 +407,20 @@ class Engine:
                 self.step()
         return self.finished
 
+    def stats(self) -> Dict[str, Any]:
+        """Live engine counters (observability; SURVEY.md §5 metrics)."""
+        live = sum(1 for r in self.active if r is not None)
+        return {
+            "steps": self._steps,
+            "active_slots": live,
+            "queued": len(self.queue),
+            "finished": len(self.finished),
+            "emitted_tokens": sum(len(r.output_ids)
+                                  for r in self.finished.values())
+            + sum(len(r.output_ids) for r in self.active
+                  if r is not None),
+        }
+
     def recover(self) -> int:
         """Failure recovery (SURVEY.md §5): after a device error, requeue
         every in-flight request with its prompt extended by the tokens

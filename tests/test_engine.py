@@ -181,3 +181,17 @@ def test_multi_step_dispatch_matches_single(params):
     done = eng.run(steps_per_dispatch=4)
     for uid, p, n in zip(uids, prompts, lens):
         assert done[uid].output_ids == _reference_tokens(params, p, n), uid
+
+
+def test_engine_stats(params):
+    serve = ServeConfig(max_seq_len=MAX_SEQ)
+    eng = Engine(params, CFG, serve, slots=2, prefill_buckets=(8,))
+    eng.submit([3, 1, 4], max_new_tokens=4)
+    eng.submit([2, 7, 1], max_new_tokens=4)
+    eng.step()
+    st = eng.stats()
+    assert st["active_slots"] == 2 and st["steps"] == 1
+    eng.run()
+    st = eng.stats()
+    assert st["finished"] == 2 and st["emitted_tokens"] == 8
+    assert st["active_slots"] == 0 and st["queued"] == 0
