@@ -68,6 +68,10 @@ def dequantized_params(params: LlamaParams,
         q=conv_ql(lay.q), k=conv_ql(lay.k), v=conv_ql(lay.v),
         o=conv_ql(lay.o), gate=conv_ql(lay.gate), up=conv_ql(lay.up),
         down=conv_ql(lay.down),
+        # attention_bias (Qwen2) leaves must survive dequantization —
+        # dropping them would make parity measure the missing bias, not
+        # the quantization error
+        q_bias=lay.q_bias, k_bias=lay.k_bias, v_bias=lay.v_bias,
     )
     lm_head = (conv_ql(params.lm_head)
                if isinstance(params.lm_head, QLinear) else params.lm_head)
@@ -109,9 +113,16 @@ def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
         G = n_q // n_kv
         xa = rms_norm(x, lay.attn_norm, cfg.rms_norm_eps)
         x2 = xa.reshape(B * T, -1)
-        q = proj(x2, lay.q).reshape(B, T, n_q, D)
-        k = proj(x2, lay.k).reshape(B, T, n_kv, D)
-        v = proj(x2, lay.v).reshape(B, T, n_kv, D)
+        q = proj(x2, lay.q)
+        k = proj(x2, lay.k)
+        v = proj(x2, lay.v)
+        if lay.q_bias is not None:
+            q = q + lay.q_bias.astype(q.dtype)
+            k = k + lay.k_bias.astype(k.dtype)
+            v = v + lay.v_bias.astype(v.dtype)
+        q = q.reshape(B, T, n_q, D)
+        k = k.reshape(B, T, n_kv, D)
+        v = v.reshape(B, T, n_kv, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)

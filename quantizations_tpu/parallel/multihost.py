@@ -96,8 +96,6 @@ def make_dp_tp_generate_fn(cfg, serve, mesh: Mesh):
     dp-replicated (shard.llama_param_pspecs says nothing about dp, which
     under a 2-axis mesh means replication on dp). Batch must divide dp.
     """
-    import functools
-
     from jax.sharding import PartitionSpec as P
 
     from ..serve.generate import _generate_impl
@@ -109,16 +107,22 @@ def make_dp_tp_generate_fn(cfg, serve, mesh: Mesh):
     cspec = type(cs)(k=P(None, "dp", AXIS, None, None),
                      v=P(None, "dp", AXIS, None, None))
 
-    body = functools.partial(
-        _generate_impl,
-        cfg=cfg,
-        max_new_tokens=serve.max_new_tokens,
-        temperature=serve.temperature,
-        top_k=serve.top_k,
-        top_p=serve.top_p,
-        eos_id=serve.eos_id,
-        axis_name=AXIS,
-    )
+    def body(params, prompt_ids, cache, key):
+        # decorrelate dp replicas: a replicated key (in_specs P(None))
+        # would give every replica identical gumbel noise per LOCAL
+        # batch row — identical prompts on different replicas would
+        # sample identically at temperature > 0.
+        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        return _generate_impl(
+            params, prompt_ids, cache, key,
+            cfg=cfg,
+            max_new_tokens=serve.max_new_tokens,
+            temperature=serve.temperature,
+            top_k=serve.top_k,
+            top_p=serve.top_p,
+            eos_id=serve.eos_id,
+            axis_name=AXIS,
+        )
     mapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(pspecs, P("dp", None), cspec, P(None)),

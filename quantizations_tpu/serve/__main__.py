@@ -36,8 +36,8 @@ def main() -> None:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways (devices on the mesh)")
     p.add_argument("--speculative", action="store_true",
-                   help="prompt-lookup speculative decoding "
-                        "(greedy only; single device)")
+                   help="prompt-lookup speculative decoding (greedy or "
+                        "temperature sampling; single device)")
     args = p.parse_args()
 
     import jax

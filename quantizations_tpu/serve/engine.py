@@ -33,8 +33,6 @@ from ..models.llama import (
     decode_step,
     prefill,
 )
-from .generate import sample_logits
-
 __all__ = ["Request", "Engine"]
 
 
@@ -126,27 +124,35 @@ class Engine:
         # Sampling is per-slot: a temperature VECTOR selects greedy
         # (temp 0) or categorical per request; top_k stays engine-global
         # (it must be static under jit).
+        # Per-slot sampling with a traced temperature VECTOR: greedy
+        # (temp 0) or categorical per request; top_k/top_p stay
+        # engine-global (static under jit). Shared by the decode step
+        # AND the prefill closure so a request's resolved temperature
+        # governs its FIRST emitted token too.
+        def _sample(logits, temps, key):
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lt = logits / jnp.maximum(temps, 1e-6)[:, None]
+            if top_k > 0:
+                kth = jnp.sort(lt, axis=-1)[:, -top_k][:, None]
+                lt = jnp.where(lt < kth, -jnp.inf, lt)
+            if top_p < 1.0:
+                srt = jnp.sort(lt, axis=-1)[:, ::-1]
+                probs = jax.nn.softmax(srt, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                keep = (cum - probs) < jnp.float32(top_p)
+                thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                              keepdims=True)
+                lt = jnp.where(lt < thr, -jnp.inf, lt)
+            sampled = jax.random.categorical(
+                key, lt, axis=-1).astype(jnp.int32)
+            return jnp.where(temps == 0.0, greedy, sampled)
+
         def _make_step(attend_len):
             def _step(p, tokens, cache, pos_vec, temps, key):
                 logits, cache = decode_step(
                     p, tokens[:, None], cache, pos_vec, cfg,
                     axis_name=axis, attend_len=attend_len)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                lt = logits / jnp.maximum(temps, 1e-6)[:, None]
-                if top_k > 0:
-                    kth = jnp.sort(lt, axis=-1)[:, -top_k][:, None]
-                    lt = jnp.where(lt < kth, -jnp.inf, lt)
-                if top_p < 1.0:
-                    srt = jnp.sort(lt, axis=-1)[:, ::-1]
-                    probs = jax.nn.softmax(srt, axis=-1)
-                    cum = jnp.cumsum(probs, axis=-1)
-                    keep = (cum - probs) < jnp.float32(top_p)
-                    thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
-                                  keepdims=True)
-                    lt = jnp.where(lt < thr, -jnp.inf, lt)
-                sampled = jax.random.categorical(
-                    key, lt, axis=-1).astype(jnp.int32)
-                nxt = jnp.where(temps == 0.0, greedy, sampled)
+                nxt = _sample(logits, temps, key)
                 return nxt, cache
 
             return _step
@@ -185,14 +191,17 @@ class Engine:
         # garbage keys, but the NEXT chunk (or decode) overwrites
         # position p before any query can attend it, so they are never
         # read.
-        def _pf(p, ids, scratch, start, plen, key):
+        def _pf(p, ids, scratch, start, plen, temp, key):
             # ids [1, blen] left-aligned; positions 0..plen-1 valid.
+            # ``temp`` [1] is the request's RESOLVED temperature (traced
+            # — baking the engine default here would make a temp-0
+            # request's first token stochastic).
             logits, scratch = prefill(p, ids, scratch, cfg,
                                       axis_name=axis, pos=start)
             # logits of the LAST VALID token in this chunk
             logit = jnp.take_along_axis(
                 logits, jnp.reshape(plen - 1, (1, 1, 1)), axis=1)[:, 0]
-            tok = sample_logits(logit, key, temperature, top_k, top_p)
+            tok = _sample(logit, temp, key)
             return tok, scratch
 
         def _fresh_scratch():
@@ -255,7 +264,7 @@ class Engine:
             pf = jax.jit(jax.shard_map(
                 _pf, mesh=mesh,
                 in_specs=(pspecs, P(None, None), cspec, P(), P(),
-                          P(None)),
+                          P(None), P(None)),
                 out_specs=(P(None), cspec),
                 check_vma=False,
             ), donate_argnums=(2,))
@@ -458,13 +467,16 @@ class Engine:
                     f"prompt length {plen} >= max_seq {self.max_seq}")
             self._key, sub = jax.random.split(self._key)
             scratch = self._fresh_scratch()
+            rtemp = (self._temp if r.temperature is None
+                     else r.temperature)
             for start, take, blen in iter_prefill_chunks(
                     plen, self.buckets):
                 ids = np.zeros((1, blen), np.int32)
                 ids[0, :take] = r.prompt_ids[start:start + take]
                 tok, scratch = self._prefill_fn(
                     jnp.asarray(ids), scratch, jnp.int32(start),
-                    jnp.int32(take), sub)
+                    jnp.int32(take), jnp.asarray([rtemp], jnp.float32),
+                    sub)
             self.cache = self._insert_fn(self.cache, scratch,
                                          jnp.int32(slot))
             self.active[slot] = r

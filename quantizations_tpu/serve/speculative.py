@@ -17,7 +17,10 @@ No reference analogue — the reference rides HF ``model.generate``
 batch-1 (reference README.md:118-121); this is a TPU-native serving
 feature enabled by the batch-flat decode kernel.
 
-Greedy only (temperature 0): acceptance is defined by argmax equality.
+Temperature 0: acceptance is argmax equality (greedy-exact stream).
+Temperature > 0: exact speculative sampling (``spec_accept_sample`` +
+the bonus-slot rule in ``spec_window_tokens``) — the emitted stream is
+distributed as ordinary temperature sampling whatever the drafts are.
 
 Numerics caveat (standard for speculative decoding): the T=K verify
 forward and the T=1 sequential forward differ in low-order float bits,
@@ -45,7 +48,7 @@ from ..config import ServeConfig
 from ..models.llama import KVCache, LlamaConfig, LlamaParams, prefill
 
 __all__ = ["make_speculative_generate_fn", "draft_prompt_lookup",
-           "spec_accept_sample"]
+           "spec_accept_sample", "spec_window_tokens"]
 
 
 def spec_accept_sample(logits, draft, key, temperature: float):
@@ -76,6 +79,32 @@ def spec_accept_sample(logits, draft, key, temperature: float):
         jax.nn.one_hot(draft, V, dtype=bool), -jnp.inf, lt)
     corr = jax.random.categorical(ks, masked, axis=-1).astype(jnp.int32)
     return ok, corr
+
+
+def spec_window_tokens(okk, corr, draft):
+    """Resolve one verify window: which tokens are emitted.
+
+    okk/corr from :func:`spec_accept_sample` over the K verify
+    positions; draft [B, K]. Only drafts ``[:, :K-1]`` were FED, so the
+    window emits at most K tokens: ``a`` leading accepted drafts plus
+    one decision token. Returns ``(g [B, K], a [B])`` where the emitted
+    tokens are ``g[:, :a+1]``.
+
+    The decision token at position ``a``: for ``a < K-1`` it is the
+    rejection's correction sample ``corr[:, a]``; for ``a == K-1``
+    (every fed draft accepted) position K-1 is the *bonus* slot and its
+    own acceptance event ``okk[:, K-1]`` decides draft-vs-correction —
+    always emitting ``corr`` there would zero out draft[K-1]'s
+    probability mass and bias the stream (greedy: both equal argmax).
+    """
+    B, K = draft.shape
+    ok = okk[:, :K - 1]
+    a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+    idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    bonus_ok = (a == K - 1) & okk[:, K - 1]
+    g = jnp.where(idx < a[:, None], draft, corr)
+    g = jnp.where((idx == a[:, None]) & bonus_ok[:, None], draft, g)
+    return g, a
 
 
 def draft_prompt_lookup(hist: jnp.ndarray, hcnt: jnp.ndarray,
@@ -169,9 +198,7 @@ def _spec_impl(
         okk, corr = spec_accept_sample(logits, draft, sub, temperature)
         # position i's acceptance covers draft[i] (fed at position i+1);
         # draft[K-1] is never fed, so the window emits at most K tokens
-        ok = okk[:, :K - 1]
-        # a = leading-match count in [0, K-1]
-        a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+        g, a = spec_window_tokens(okk, corr, draft)
         # rows that already emitted N tokens freeze (no emission, no
         # pos advance): otherwise a finished row's pos keeps growing by
         # K per step while slower rows drain, and the clamped cache
@@ -181,9 +208,6 @@ def _spec_impl(
 
         idx = jnp.arange(K, dtype=jnp.int32)[None, :]
         live = idx < emit_n[:, None]
-        # emitted token i: the accepted draft below the rejection point,
-        # the correction sample at it (greedy: both equal argmax)
-        g = jnp.where(idx < a[:, None], draft, corr)
         # append g[:, :emit_n] to out at cnt and to hist at hcnt
         def scatter(buf, base, vals, live):
             pos = jnp.clip(base[:, None] + idx, 0, buf.shape[1] - 1)

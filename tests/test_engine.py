@@ -88,6 +88,19 @@ def test_per_request_temperature_and_streaming(params):
     assert len([1 for u, _ in streamed if u == u_hot]) == 5
 
 
+def test_temp0_request_in_hot_engine_is_deterministic(params):
+    """A temperature=0 request must be fully greedy — INCLUDING its
+    first token, which the prefill closure samples — even when the
+    engine default temperature is > 0 (regression: the prefill used to
+    bake the engine-global temperature)."""
+    serve = ServeConfig(max_seq_len=MAX_SEQ)
+    eng = Engine(params, CFG, serve, slots=2, prefill_buckets=(8,),
+                 temperature=1.5, seed=11)
+    uid = eng.submit([3, 1, 4], max_new_tokens=5, temperature=0.0)
+    done = eng.run()
+    assert done[uid].output_ids == _reference_tokens(params, [3, 1, 4], 5)
+
+
 def test_top_p_sampling_masks_tail():
     """top-p keeps the smallest prefix of probability-sorted tokens whose
     mass reaches p — a peaked distribution becomes effectively greedy."""

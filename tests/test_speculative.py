@@ -93,6 +93,43 @@ def test_spec_accept_sample_is_distributionally_exact():
     assert not bool(ok[0, 0]) and int(corr[0, 0]) == 0
 
 
+def test_spec_window_bonus_position_is_distributionally_exact():
+    """The FULL-ACCEPT window's last ("bonus") token must follow the
+    temperature-sampling law. Regression: always emitting the masked
+    correction sample there means the bonus token can NEVER equal
+    draft[K-1], suppressing the draft's (often dominant) mass."""
+    from quantizations_tpu.serve.speculative import (
+        spec_accept_sample, spec_window_tokens)
+
+    K, V = 3, 4
+    temp = 0.8
+    logits = jnp.broadcast_to(
+        jnp.asarray([2.0, 1.0, 0.0, -1.0], jnp.float32), (1, K, V))
+    p = np.asarray(jax.nn.softmax(logits[0, 0] / temp))
+    draft = jnp.asarray([[0, 0, 0]], jnp.int32)  # draft = argmax: full
+    # accepts are frequent and the bonus slot is exercised hard
+
+    def window(k):
+        okk, corr = spec_accept_sample(logits, draft, k, temp)
+        g, a = spec_window_tokens(okk, corr, draft)
+        return g, a
+
+    window = jax.jit(window)
+    counts = np.zeros(V)
+    n_full = 0
+    NKEYS = 4000
+    for i in range(NKEYS):
+        g, a = window(jax.random.PRNGKey(i))
+        if int(a[0]) == K - 1:          # full accept: bonus slot emitted
+            n_full += 1
+            counts[int(g[0, K - 1])] += 1
+    # acceptance uniforms are independent across positions, so the
+    # bonus token conditional on full accept is distributed exactly p
+    assert n_full > 500
+    np.testing.assert_allclose(counts / n_full, p, atol=0.04)
+    assert counts[0] > 0  # the regression: draft token never emitted
+
+
 def test_speculative_temperature_runs():
     """Temperature > 0 spec decode produces valid, key-deterministic
     streams."""
