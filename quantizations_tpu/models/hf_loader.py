@@ -155,12 +155,29 @@ def load_hf_llama(
         return jax.device_put(x, spec_path)
 
     def qlin(name: str, spec=None, layout: str = "auto") -> QLinear:
-        W = read(name)
-        ql = quantize_linear(
-            W, blocksize=q.blocksize, quant_type=q.quant_type,
-            compress_statistics=q.compress_statistics,
-            scales_dtype=q.scales_dtype, layout=layout,
-        )
+        prefix = name[: -len(".weight")]
+        from ..quant.bnb_io import (
+            is_bnb_quantized, parse_bnb_flat, qlinear_arrays_from_bnb)
+
+        if is_bnb_quantized(read.names, prefix):
+            # pre-quantized bnb checkpoint (HF flat-key serialization):
+            # take the stored codes/statistics verbatim instead of
+            # re-quantizing — drop-in parity with the reference's bnb
+            # consumers (reference core.py:29-42 key schema)
+            packed, state = parse_bnb_flat(read, read.names, prefix)
+            lay = layout
+            if lay == "auto":
+                lay = ("pair" if state.quant_type == "fp4"
+                       and state.shape[0] % 2 == 0 else "planar")
+            wp, scales = qlinear_arrays_from_bnb(packed, state, layout=lay)
+            ql = QLinear(wp=wp, scales=scales.astype(q.scales_dtype))
+        else:
+            W = read(name)
+            ql = quantize_linear(
+                W, blocksize=q.blocksize, quant_type=q.quant_type,
+                compress_statistics=q.compress_statistics,
+                scales_dtype=q.scales_dtype, layout=layout,
+            )
         if spec is not None:
             ql = QLinear(wp=jax.device_put(ql.wp, spec.wp),
                          scales=jax.device_put(ql.scales, spec.scales))
