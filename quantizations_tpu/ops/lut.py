@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["lut_tree", "lut_fp4_bits", "lut_take", "fp4_pair_patterns",
-           "make_lut", "LUT_NAMES"]
+           "fp4_pair_patterns_all", "make_lut", "LUT_NAMES"]
 
 
 def lut_tree(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:
@@ -110,6 +110,54 @@ def fp4_pair_patterns(words: jnp.ndarray, shift: int) -> jnp.ndarray:
     mask = (sb << 2) - (sb >> 14)
     bits = e0pat ^ ((e0pat ^ affine) & mask)
     return bits | (sgn << 12)
+
+
+def fp4_pair_patterns_all(words: jnp.ndarray) -> list:
+    """SWAR FP4 decode of ALL EIGHT codes of a pair-layout word into the
+    four int32 pattern-pair outputs (equivalent to
+    ``[fp4_pair_patterns(words, 4*p) for p in range(4)]`` — tested
+    bit-identical), restructured so the expensive subnormal blend runs
+    TWICE over byte fields (4 codes each) instead of four times over
+    halfword fields (2 codes each).
+
+    Byte-plane form of the pattern: ``P = R<<7 | mb<<6 | s<<15`` with
+    ``R = P>>7`` a single byte (normals: ``131 - e``; 0.0625: ``123``;
+    zero: ``0``), so R / the mantissa bit / the sign bit are computed
+    for 4 codes per op in byte fields and only the cheap final assembly
+    runs per output. Measured on v5e at [14336,4096] T=1: 119.0us vs
+    130.9us for the per-shift SWAR (benchmarks/pair_decode_probe.py;
+    floor without the subnormal blend: 88.3us, pure-DMA floor: 53.8us).
+    """
+    N0 = words & 0x0F0F0F0F
+    N1 = (words >> 4) & 0x0F0F0F0F
+    planes = []
+    for N in (N0, N1):
+        m = N & 0x01010101
+        e2 = N & 0x06060606
+        sg = N & 0x08080808
+        e1 = e2 >> 1
+        Rn = jnp.int32(np.int32(np.uint32(0x83838383))) - e1
+        # bit0 per byte iff e != 0 (mask AFTER the shift: bit31 would
+        # sign-extend through the arithmetic >>)
+        zb = ((e2 + 0x7E7E7E7E) >> 7) & 0x01010101
+        zm = zb * 0xFF                  # 0xFF per byte iff normal
+        Rs = m * 0x7B                   # R = 123 for the 0.0625 code
+        R = Rs ^ ((Rs ^ Rn) & zm)
+        mb = m & zm
+        planes.append((R, mb, sg))
+    outs = []
+    for p in range(4):
+        R, mb, sg = planes[p & 1]
+        if p < 2:   # byte 0 = even row, byte 2 = odd row
+            out = ((R & 0x00FF00FF) << 7) \
+                | ((mb & 0x00010001) << 6) \
+                | ((sg & 0x00080008) << 12)
+        else:       # bytes 1, 3
+            out = (((R >> 8) & 0x00FF00FF) << 7) \
+                | ((mb & 0x01000100) >> 2) \
+                | ((sg & 0x08000800) << 4)
+        outs.append(out)
+    return outs
 
 
 def pair_patterns_tree(words: jnp.ndarray, shift: int,

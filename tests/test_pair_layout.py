@@ -164,6 +164,29 @@ def test_linear4bit_pair_layout(rng):
         np.asarray(lin_planar.weight.packed_u8()))
 
 
+def test_fp4_pair_patterns_all_bit_exact(rng):
+    """The byte-SWAR all-shifts decode is bit-identical to the
+    per-shift SWAR over all 256 (even,odd) code pairs at every shift
+    and over random full words."""
+    from quantizations_tpu.ops.lut import (
+        fp4_pair_patterns, fp4_pair_patterns_all)
+
+    ev, od = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    for p in range(4):
+        w = ((ev.astype(np.int64) << (4 * p))
+             | (od.astype(np.int64) << (16 + 4 * p)))
+        wj = jnp.asarray(w.astype(np.uint32).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(fp4_pair_patterns_all(wj)[p]),
+            np.asarray(fp4_pair_patterns(wj, 4 * p)), err_msg=f"p={p}")
+    wr = jnp.asarray(rng.integers(-2**31, 2**31, (64, 128),
+                                  dtype=np.int64).astype(np.int32))
+    outs = fp4_pair_patterns_all(wr)
+    for p in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(outs[p]), np.asarray(fp4_pair_patterns(wr, 4 * p)))
+
+
 def test_pair_kernel_interpret(rng):
     """Pair Pallas kernel in interpret mode (CPU CI), incl. odd token
     counts (tile_t collapses to 1). Tolerance is loose: interpret-mode
