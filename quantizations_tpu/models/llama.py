@@ -79,6 +79,14 @@ class LlamaConfig:
     # decode attention via the Pallas flash-decode kernel
     # (ops/attention.py) instead of the XLA einsum path
     use_flash_attention: bool = False
+    # Collective/compute overlap for the row-parallel (o/down) psums:
+    # split the projection into this many output-row chunks and psum
+    # each chunk as soon as its partial matmul finishes — the chunk
+    # c psum has no data dependency on chunk c+1's compute, so XLA's
+    # async-collective scheduler can overlap them. 1 = single psum
+    # (identical program to before; the flag costs nothing at tp=1
+    # because _ql_psum short-circuits).
+    tp_overlap_chunks: int = 1
     quant: QuantConfig = QuantConfig()
 
     @property
@@ -478,6 +486,34 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
     )
 
 
+def _ql_psum(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
+             idx: Optional[jnp.ndarray], axis_name: Optional[str],
+             chunks: int) -> jnp.ndarray:
+    """Row-parallel projection + tp reduction, optionally chunked for
+    collective/compute overlap (SURVEY.md §2.3 TP row: "ICI collectives
+    overlapped with dequant-matmul by splitting ... and pipelining").
+
+    ``chunks > 1`` splits the OUTPUT rows into static slices: partial c
+    is psum'd while partial c+1 is still computing (independent
+    dataflow — XLA schedules the collectives async). Chunking the
+    output axis keeps total communication volume identical to the
+    single psum, and per-row kernel math is unchanged (row results are
+    independent of the row-tile split), so logits are bit-identical to
+    the unchunked program on matching backends (tested)."""
+    if axis_name is None:
+        return _ql(x2, lin, qcfg, idx)
+    M = lin.wp.shape[-2]          # row-parallel shards are planar
+    if chunks <= 1 or lin.layout == "pair" or M % chunks:
+        return jax.lax.psum(_ql(x2, lin, qcfg, idx), axis_name)
+    mc = M // chunks
+    outs = []
+    for c in range(chunks):
+        sl = QLinear(wp=lin.wp[..., c * mc:(c + 1) * mc, :],
+                     scales=lin.scales[..., c * mc:(c + 1) * mc, :])
+        outs.append(jax.lax.psum(_ql(x2, sl, qcfg, idx), axis_name))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _layer_forward(
     x: jnp.ndarray,              # [B, T, hidden]
     layer: LlamaLayer,           # single layer (no L axis)
@@ -574,9 +610,8 @@ def _layer_forward(
                               preferred_element_type=jnp.float32)
             attn = attn.reshape(B * T, n_q * D)
 
-        o = _ql(attn, layer.o, qcfg, idx)
-        if axis_name is not None:
-            o = jax.lax.psum(o, axis_name)
+        o = _ql_psum(attn, layer.o, qcfg, idx, axis_name,
+                     cfg.tp_overlap_chunks)
         x = x + o.reshape(B, T, h).astype(x.dtype)
 
     # -- MLP (SwiGLU) --
@@ -586,9 +621,8 @@ def _layer_forward(
         g = _ql(x2, layer.gate, qcfg, idx)
         u = _ql(x2, layer.up, qcfg, idx)
         act = jax.nn.silu(g) * u
-        d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg, idx)
-        if axis_name is not None:
-            d = jax.lax.psum(d, axis_name)
+        d = _ql_psum(act.astype(qcfg.compute_dtype), layer.down, qcfg,
+                     idx, axis_name, cfg.tp_overlap_chunks)
         x = x + d.reshape(B, T, h).astype(x.dtype)
     return x, ck, cv
 

@@ -93,6 +93,39 @@ def test_tp_prefill_logits_close(params):
         np.asarray(logits), np.asarray(ref_logits), rtol=0, atol=2e-2)
 
 
+def test_tp_overlap_chunks_token_identical(params):
+    """The chunked row-parallel psum (collective/compute overlap,
+    tp_overlap_chunks > 1) emits the SAME tokens as the single-psum
+    program — chunking the output axis changes neither per-row math
+    nor communication volume."""
+    import dataclasses
+
+    tp = 4
+    if len(jax.devices()) < tp:
+        pytest.skip("needs 4 devices")
+    validate_tp(CFG, tp)
+    mesh = make_mesh((tp,), ("tp",))
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=6,
+                        temperature=0.0, donate_cache=False)
+    ids = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    sharded = shard_llama_params(params, mesh, CFG)
+
+    base = make_sharded_generate_fn(CFG, serve, mesh)
+    ref_toks, _ = base(sharded, ids, _sharded_cache(mesh, 1), key)
+
+    cfg_ov = dataclasses.replace(CFG, tp_overlap_chunks=4)
+    gen = make_sharded_generate_fn(cfg_ov, serve, mesh)
+    toks, _ = gen(sharded, ids, _sharded_cache(mesh, 1), key)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+    # non-divisible chunk counts fall back to the single psum
+    cfg_bad = dataclasses.replace(CFG, tp_overlap_chunks=7)
+    gen_b = make_sharded_generate_fn(cfg_bad, serve, mesh)
+    toks_b, _ = gen_b(sharded, ids, _sharded_cache(mesh, 1), key)
+    np.testing.assert_array_equal(np.asarray(toks_b), np.asarray(ref_toks))
+
+
 def test_dp_tp_generate_matches_single_device():
     """(dp=2, tp=4) sharded generate: batch rows split over dp, each
     replica runs the TP decode — tokens equal the single-device run."""
