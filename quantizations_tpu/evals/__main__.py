@@ -32,6 +32,14 @@ def main() -> None:
                    help="run IFEval on the dequantized bf16 twin instead")
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--proxy", action="store_true",
+                   help="use the trained-distribution weight proxy "
+                        "(heavy tails + channel-scale spread + outlier "
+                        "channels) instead of i.i.d. Gaussian — the "
+                        "accuracy stand-in when no real checkpoint can "
+                        "exist in the environment")
+    p.add_argument("--preset", default="tiny", choices=["tiny", "8b"],
+                   help="model shape when no --model dir is given")
     args = p.parse_args()
 
     import jax
@@ -56,9 +64,14 @@ def main() -> None:
         except Exception:
             tokenizer = None
     else:
+        from ..models.llama import LLAMA3_8B
+
+        base = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
         cfg = dataclasses.replace(
-            TINY_LLAMA, quant=QuantConfig(quant_type=args.quant_type))
-        params = init_llama_params(cfg, seed=0)
+            base, quant=QuantConfig(quant_type=args.quant_type))
+        params = init_llama_params(
+            cfg, seed=0,
+            dist="trained_proxy" if args.proxy else "normal")
 
     out = {}
     if args.parity or not args.ifeval:

@@ -280,11 +280,38 @@ def quantize_linear(
     return QLinear(wp=wp, scales=scales.astype(scales_dtype))
 
 
+def _proxy_weight(key: jnp.ndarray, out_f: int, in_f: int,
+                  scale: float) -> jnp.ndarray:
+    """Trained-distribution weight proxy (no real checkpoint can exist
+    in this environment — zero egress; PARITY.md documents the
+    blocker). Mimics the statistics that make quantization HARD on
+    real LLM weights, which an i.i.d. Gaussian lacks entirely:
+
+    - heavy tails (Student-t df=5: excess kurtosis ~6, matching the
+      leptokurtic weight histograms of trained transformers),
+    - per-output-channel scale spread (log-normal row norms, sigma 0.4),
+    - rare outlier input channels (~0.5% of columns at 8x — the
+      well-documented transformer outlier-channel phenomenon), which
+    inflate 64-block absmax and crush small values — exactly the
+    regime where 4-bit codebooks lose accuracy."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    W = jax.random.t(k1, df=5.0, shape=(out_f, in_f), dtype=jnp.float32)
+    row = jnp.exp(0.4 * jax.random.normal(k2, (out_f, 1), jnp.float32))
+    outlier = jnp.where(
+        jax.random.bernoulli(k3, 0.005, (1, in_f)), 8.0, 1.0)
+    return W * row * outlier * jnp.float32(scale)
+
+
 def init_llama_params(
-    cfg: LlamaConfig, seed: int = 0, scale: float = 0.02
+    cfg: LlamaConfig, seed: int = 0, scale: float = 0.02,
+    dist: str = "normal",
 ) -> LlamaParams:
     """Random-initialized quantized model (bench/tests; real checkpoints
     come from :mod:`quantizations_tpu.models.hf_loader`).
+
+    ``dist="trained_proxy"`` draws weights/norms from the
+    trained-checkpoint proxy distribution (:func:`_proxy_weight`) for
+    accuracy evaluation without a real checkpoint.
 
     Memory discipline: layers are generated+quantized one at a time and
     written into a preallocated stacked buffer with a donated in-place
@@ -292,12 +319,26 @@ def init_llama_params(
     build-then-stack holds 2x the transformer weights, which together
     with generate's footprint exceeds a v5e's 16 GB for 8B)."""
     q = cfg.quant
+    proxy = dist == "trained_proxy"
     key = jax.random.PRNGKey(seed)
     h, qs, kvs, inter = (cfg.hidden_size, cfg.q_size, cfg.kv_size,
                          cfg.intermediate_size)
 
+    def dense(key, out_f, in_f):
+        if proxy:
+            return _proxy_weight(key, out_f, in_f, scale)
+        return jax.random.normal(key, (out_f, in_f), jnp.float32) * scale
+
+    def norm_gain(key):
+        if proxy:
+            # trained RMSNorm gains cluster near 1 with real spread
+            return jnp.abs(
+                1.0 + 0.3 * jax.random.normal(key, (h,), jnp.float32)
+            ).astype(jnp.bfloat16)
+        return jnp.ones((h,), jnp.bfloat16)
+
     def qlin(key, out_f, in_f):
-        W = jax.random.normal(key, (out_f, in_f), jnp.float32) * scale
+        W = dense(key, out_f, in_f)
         return quantize_linear(
             W, blocksize=q.blocksize, quant_type=q.quant_type,
             compress_statistics=q.compress_statistics,
@@ -305,7 +346,7 @@ def init_llama_params(
         )
 
     def make_layer(i: int) -> LlamaLayer:
-        ks = jax.random.split(jax.random.fold_in(key, i), 7)
+        ks = jax.random.split(jax.random.fold_in(key, i), 9)
         def b(key, n):
             if not cfg.attention_bias:
                 return None
@@ -314,12 +355,12 @@ def init_llama_params(
 
         kb = jax.random.split(jax.random.fold_in(key, i + 10**5), 3)
         return LlamaLayer(
-            attn_norm=jnp.ones((h,), jnp.bfloat16),
+            attn_norm=norm_gain(ks[7]),
             q=qlin(ks[0], qs, h),
             k=qlin(ks[1], kvs, h),
             v=qlin(ks[2], kvs, h),
             o=qlin(ks[3], h, qs),
-            mlp_norm=jnp.ones((h,), jnp.bfloat16),
+            mlp_norm=norm_gain(ks[8]),
             gate=qlin(ks[4], inter, h),
             up=qlin(ks[5], inter, h),
             down=qlin(ks[6], h, inter),
@@ -342,20 +383,24 @@ def init_llama_params(
     for i in range(1, L):
         layers = write_layer(layers, make_layer(i), jnp.int32(i))
 
-    ke, kh = jax.random.split(jax.random.fold_in(key, 10**6))
+    ke, kh, kn = jax.random.split(jax.random.fold_in(key, 10**6), 3)
     if q.quantize_embedding:
         embed = qlin(ke, cfg.vocab_size, h)
     else:
-        embed = jax.random.normal(
-            ke, (cfg.vocab_size, h), jnp.bfloat16) * scale
+        embed = (dense(ke, cfg.vocab_size, h).astype(jnp.bfloat16)
+                 if proxy else
+                 jax.random.normal(ke, (cfg.vocab_size, h), jnp.bfloat16)
+                 * scale)
     if q.quantize_lm_head:
         lm_head = qlin(kh, cfg.vocab_size, h)
     else:
-        lm_head = jax.random.normal(
-            kh, (cfg.vocab_size, h), jnp.bfloat16) * scale
+        lm_head = (dense(kh, cfg.vocab_size, h).astype(jnp.bfloat16)
+                   if proxy else
+                   jax.random.normal(kh, (cfg.vocab_size, h),
+                                     jnp.bfloat16) * scale)
     return LlamaParams(
         embed=embed, layers=layers,
-        final_norm=jnp.ones((h,), jnp.bfloat16), lm_head=lm_head,
+        final_norm=norm_gain(kn), lm_head=lm_head,
     )
 
 

@@ -204,6 +204,25 @@ class Engine:
             tok = _sample(logit, temp, key)
             return tok, scratch
 
+        # Batched admission: prefill chunks for EVERY admitted request
+        # in ONE dispatch, writing straight into the batch cache at
+        # per-row positions (no per-request scratch cache + insert).
+        # Rows of slots that are not being admitted this round carry
+        # zero tokens at their CURRENT position: the garbage K/V they
+        # write at [pos, pos+blen) is overwritten by future decode
+        # steps before any query can attend it (the same invariant the
+        # chunk padding already relies on). The host measured one
+        # ~45 ms tunnel round trip per prefill chunk per request —
+        # admission dominated the engine at many queued requests; this
+        # batches it to one round trip per chunk ROUND.
+        def _pf_batch(p, ids, cache, starts, plens, temps, key):
+            logits, cache = prefill(p, ids, cache, cfg,
+                                    axis_name=axis, pos=starts)
+            logit = jnp.take_along_axis(
+                logits, (plens - 1)[:, None, None], axis=1)[:, 0]
+            tok = _sample(logit, temps, key)
+            return tok, cache
+
         def _fresh_scratch():
             # GLOBAL scratch (full kv heads; the mesh sharding splits it
             # — the per-shard kv count only applies inside shard_map)
@@ -232,6 +251,7 @@ class Engine:
                                donate_argnums=(2,))
 
             pf = jax.jit(_pf, donate_argnums=(2,))
+            pfb = jax.jit(_pf_batch, donate_argnums=(2,))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -268,11 +288,19 @@ class Engine:
                 out_specs=(P(None), cspec),
                 check_vma=False,
             ), donate_argnums=(2,))
+            pfb = jax.jit(jax.shard_map(
+                _pf_batch, mesh=mesh,
+                in_specs=(pspecs, P(None, None), cspec, P(None), P(None),
+                          P(None), P(None)),
+                out_specs=(P(None), cspec),
+                check_vma=False,
+            ), donate_argnums=(2,))
         self._build_step = build_step
         self._build_multi_step = build_multi_step
         self._step_fns: Dict[int, Any] = {}
         self._multi_fns: Dict[Any, Any] = {}
         self._prefill_fn = functools.partial(pf, params)
+        self._prefill_batch_fn = functools.partial(pfb, params)
         self._params = params
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -456,21 +484,89 @@ class Engine:
 
     # -- internals ----------------------------------------------------------
 
+    def _resolved_temp(self, r: Optional[Request]) -> float:
+        if r is None or r.temperature is None:
+            return self._temp
+        return r.temperature
+
     def _admit(self) -> None:
-        for slot in range(self.slots):
-            if self.active[slot] is not None or not self.queue:
-                continue
+        """Admit queued requests into every free slot.
+
+        Batched path: one ``_pf_batch`` dispatch per chunk ROUND covers
+        all admitted requests at once, prefilling straight into the
+        batch cache (measured: per-request-per-chunk dispatches through
+        the ~45 ms tunnel round trip dominated the engine under load).
+        Falls back to the scratch-cache path only when a LIVE slot sits
+        too close to ``max_seq`` for the harmless-garbage-write
+        invariant (the batched prefill writes ``blen`` positions at
+        every row; near the cache end the clamped write would corrupt a
+        live row's valid tail).
+        """
+        free = [i for i in range(self.slots) if self.active[i] is None]
+        if not free or not self.queue:
+            return
+        admits = []                       # (slot, request, chunks)
+        for slot in free:
+            if not self.queue:
+                break
             r = self.queue.popleft()
             plen = len(r.prompt_ids)
             if plen >= self.max_seq:
                 raise ValueError(
                     f"prompt length {plen} >= max_seq {self.max_seq}")
+            admits.append((slot, r,
+                           iter_prefill_chunks(plen, self.buckets)))
+        rounds = max(len(c) for _, _, c in admits)
+        max_blen = max(bl for _, _, c in admits for _, _, bl in c)
+        live = [i for i in range(self.slots)
+                if self.active[i] is not None]
+        tight = (
+            any(self.pos[i] + max_blen > self.max_seq for i in live)
+            or any(len(r.prompt_ids) + max_blen > self.max_seq
+                   for _, r, _ in admits))
+        if tight:
+            self._admit_scratch(admits)
+            return
+
+        temps = np.asarray(
+            [next((self._resolved_temp(r) for s, r, _ in admits
+                   if s == i), self._resolved_temp(self.active[i]))
+             for i in range(self.slots)], np.float32)
+        for j in range(rounds):
+            blen = max(c[j][2] for _, _, c in admits if j < len(c))
+            ids = np.zeros((self.slots, blen), np.int32)
+            starts = np.asarray(self.pos, np.int32).copy()
+            plens = np.ones(self.slots, np.int32)
+            for slot, r, chunks in admits:
+                if j >= len(chunks):
+                    # this request finished its chunks in an earlier
+                    # round: behaves like a live row from here on
+                    starts[slot] = len(r.prompt_ids)
+                    continue
+                start, take, _ = chunks[j]
+                ids[slot, :take] = r.prompt_ids[start:start + take]
+                starts[slot] = start
+                plens[slot] = take
+            self._key, sub = jax.random.split(self._key)
+            tok, self.cache = self._prefill_batch_fn(
+                jnp.asarray(ids), self.cache, jnp.asarray(starts),
+                jnp.asarray(plens), jnp.asarray(temps), sub)
+            tok = np.asarray(tok)
+            for slot, r, chunks in admits:
+                if j == len(chunks) - 1:
+                    self._cur_tok[slot] = int(tok[slot])
+        for slot, r, chunks in admits:
+            self.active[slot] = r
+            self.pos[slot] = len(r.prompt_ids)
+
+    def _admit_scratch(self, admits) -> None:
+        """Per-request scratch-cache admission (the pre-batching path;
+        used when the batch cache is too full for in-place prefill)."""
+        for slot, r, chunks in admits:
             self._key, sub = jax.random.split(self._key)
             scratch = self._fresh_scratch()
-            rtemp = (self._temp if r.temperature is None
-                     else r.temperature)
-            for start, take, blen in iter_prefill_chunks(
-                    plen, self.buckets):
+            rtemp = self._resolved_temp(r)
+            for start, take, blen in chunks:
                 ids = np.zeros((1, blen), np.int32)
                 ids[0, :take] = r.prompt_ids[start:start + take]
                 tok, scratch = self._prefill_fn(
@@ -480,5 +576,5 @@ class Engine:
             self.cache = self._insert_fn(self.cache, scratch,
                                          jnp.int32(slot))
             self.active[slot] = r
-            self.pos[slot] = plen
+            self.pos[slot] = len(r.prompt_ids)
             self._cur_tok[slot] = int(np.asarray(tok)[0])

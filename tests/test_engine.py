@@ -88,6 +88,23 @@ def test_per_request_temperature_and_streaming(params):
     assert len([1 for u, _ in streamed if u == u_hot]) == 5
 
 
+def test_batched_admission_near_cache_end_falls_back(params):
+    """When a live slot sits close to max_seq the batched in-place
+    prefill would clamp its garbage writes onto the live row's valid
+    tail — admission must take the scratch path and stay exact."""
+    serve = ServeConfig(max_seq_len=24)
+    eng = Engine(params, CFG, serve, slots=2, prefill_buckets=(16,))
+    p1, p2 = [3, 1, 4], [2, 7, 1, 8]
+    u1 = eng.submit(p1, max_new_tokens=18)   # will run close to 24
+    # drive until slot 0 is near the end, then queue a second request
+    for _ in range(14):
+        eng.step()
+    u2 = eng.submit(p2, max_new_tokens=4)
+    done = eng.run()
+    assert done[u1].output_ids == _reference_tokens(params, p1, 18)
+    assert done[u2].output_ids == _reference_tokens(params, p2, 4)
+
+
 def test_temp0_request_in_hot_engine_is_deterministic(params):
     """A temperature=0 request must be fully greedy — INCLUDING its
     first token, which the prefill closure samples — even when the
