@@ -111,3 +111,26 @@ def test_linear4bit_nf4_double_quant_bnb_state(rng):
     # packed bytes view round-trips through the int32 word layout
     u8 = np.asarray(layer.weight.packed_u8())
     assert u8.shape == (M * K // 2, 1)
+
+
+def test_linear4bit_fp16_compute_dtype(rng):
+    """The reference's hard dtype contract is fp16 activations in, fp32
+    GEMV accumulation (pythonInterface.cpp:15,82).  fp16 compute_dtype
+    must flow through every dispatch band (fused decode, dense) with
+    accuracy comparable to the bf16/fp32 paths."""
+    M, K = 128, 256
+    W = (rng.standard_normal((M, K)) * 0.1).astype(np.float32)
+    ref_layer = Linear4bit.create(jnp.asarray(W),
+                                  compute_dtype=jnp.float32)
+    f16_layer = Linear4bit.create(jnp.asarray(W),
+                                  compute_dtype=jnp.float16)
+    assert f16_layer.compute_dtype == jnp.float16
+    for tokens in (1, 16, 128):  # GEMV / qmatmul / dense bands
+        x = rng.standard_normal((tokens, K)).astype(np.float16)
+        out = np.asarray(f16_layer(jnp.asarray(x)))
+        assert out.dtype == np.float16  # cast back to input dtype
+        ref = np.asarray(ref_layer(jnp.asarray(x, dtype=jnp.float32)))
+        # fp16 mantissa (10 bits) keeps the product within ~1e-2 of the
+        # fp32 path at these magnitudes
+        np.testing.assert_allclose(out.astype(np.float32), ref,
+                                   rtol=2e-2, atol=2e-2)
