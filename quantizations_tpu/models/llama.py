@@ -267,12 +267,14 @@ def quantize_linear(
     if blocksize != 64:
         scales = jnp.repeat(scales, blocksize // 64, axis=1)
     if layout == "auto":
-        # FP4's SWAR bit-arithmetic pair decode wins decisively; the
-        # generic xor-select pair tree (pair_patterns_tree) measured
-        # SLOWER than the planar gather mix for NF4 on v5e (24.9 vs
-        # 30.2 tok/s e2e), so arbitrary codebooks default to planar
-        layout = ("pair" if quant_type == "fp4" and out_f % 2 == 0
-                  else "planar")
+        # FP4's SWAR bit-arithmetic pair decode wins decisively. NF4
+        # pair decode lost as long as it was tree-only (24.9 vs 30.2
+        # tok/s e2e), but the gather+tree dual-issue mix
+        # (pair_patterns_mix) beats the planar gather mix at the kernel
+        # level (199.5us vs 247.4us at [14336,4096] T=1,
+        # benchmarks/nf4_mechanism_probe.py), so both codebooks now
+        # default to the pair layout
+        layout = "pair" if out_f % 2 == 0 else "planar"
     if layout == "pair":
         from ..ops.qmatmul import planar_to_pair
 

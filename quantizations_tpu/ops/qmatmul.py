@@ -33,6 +33,7 @@ from .lut import fp4_pair_patterns_all, pair_patterns_tree
 __all__ = ["matmul_4bit_pallas", "matmul_4bit_pallas_stacked",
            "pair_tokens_ok",
            "matmul_4bit_pair_pallas", "matmul_4bit_pair_pallas_stacked",
+           "matmul_4bit_pair_manual", "matmul_4bit_pair_manual_stacked",
            "pack_pair_rows", "planar_to_pair", "pair_to_planar",
            "pair_permute_activation"]
 
@@ -328,23 +329,64 @@ def pair_permute_activation(x: jnp.ndarray) -> jnp.ndarray:
         [_blockmajor(xa[:, :4, :]), _blockmajor(xa[:, 4:, :])], axis=2)
 
 
+def pair_patterns_mix(words, tbl128, table, n_gather: int = 2):
+    """Arbitrary-codebook pair decode splitting the four plane outputs
+    between the GATHER unit (planes ``< n_gather``: two 16-entry
+    dynamic gathers of the bf16 pattern halves) and the VPU xor-select
+    tree (remaining planes). Mosaic issues the two resources
+    concurrently — measured 199.5us vs 247.4us planar / 294.9us
+    all-tree / 263.1us all-gather at [14336,4096] T=1 on v5e
+    (benchmarks/nf4_mechanism_probe.py). ``tbl128`` is the broadcast
+    ``[TM2, 128]`` pattern table operand (16 real entries)."""
+    from .gemv import _take16_chunked
+
+    outs = []
+    for p in range(n_gather):
+        lo = (words >> (4 * p)) & 15
+        hi = (words >> (16 + 4 * p)) & 15
+        outs.append(_take16_chunked(tbl128, lo)
+                    | (_take16_chunked(tbl128, hi) << 16))
+    outs += [pair_patterns_tree(words, 4 * p, table)
+             for p in range(n_gather, 4)]
+    return outs
+
+
+def _pattern_table(table) -> jnp.ndarray:
+    """``[1, 128]`` int32 operand holding the 16 bf16 bit patterns of a
+    codebook (zero-padded), for the in-kernel dynamic gather."""
+    import ml_dtypes
+    import numpy as np
+
+    pat = np.asarray(np.asarray(table, np.float32).astype(
+        ml_dtypes.bfloat16)).view(np.uint16).astype(np.int64)
+    buf = np.zeros((1, 128), np.int32)
+    buf[0, :16] = pat.astype(np.int32)
+    return jnp.asarray(buf)
+
+
 def _pair_fn(quant_type: str):
-    """``words -> [4 int32 outputs]`` of packed bf16 pattern pairs, plus
-    the scale factor folded into srep (FP4 decodes RAW values, codebook
-    x 12). FP4 uses the byte-SWAR all-shifts decode (subnormal blend
-    amortized over 4 codes/byte-pass — measured 119.0us vs 130.9us for
-    the per-shift form at [14336,4096] T=1, pair_decode_probe.py)."""
+    """``(pair_fn, out_factor, needs_tbl)``: ``pair_fn`` maps words (and
+    for ``needs_tbl`` also the broadcast table) to the 4 int32 outputs
+    of packed bf16 pattern pairs; ``out_factor`` is folded into srep
+    (FP4 decodes RAW values, codebook x 12). FP4 uses the byte-SWAR
+    all-shifts decode (subnormal blend amortized over 4 codes/byte-pass
+    — measured 119.0us vs 130.9us for the per-shift form at
+    [14336,4096] T=1, pair_decode_probe.py); arbitrary codebooks (NF4)
+    use the gather+tree dual-issue mix."""
     if quant_type == "fp4":
-        return fp4_pair_patterns_all, 1.0 / 12.0
+        return fp4_pair_patterns_all, 1.0 / 12.0, False
     from ..quant.codebooks import get_4bit_code
 
     code = get_4bit_code(quant_type)
-    return (lambda w: [pair_patterns_tree(w, 4 * p, code)
-                       for p in range(4)]), 1.0
+    return (lambda w, tbl128: pair_patterns_mix(w, tbl128, code)), 1.0, True
 
 
-def _pair_kernel(wp_ref, xp_ref, s_ref, o_ref, *, out_factor, kc4,
-                 pair_fn=fp4_pair_patterns_all):
+def _pair_kernel(wp_ref, xp_ref, s_ref, *rest, out_factor, kc4,
+                 pair_fn=fp4_pair_patterns_all, has_tbl=False):
+    if has_tbl:
+        tbl_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     wp = wp_ref[:] if len(wp_ref.shape) == 2 else wp_ref[0]  # [TM2, kc4]
     s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]      # [TM, NB]
     tm2 = wp.shape[0]
@@ -366,7 +408,11 @@ def _pair_kernel(wp_ref, xp_ref, s_ref, o_ref, *, out_factor, kc4,
 
     tt = xp_ref.shape[0]
     part = jnp.zeros((tt, tm), jnp.float32)
-    Ds = pair_fn(wp)                                      # 4x [TM2, kc4]
+    if has_tbl:
+        tbl128 = jnp.broadcast_to(tbl_ref[0:1, :128], (tm2, 128))
+        Ds = pair_fn(wp, tbl128)                          # 4x [TM2, kc4]
+    else:
+        Ds = pair_fn(wp)                                  # 4x [TM2, kc4]
     for p in range(4):
         D = Ds[p]
         Wp = pltpu.bitcast(D, jnp.bfloat16)               # [TM, kc4]
@@ -441,20 +487,28 @@ def matmul_4bit_pair_pallas(
 
     xp = pair_permute_activation(x)
 
-    pair_fn, out_factor = _pair_fn(quant_type)
+    pair_fn, out_factor, has_tbl = _pair_fn(quant_type)
     kernel = functools.partial(_pair_kernel, out_factor=out_factor,
-                               kc4=kc4, pair_fn=pair_fn)
+                               kc4=kc4, pair_fn=pair_fn, has_tbl=has_tbl)
+    in_specs = [
+        pl.BlockSpec((tile_m // 2, kc4), lambda t, i, kq: (i, kq),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_t, 4, kc4), lambda t, i, kq: (t, 0, kq),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, K // 64), lambda t, i, kq: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [wp2, xp, scales]
+    if has_tbl:
+        from ..quant.codebooks import get_4bit_code
+
+        in_specs.append(pl.BlockSpec((1, 128), lambda t, i, kq: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pattern_table(get_4bit_code(quant_type)))
     out = pl.pallas_call(
         kernel,
         grid=(T // tile_t, M // tile_m, K4 // kc4),
-        in_specs=[
-            pl.BlockSpec((tile_m // 2, kc4), lambda t, i, kq: (i, kq),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_t, 4, kc4), lambda t, i, kq: (t, 0, kq),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, K // 64), lambda t, i, kq: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_t, tile_m),
                                lambda t, i, kq: (t, i),
                                memory_space=pltpu.VMEM),
@@ -467,7 +521,7 @@ def matmul_4bit_pair_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wp2, xp, scales)
+    )(*operands)
     return out
 
 
@@ -497,23 +551,37 @@ def matmul_4bit_pair_pallas_stacked(
     tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m)
     xp = pair_permute_activation(x)
 
-    pair_fn, out_factor = _pair_fn(quant_type)
+    pair_fn, out_factor, has_tbl = _pair_fn(quant_type)
 
-    def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, o_ref):
-        _pair_kernel(wp_ref[0], xp_ref, s_ref[0], o_ref,
-                     out_factor=out_factor, kc4=kc4, pair_fn=pair_fn)
+    if has_tbl:
+        def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, tbl_ref, o_ref):
+            _pair_kernel(wp_ref[0], xp_ref, s_ref[0], tbl_ref, o_ref,
+                         out_factor=out_factor, kc4=kc4,
+                         pair_fn=pair_fn, has_tbl=True)
+    else:
+        def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, o_ref):
+            _pair_kernel(wp_ref[0], xp_ref, s_ref[0], o_ref,
+                         out_factor=out_factor, kc4=kc4, pair_fn=pair_fn)
 
+    in_specs = [
+        pl.BlockSpec((1, tile_m // 2, kc4),
+                     lambda t, i, kq, idx: (idx[0], i, kq)),
+        pl.BlockSpec((tile_t, 4, kc4),
+                     lambda t, i, kq, idx: (t, 0, kq)),
+        pl.BlockSpec((1, tile_m, K // 64),
+                     lambda t, i, kq, idx: (idx[0], i, 0)),
+    ]
+    operands = [wp2, xp, scales]
+    if has_tbl:
+        from ..quant.codebooks import get_4bit_code
+
+        in_specs.append(pl.BlockSpec((1, 128),
+                                     lambda t, i, kq, idx: (0, 0)))
+        operands.append(_pattern_table(get_4bit_code(quant_type)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // tile_t, M // tile_m, K4 // kc4),
-        in_specs=[
-            pl.BlockSpec((1, tile_m // 2, kc4),
-                         lambda t, i, kq, idx: (idx[0], i, kq)),
-            pl.BlockSpec((tile_t, 4, kc4),
-                         lambda t, i, kq, idx: (t, 0, kq)),
-            pl.BlockSpec((1, tile_m, K // 64),
-                         lambda t, i, kq, idx: (idx[0], i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_t, tile_m),
                                lambda t, i, kq, idx: (t, i)),
     )
@@ -529,5 +597,207 @@ def matmul_4bit_pair_pallas_stacked(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), wp2, xp, scales)
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *operands)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Manual double-buffered DMA pipeline (decode band)
+#
+# The grid-pipelined pair kernel's measured time decomposes EXACTLY
+# additively on v5e (DMA floor 53.8us + affine decode 34.5us + subnormal
+# blend 30.2us = 118.5us at [14336,4096] T=1) — the automatic Pallas
+# pipeline does not overlap the weight stream with the VPU decode at
+# these shapes. This variant keeps the weights in HBM (memory_space ANY)
+# and streams M-chunks through two VMEM slots with explicitly issued
+# async copies: chunk i+1's DMA is in flight while chunk i decodes, so
+# steady-state time is max(DMA, compute) instead of their sum.
+# Scales/activations stay ordinary VMEM operands (fetched once — they
+# are ~11%/~0.1% of the bytes). Decode-band only (T small): prefill
+# shapes amortize decode over token tiles in the grid kernel instead.
+# ---------------------------------------------------------------------------
+
+
+def _pick_tile_manual(M: int, K4: int) -> int:
+    """M-chunk rows for the manual pipeline: largest of 512/256/128 that
+    divides M (lane-slice writes of the output need 128-multiples; VMEM
+    cost is 2 x (tm/2) x K4 words for the slots)."""
+    for tm in (512, 256, 128):
+        if M % tm == 0:
+            return tm
+    return 0
+
+
+def _manual_kernel_body(dma_src, s_slice, xp_ref, tbl_ref, o_ref, *,
+                        nchunk, tm, K4, nb_total, pair_fn, out_factor,
+                        has_tbl):
+    """``dma_src(ci)`` -> HBM ref slice for chunk ``ci``; ``s_slice(ci)``
+    -> the chunk's ``[tm, nb_total]`` scales VALUE."""
+    tm2 = tm // 2
+    tt = xp_ref.shape[0]
+    xs = [xp_ref[:, p, :].astype(jnp.bfloat16) for p in range(4)]
+
+    def scoped(wbuf, wsem):
+        def dma(slot, ci):
+            return pltpu.make_async_copy(dma_src(ci), wbuf.at[slot],
+                                         wsem.at[slot])
+
+        dma(0, 0).start()
+
+        def loop(ci, _):
+            slot = jax.lax.rem(ci, 2)
+            nslot = jax.lax.rem(ci + 1, 2)
+
+            @pl.when(ci + 1 < nchunk)
+            def _():
+                dma(nslot, ci + 1).start()
+
+            dma(slot, ci).wait()
+            wp = wbuf[slot]
+            s = s_slice(ci)
+            sf = s.astype(jnp.bfloat16)
+            if out_factor != 1.0:
+                sf = sf * jnp.bfloat16(out_factor)
+            sp = pltpu.bitcast(sf, jnp.int32)
+            srep = pltpu.bitcast(
+                pltpu.repeat(sp, K4 // nb_total, axis=1), jnp.bfloat16)
+            if has_tbl:
+                tbl128 = jnp.broadcast_to(tbl_ref[0:1, :128], (tm2, 128))
+                Ds = pair_fn(wp, tbl128)
+            else:
+                Ds = pair_fn(wp)
+            part = jnp.zeros((tt, tm), jnp.float32)
+            for p in range(4):
+                Wj = pltpu.bitcast(Ds[p], jnp.bfloat16) * srep
+                part = part + jax.lax.dot_general(
+                    xs[p], Wj, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            o_ref[:, pl.ds(ci * tm, tm)] = part
+            return 0
+
+        jax.lax.fori_loop(0, nchunk, loop, 0)
+
+    pl.run_scoped(
+        scoped,
+        wbuf=pltpu.VMEM((2, tm2, K4), jnp.int32),
+        wsem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("quant_type", "tile_m", "interpret"))
+def matmul_4bit_pair_manual(
+    wp2: jnp.ndarray,      # [M/2, K/4] int32 pair layout
+    scales: jnp.ndarray,   # [M, K/64] float
+    x: jnp.ndarray,        # [T, K]
+    quant_type: str = "fp4",
+    tile_m: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pair-decode matmul with the manual double-buffered weight
+    stream. Numerics identical to :func:`matmul_4bit_pair_pallas`
+    (same decode, same bf16 rounding class, same accumulation order
+    within a row)."""
+    M2, K4 = wp2.shape
+    M, K = 2 * M2, 4 * K4
+    T = x.shape[0]
+    assert x.shape[1] == K
+    assert scales.shape == (M, K // 64)
+    tm = tile_m or _pick_tile_manual(M, K4)
+    assert tm and M % tm == 0 and tm % 128 == 0
+    pair_fn, out_factor, has_tbl = _pair_fn(quant_type)
+    xp = pair_permute_activation(x)
+
+    def kern(wp_ref, xp_ref, s_ref, *rest):
+        if has_tbl:
+            tbl_ref, o_ref = rest
+        else:
+            tbl_ref, (o_ref,) = None, rest
+        _manual_kernel_body(
+            lambda ci: wp_ref.at[pl.ds(ci * (tm // 2), tm // 2), :],
+            lambda ci: s_ref[pl.ds(ci * tm, tm), :],
+            xp_ref, tbl_ref, o_ref,
+            nchunk=M // tm, tm=tm, K4=K4, nb_total=K // 64,
+            pair_fn=pair_fn, out_factor=out_factor, has_tbl=has_tbl)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [wp2, xp, scales]
+    if has_tbl:
+        from ..quant.codebooks import get_4bit_code
+
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(_pattern_table(get_4bit_code(quant_type)))
+    return pl.pallas_call(
+        kern,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, M), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("quant_type", "tile_m", "interpret"))
+def matmul_4bit_pair_manual_stacked(
+    wp2: jnp.ndarray,        # [L, M/2, K/4] int32 pair layout
+    scales: jnp.ndarray,     # [L, M, K/64] float
+    x: jnp.ndarray,          # [T, K]
+    layer_idx: jnp.ndarray,  # scalar int32
+    quant_type: str = "fp4",
+    tile_m: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Layer-indexed manual-pipeline pair matmul: weight chunk DMAs are
+    aimed at layer ``layer_idx`` of the stacked HBM buffer; the layer's
+    scales ride the normal grid prologue via a scalar-prefetch index
+    map (one fetch per call)."""
+    L, M2, K4 = wp2.shape
+    M, K = 2 * M2, 4 * K4
+    T = x.shape[0]
+    assert x.shape[1] == K
+    assert scales.shape == (L, M, K // 64)
+    tm = tile_m or _pick_tile_manual(M, K4)
+    assert tm and M % tm == 0 and tm % 128 == 0
+    pair_fn, out_factor, has_tbl = _pair_fn(quant_type)
+    xp = pair_permute_activation(x)
+
+    def kern(idx_ref, wp_ref, xp_ref, s_ref, *rest):
+        if has_tbl:
+            tbl_ref, o_ref = rest
+        else:
+            tbl_ref, (o_ref,) = None, rest
+        _manual_kernel_body(
+            lambda ci: wp_ref.at[idx_ref[0],
+                                 pl.ds(ci * (tm // 2), tm // 2), :],
+            lambda ci: s_ref[0, pl.ds(ci * tm, tm), :],
+            xp_ref, tbl_ref, o_ref,
+            nchunk=M // tm, tm=tm, K4=K4, nb_total=K // 64,
+            pair_fn=pair_fn, out_factor=out_factor, has_tbl=has_tbl)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((T, 4, K4), lambda g, idx: (0, 0, 0)),
+        pl.BlockSpec((1, M, K // 64), lambda g, idx: (idx[0], 0, 0)),
+    ]
+    operands = [wp2, xp, scales]
+    if has_tbl:
+        from ..quant.codebooks import get_4bit_code
+
+        in_specs.append(pl.BlockSpec((1, 128), lambda g, idx: (0, 0)))
+        operands.append(_pattern_table(get_4bit_code(quant_type)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, M), lambda g, idx: (0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, M), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *operands)

@@ -78,8 +78,9 @@ def test_config_from_hf(hf_dir):
 
 def test_load_and_forward(hf_dir):
     cfg, params = load_hf_llama(hf_dir, quant=QuantConfig(quant_type="nf4"))
-    # nf4 -> planar runtime layout
-    assert params.layers.q.wp.shape == (LAYERS, HEADS * HD, H // 8)
+    # nf4 -> pair runtime layout (same default as fp4 since the
+    # gather+tree mix decode)
+    assert params.layers.q.wp.shape == (LAYERS, HEADS * HD // 2, H // 4)
     assert params.layers.q.out_features == HEADS * HD
     ids = jnp.asarray([[1, 2, 3]], jnp.int32)
     import functools

@@ -125,12 +125,13 @@ def test_quantize_linear_layouts(rng):
     assert pair.out_features == 32 and pair.in_features == 128
     planar = quantize_linear(W, layout="planar")
     assert planar.layout == "planar" and planar.wp.shape == (32, 16)
-    # nf4 defaults to planar (the pair xor-tree measured slower than
-    # the planar gather mix on v5e); explicit pair still works
+    # nf4 now ALSO defaults to pair (the gather+tree dual-issue mix
+    # beats the planar gather mix — nf4_mechanism_probe.py); explicit
+    # planar still works (required for row-parallel shards)
     nf4 = quantize_linear(W, quant_type="nf4")
-    assert nf4.layout == "planar"
-    nf4p = quantize_linear(W, quant_type="nf4", layout="pair")
-    assert nf4p.layout == "pair"
+    assert nf4.layout == "pair"
+    nf4p = quantize_linear(W, quant_type="nf4", layout="planar")
+    assert nf4p.layout == "planar"
     assert bool(jnp.all(pair_to_planar(pair.wp) == planar.wp))
 
 
@@ -210,6 +211,53 @@ def test_pair_kernel_interpret(rng):
         assert np.max(np.abs(a - b)) / denom < 5e-3, T
 
 
+def test_pair_kernel_nf4_mix_interpret(rng):
+    """NF4 pair kernel (gather+tree mix decode) against the planar
+    kernel in interpret mode. Numerics class: bf16 pattern table x bf16
+    scales (same as the FP4 pair path), vs the planar kernel's fp32
+    values — loose bf16-rounding tolerance."""
+    from quantizations_tpu.ops.qmatmul import (
+        matmul_4bit_pair_pallas, matmul_4bit_pallas)
+
+    M, K = 256, 512
+    by = jnp.asarray(
+        rng.integers(0, 256, (M, K // 2), dtype=np.int64).astype(np.int32))
+    wp = pack_i32_rows(by, M, K)
+    wp2 = planar_to_pair(wp)
+    scales = jnp.asarray(rng.random((M, K // 64), np.float32))
+    for T in (1, 4):
+        x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
+        a = np.asarray(matmul_4bit_pair_pallas(
+            wp2, scales, x, quant_type="nf4", interpret=True))
+        b = np.asarray(matmul_4bit_pallas(
+            wp, scales, x, quant_type="nf4", interpret=True))
+        denom = np.max(np.abs(b)) + 1e-9
+        assert np.max(np.abs(a - b)) / denom < 1e-2, T
+
+
+def test_pair_stacked_nf4_mix_interpret(rng):
+    """Stacked (layer-indexed) NF4 pair kernel with the table operand
+    behind scalar prefetch."""
+    from quantizations_tpu.ops.qmatmul import (
+        matmul_4bit_pair_pallas, matmul_4bit_pair_pallas_stacked)
+
+    M, K, L = 128, 256, 3
+    by = jnp.asarray(
+        rng.integers(0, 256, (L, M, K // 2),
+                     dtype=np.int64).astype(np.int32))
+    wps = jnp.stack([planar_to_pair(pack_i32_rows(by[l], M, K))
+                     for l in range(L)])
+    scales = jnp.asarray(rng.random((L, M, K // 64), np.float32))
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    for l in (0, 2):
+        a = np.asarray(matmul_4bit_pair_pallas_stacked(
+            wps, scales, x, jnp.int32(l), quant_type="nf4",
+            interpret=True))
+        b = np.asarray(matmul_4bit_pair_pallas(
+            wps[l], scales[l], x, quant_type="nf4", interpret=True))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_dense_matmul_pair_matches_planar(rng):
     """The pair-native dense matmul (prefill path) matches the planar
     dequant+dot within fp32 accumulation-order noise."""
@@ -243,3 +291,46 @@ def test_pair_pack_matches_cpp_golden(rng):
         wp = pack_i32_rows(jnp.asarray(by.astype(np.int32)), M, K)
         got = np.asarray(planar_to_pair(wp))
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("quant_type", ["fp4", "nf4"])
+def test_manual_pipeline_matches_grid_kernel(rng, quant_type):
+    """The manual double-buffered DMA pipeline kernel is bit-identical
+    to the grid-pipelined pair kernel (same decode, scales, and
+    accumulation order)."""
+    from quantizations_tpu.ops.qmatmul import (
+        matmul_4bit_pair_manual, matmul_4bit_pair_pallas)
+
+    M, K = 256, 512
+    by = jnp.asarray(
+        rng.integers(0, 256, (M, K // 2), dtype=np.int64).astype(np.int32))
+    wp2 = planar_to_pair(pack_i32_rows(by, M, K))
+    scales = jnp.asarray(rng.random((M, K // 64), np.float32))
+    for T in (1, 4):
+        x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
+        a = np.asarray(matmul_4bit_pair_manual(
+            wp2, scales, x, quant_type=quant_type, interpret=True))
+        b = np.asarray(matmul_4bit_pair_pallas(
+            wp2, scales, x, quant_type=quant_type, interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("quant_type", ["fp4", "nf4"])
+def test_manual_pipeline_stacked(rng, quant_type):
+    from quantizations_tpu.ops.qmatmul import (
+        matmul_4bit_pair_manual_stacked, matmul_4bit_pair_pallas)
+
+    M, K, L = 128, 256, 3
+    bys = jnp.asarray(rng.integers(
+        0, 256, (L, M, K // 2), dtype=np.int64).astype(np.int32))
+    wps = jnp.stack([planar_to_pair(pack_i32_rows(bys[l], M, K))
+                     for l in range(L)])
+    scales = jnp.asarray(rng.random((L, M, K // 64), np.float32))
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    for l in (0, 2):
+        a = np.asarray(matmul_4bit_pair_manual_stacked(
+            wps, scales, x, jnp.int32(l), quant_type=quant_type,
+            interpret=True))
+        b = np.asarray(matmul_4bit_pair_pallas(
+            wps[l], scales[l], x, quant_type=quant_type, interpret=True))
+        np.testing.assert_array_equal(a, b)
