@@ -7,7 +7,7 @@ with XLA collectives (psum of row-parallel partials, all_gather of the
 vocab-sharded logits) riding ICI.
 """
 
-from . import multihost, pipeline
+from . import multihost, pipeline, ring
 from .mesh import make_mesh
 from .shard import (
     cache_pspec,
@@ -19,6 +19,7 @@ from .shard import (
 __all__ = [
     "multihost",
     "pipeline",
+    "ring",
     "make_mesh",
     "llama_param_pspecs",
     "cache_pspec",

@@ -1,0 +1,58 @@
+"""Ring attention (SP/CP): sequence-sharded causal attention equals the
+dense single-device computation (CPU mesh sim, 8 virtual devices)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from quantizations_tpu.parallel.ring import (
+    make_ring_attention_fn, ring_attention)
+
+
+def dense_causal(q, k, v):
+    B, T, KVH, G, D = q.shape
+    qf = q.astype(np.float64) * (D ** -0.5)
+    sc = np.einsum("bqkgd,bskd->bqkgs", qf, k.astype(np.float64))
+    mask = np.tril(np.ones((T, T), bool))
+    sc = np.where(mask[None, :, None, None, :], sc, -np.inf)
+    p = np.exp(sc - sc.max(axis=-1, keepdims=True))
+    p = p / p.sum(axis=-1, keepdims=True)
+    return np.einsum("bqkgs,bskd->bqkgd", p, v.astype(np.float64))
+
+
+@pytest.mark.parametrize("n,T", [(2, 16), (4, 32), (8, 64)])
+def test_ring_attention_matches_dense(n, T):
+    rng = np.random.default_rng(0)
+    B, KVH, G, D = 2, 2, 2, 16
+    q = rng.standard_normal((B, T, KVH, G, D)).astype(np.float32)
+    k = rng.standard_normal((B, T, KVH, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, KVH, D)).astype(np.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+    f = make_ring_attention_fn(mesh, "sp")
+    out = np.asarray(f(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    ref = dense_causal(q, k, v)
+    # fp32 summation-order noise only (abs ~1e-6 on near-zero elements)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=5e-6)
+    # at bf16 (the model's activation dtype) at most rounding-boundary
+    # flips survive: any mismatch must be a single-ULP neighbor pair
+    a = np.asarray(jnp.asarray(out, jnp.bfloat16)).view(np.uint16)
+    b = np.asarray(jnp.asarray(ref.astype(np.float32), jnp.bfloat16)).view(
+        np.uint16)
+    ulp = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert ulp.max() <= 1 and (ulp != 0).mean() < 1e-3
+
+
+def test_ring_attention_single_device_degenerates():
+    """n=1: the ring is just dense causal attention (no ppermute)."""
+    rng = np.random.default_rng(1)
+    B, T, KVH, G, D = 1, 8, 1, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, T, KVH, G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, KVH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, KVH, D)), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
+    out = np.asarray(make_ring_attention_fn(mesh, "sp")(q, k, v))
+    ref = dense_causal(np.asarray(q), np.asarray(k), np.asarray(v))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
