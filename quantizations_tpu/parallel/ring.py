@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ring_attention", "make_ring_attention_fn"]
+__all__ = ["ring_attention", "make_ring_attention_fn",
+           "make_sp_prefill_fn"]
 
 _NEG = -1e30
 
@@ -94,6 +95,113 @@ def ring_attention(
             kv = jax.lax.ppermute(kv, axis_name, perm)
 
     return acc / l[..., None]
+
+
+def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp"):
+    """Sequence-parallel long-context prefill: the PROMPT axis is
+    sharded over ``axis_name``. Each device embeds and projects its own
+    token chunk (QKV/MLP are token-parallel — a quantized linear is
+    independent per row), attention runs as :func:`ring_attention`, and
+    the per-chunk K/V land in the standard :class:`KVCache` layout
+    (out_specs shard the cache's sequence axis, so the gather is just
+    the shard_map output). Decode then proceeds on the filled cache
+    exactly as after a single-device prefill.
+
+    This is what makes 100k+-token prompts fit: activations and the
+    O(C²) attention score block scale with the 1/n chunk, not the full
+    prompt (a 128k Llama3-8B prefill's scores alone are 64 GB dense).
+
+    Returns ``f(params, token_ids [B, T], cache) -> (last-token logits
+    [B, vocab], cache)``; T must divide by the mesh axis size. Sliding
+    window is not supported (Mistral's window < chunk would need
+    subchunk masking)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..models.llama import (KVCache, QLinear, _ql, apply_rope,
+                                embed_lookup, rms_norm, rope_cos_sin)
+
+    if cfg.sliding_window is not None:
+        raise ValueError("sequence-parallel prefill does not support "
+                         "sliding-window attention")
+    n = mesh.shape[axis_name]
+    qcfg = cfg.quant
+    D = cfg.head_dim
+
+    def trunk(params, tokens):           # local chunk: tokens [B, C]
+        B, C = tokens.shape
+        d = jax.lax.axis_index(axis_name)
+        positions = jnp.broadcast_to(
+            (d * C + jnp.arange(C, dtype=jnp.int32))[None, :], (B, C))
+        cos, sin = rope_cos_sin(positions, D, cfg.rope_theta,
+                                cfg.rope_scaling)
+        x = embed_lookup(params.embed, tokens, qcfg.quant_type)
+        stacked = params.layers
+
+        def body(x, i):
+            xa = rms_norm(x, stacked.attn_norm[i], cfg.rms_norm_eps)
+            x2 = xa.astype(qcfg.compute_dtype).reshape(B * C, -1)
+            q = _ql(x2, stacked.q, qcfg, i)
+            k = _ql(x2, stacked.k, qcfg, i)
+            v = _ql(x2, stacked.v, qcfg, i)
+            if stacked.q_bias is not None:
+                q = q + stacked.q_bias[i].astype(q.dtype)
+                k = k + stacked.k_bias[i].astype(k.dtype)
+                v = v + stacked.v_bias[i].astype(v.dtype)
+            n_q, n_kv = q.shape[-1] // D, k.shape[-1] // D
+            q = apply_rope(q.reshape(B, C, n_q, D), cos, sin)
+            k = apply_rope(k.reshape(B, C, n_kv, D), cos, sin)
+            v = v.reshape(B, C, n_kv, D)
+            attn = ring_attention(
+                q.reshape(B, C, n_kv, n_q // n_kv, D), k, v,
+                axis_name, n)
+            o = _ql(attn.reshape(B * C, n_q * D).astype(qcfg.compute_dtype),
+                    stacked.o, qcfg, i)
+            x = x + o.reshape(B, C, -1).astype(x.dtype)
+
+            xm = rms_norm(x, stacked.mlp_norm[i], cfg.rms_norm_eps)
+            x2 = xm.astype(qcfg.compute_dtype).reshape(B * C, -1)
+            g = _ql(x2, stacked.gate, qcfg, i)
+            u = _ql(x2, stacked.up, qcfg, i)
+            dn = _ql((jax.nn.silu(g) * u).astype(qcfg.compute_dtype),
+                     stacked.down, qcfg, i)
+            x = x + dn.reshape(B, C, -1).astype(x.dtype)
+            # cache-native chunk [B, KV, C, D]
+            return x, (k.swapaxes(1, 2).astype(jnp.bfloat16),
+                       v.swapaxes(1, 2).astype(jnp.bfloat16))
+
+        idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+        x, (ks, vs) = jax.lax.scan(body, x, idx)   # ks [L, B, KV, C, D]
+        return x, ks, vs
+
+    @jax.jit
+    def f(params, token_ids, cache):
+        pp = jax.tree.map(lambda _: P(), params)
+        x, ks, vs = shard_map(
+            trunk, mesh=mesh,
+            in_specs=(pp, P(None, axis_name)),
+            out_specs=(P(None, axis_name),
+                       P(None, None, None, axis_name),
+                       P(None, None, None, axis_name)),
+            check_rep=False,
+        )(params, token_ids)
+        zero = (0,) * 5
+        ck = jax.lax.dynamic_update_slice(
+            cache.k, ks.astype(cache.k.dtype), zero)
+        cv = jax.lax.dynamic_update_slice(
+            cache.v, vs.astype(cache.v.dtype), zero)
+        xl = x[:, -1:, :]
+        xl = rms_norm(xl, params.final_norm, cfg.rms_norm_eps)
+        B = xl.shape[0]
+        if isinstance(params.lm_head, QLinear):
+            logits = _ql(xl.astype(qcfg.compute_dtype).reshape(B, -1),
+                         params.lm_head, qcfg)
+        else:
+            logits = jnp.einsum(
+                "bh,vh->bv", xl[:, 0].astype(jnp.bfloat16), params.lm_head,
+                preferred_element_type=jnp.float32)
+        return logits, KVCache(k=ck, v=cv)
+
+    return f
 
 
 def make_ring_attention_fn(

@@ -45,6 +45,54 @@ def test_ring_attention_matches_dense(n, T):
     assert ulp.max() <= 1 and (ulp != 0).mean() < 1e-3
 
 
+@pytest.mark.parametrize("n", [2, 4])
+def test_sp_prefill_matches_single_device(n):
+    """Sequence-parallel prefill == single-device prefill: same filled
+    cache, same last-token logits, same greedy continuation."""
+    from quantizations_tpu.models.llama import (
+        KVCache, TINY_LLAMA, decode_step, init_llama_params, prefill)
+    from quantizations_tpu.parallel.ring import make_sp_prefill_fn
+
+    cfg = TINY_LLAMA
+    params = init_llama_params(cfg, seed=0)
+    T, B, MAX_SEQ = 16, 2, 32
+    ids = jnp.asarray(
+        np.random.default_rng(2).integers(0, cfg.vocab_size, (B, T)),
+        jnp.int32)
+
+    ref_logits, ref_cache = prefill(
+        params, ids, KVCache.create(cfg, B, MAX_SEQ), cfg,
+        last_token_only=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+    f = make_sp_prefill_fn(mesh, cfg)
+    sp_logits, sp_cache = f(params, ids, KVCache.create(cfg, B, MAX_SEQ))
+
+    # layer 0 K is bit-identical (same math, no attention upstream);
+    # deeper layers pick up bf16-ULP noise from the ring's different
+    # fp32 summation order in layer 0's attention output
+    np.testing.assert_array_equal(
+        np.asarray(sp_cache.k[0, :, :, :T].astype(jnp.float32)),
+        np.asarray(ref_cache.k[0, :, :, :T].astype(jnp.float32)))
+    np.testing.assert_allclose(
+        np.asarray(sp_cache.k[:, :, :, :T].astype(jnp.float32)),
+        np.asarray(ref_cache.k[:, :, :, :T].astype(jnp.float32)),
+        rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits[:, 0]),
+        rtol=2e-2, atol=2e-2)
+    assert (np.argmax(np.asarray(sp_logits), -1)
+            == np.argmax(np.asarray(ref_logits[:, 0]), -1)).all()
+
+    # greedy continuation from each cache agrees
+    nxt = jnp.argmax(sp_logits, -1).astype(jnp.int32)[:, None]
+    pos = jnp.full((B,), T, jnp.int32)
+    l1, _ = decode_step(params, nxt, sp_cache, pos, cfg)
+    l2, _ = decode_step(params, nxt, ref_cache, pos, cfg)
+    assert (np.argmax(np.asarray(l1), -1)
+            == np.argmax(np.asarray(l2), -1)).all()
+
+
 def test_ring_attention_single_device_degenerates():
     """n=1: the ring is just dense causal attention (no ppermute)."""
     rng = np.random.default_rng(1)
