@@ -38,6 +38,9 @@ def main() -> None:
                    help="also measure batch 16/32 aggregate TPS")
     p.add_argument("--prefill", action="store_true",
                    help="also measure prefill throughput at T=512")
+    p.add_argument("--pipeline", default="grid", choices=["grid", "manual"],
+                   help="decode-band pair-kernel weight streaming "
+                        "(manual = double-buffered DMA pipeline)")
     args = p.parse_args()
 
     import jax
@@ -63,7 +66,8 @@ def main() -> None:
     if args.lean:
         qkw = dict(quantize_embedding=True, scales_dtype=jnp.bfloat16)
     cfg = dataclasses.replace(
-        base, quant=QuantConfig(quant_type=args.quant_type, **qkw))
+        base, quant=QuantConfig(quant_type=args.quant_type,
+                                pair_pipeline=args.pipeline, **qkw))
     serve = ServeConfig(
         max_seq_len=args.max_seq, max_new_tokens=args.new_tokens,
         temperature=0.0, donate_cache=True,

@@ -50,10 +50,21 @@ class QuantConfig:
     # the full decode program), so it stays a footprint knob, off by
     # default.
     scales_dtype: Any = jnp.float32
+    # decode-band pair-kernel weight streaming: "grid" = Pallas
+    # grid-pipelined kernel; "manual" = explicit double-buffered DMA
+    # pipeline (ops/qmatmul.py manual variants — steady-state
+    # max(DMA, compute) instead of their measured sum). Numerics are
+    # identical; selection is a perf knob until the on-chip probe
+    # (benchmarks/pair_dma_pipeline_probe.py) settles the default.
+    pair_pipeline: str = "grid"
 
     def __post_init__(self):
         if self.quant_type not in ("fp4", "nf4"):
             raise ValueError(f"quant_type {self.quant_type!r} not supported")
+        if self.pair_pipeline not in ("grid", "manual"):
+            raise ValueError(
+                f"pair_pipeline {self.pair_pipeline!r} not in "
+                f"('grid', 'manual')")
         if self.blocksize not in VALID_BLOCKSIZES:
             raise ValueError(
                 f"blocksize {self.blocksize} not in {VALID_BLOCKSIZES}"

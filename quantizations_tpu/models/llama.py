@@ -510,6 +510,13 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
 
         if (pair and tokens <= PAIR_QMATMUL_MAX_TOKENS and on_tpu
                 and pair_tokens_ok(tokens)):
+            if (qcfg.pair_pipeline == "manual"
+                    and (2 * lin.wp.shape[-2]) % 128 == 0):
+                from ..ops.qmatmul import matmul_4bit_pair_manual_stacked
+
+                return matmul_4bit_pair_manual_stacked(
+                    lin.wp, lin.scales, x2.astype(qcfg.compute_dtype),
+                    idx, quant_type=qcfg.quant_type)
             from ..ops.qmatmul import matmul_4bit_pair_pallas_stacked
 
             return matmul_4bit_pair_pallas_stacked(

@@ -140,6 +140,7 @@ def apply_4bit(
     compute_dtype: Any = jnp.bfloat16,
     use_pallas: bool = True,
     axis_name: Optional[str] = None,
+    pair_pipeline: str = "grid",
 ) -> jnp.ndarray:
     """Core 4-bit matmul dispatch shared by :class:`Linear4bit` and the
     model layer: ``x2 [T, K] @ dequant(wp, scales).T -> [T, M]`` fp32.
@@ -159,6 +160,12 @@ def apply_4bit(
         from ..ops.qmatmul import pair_tokens_ok
 
         if tokens <= PAIR_QMATMUL_MAX_TOKENS and pair_tokens_ok(tokens):
+            if pair_pipeline == "manual" and (2 * wp.shape[-2]) % 128 == 0:
+                from ..ops.qmatmul import matmul_4bit_pair_manual
+
+                return matmul_4bit_pair_manual(
+                    wp, scales, x2.astype(compute_dtype),
+                    quant_type=quant_type)
             from ..ops.qmatmul import matmul_4bit_pair_pallas
 
             return matmul_4bit_pair_pallas(
