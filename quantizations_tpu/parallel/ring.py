@@ -97,7 +97,8 @@ def ring_attention(
     return acc / l[..., None]
 
 
-def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp"):
+def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
+                       tp_axis: Optional[str] = None):
     """Sequence-parallel long-context prefill: the PROMPT axis is
     sharded over ``axis_name``. Each device embeds and projects its own
     token chunk (QKV/MLP are token-parallel — a quantized linear is
@@ -106,6 +107,13 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp"):
     (out_specs shard the cache's sequence axis, so the gather is just
     the shard_map output). Decode then proceeds on the filled cache
     exactly as after a single-device prefill.
+
+    ``tp_axis`` composes with tensor parallelism on a 2D
+    ``(sp, tp)`` mesh: params are the standard TP shards
+    (:func:`..parallel.shard.shard_llama_params` on the 2D mesh —
+    column/row-parallel weights, psum over tp inside each token chunk,
+    kv heads sharded over tp in the output cache), so rings ride one
+    ICI axis while TP reductions ride the other.
 
     This is what makes 100k+-token prompts fit: activations and the
     O(C²) attention score block scale with the 1/n chunk, not the full
@@ -117,8 +125,9 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp"):
     subchunk masking)."""
     from jax.experimental.shard_map import shard_map
 
-    from ..models.llama import (KVCache, QLinear, _ql, apply_rope,
-                                embed_lookup, rms_norm, rope_cos_sin)
+    from ..models.llama import (KVCache, QLinear, _ql, _ql_psum,
+                                apply_rope, embed_lookup, rms_norm,
+                                rope_cos_sin)
 
     if cfg.sliding_window is not None:
         raise ValueError("sequence-parallel prefill does not support "
@@ -147,41 +156,65 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp"):
                 q = q + stacked.q_bias[i].astype(q.dtype)
                 k = k + stacked.k_bias[i].astype(k.dtype)
                 v = v + stacked.v_bias[i].astype(v.dtype)
-            n_q, n_kv = q.shape[-1] // D, k.shape[-1] // D
+            n_q, n_kv = q.shape[-1] // D, k.shape[-1] // D  # per tp shard
             q = apply_rope(q.reshape(B, C, n_q, D), cos, sin)
             k = apply_rope(k.reshape(B, C, n_kv, D), cos, sin)
             v = v.reshape(B, C, n_kv, D)
             attn = ring_attention(
                 q.reshape(B, C, n_kv, n_q // n_kv, D), k, v,
                 axis_name, n)
-            o = _ql(attn.reshape(B * C, n_q * D).astype(qcfg.compute_dtype),
-                    stacked.o, qcfg, i)
+            o = _ql_psum(
+                attn.reshape(B * C, n_q * D).astype(qcfg.compute_dtype),
+                stacked.o, qcfg, i, tp_axis, cfg.tp_overlap_chunks)
             x = x + o.reshape(B, C, -1).astype(x.dtype)
 
             xm = rms_norm(x, stacked.mlp_norm[i], cfg.rms_norm_eps)
             x2 = xm.astype(qcfg.compute_dtype).reshape(B * C, -1)
             g = _ql(x2, stacked.gate, qcfg, i)
             u = _ql(x2, stacked.up, qcfg, i)
-            dn = _ql((jax.nn.silu(g) * u).astype(qcfg.compute_dtype),
-                     stacked.down, qcfg, i)
+            dn = _ql_psum((jax.nn.silu(g) * u).astype(qcfg.compute_dtype),
+                          stacked.down, qcfg, i, tp_axis,
+                          cfg.tp_overlap_chunks)
             x = x + dn.reshape(B, C, -1).astype(x.dtype)
-            # cache-native chunk [B, KV, C, D]
+            # cache-native chunk [B, KV(shard), C, D]
             return x, (k.swapaxes(1, 2).astype(jnp.bfloat16),
                        v.swapaxes(1, 2).astype(jnp.bfloat16))
 
         idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
         x, (ks, vs) = jax.lax.scan(body, x, idx)   # ks [L, B, KV, C, D]
-        return x, ks, vs
+
+        # lm_head on the global last token (it lives on sp rank n-1)
+        xl = jax.lax.all_gather(x[:, -1, :], axis_name)[-1]    # [B, h]
+        xl = rms_norm(xl, params.final_norm, cfg.rms_norm_eps)
+        if isinstance(params.lm_head, QLinear):
+            logits = _ql(xl.astype(qcfg.compute_dtype), params.lm_head,
+                         qcfg)
+        else:
+            logits = jnp.einsum(
+                "bh,vh->bv", xl.astype(jnp.bfloat16), params.lm_head,
+                preferred_element_type=jnp.float32)
+        if tp_axis is not None:   # vocab-sharded head: gather the shards
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
+                                        tiled=True)
+        return logits, ks, vs
+
+    if tp_axis is None:
+        def pspecs(params):
+            return jax.tree.map(lambda _: P(), params)
+        kv_spec = P(None, None, None, axis_name)
+    else:
+        from .shard import llama_param_pspecs
+
+        def pspecs(params):
+            return llama_param_pspecs(cfg)
+        kv_spec = P(None, None, tp_axis, axis_name)
 
     @jax.jit
     def f(params, token_ids, cache):
-        pp = jax.tree.map(lambda _: P(), params)
-        x, ks, vs = shard_map(
+        logits, ks, vs = shard_map(
             trunk, mesh=mesh,
-            in_specs=(pp, P(None, axis_name)),
-            out_specs=(P(None, axis_name),
-                       P(None, None, None, axis_name),
-                       P(None, None, None, axis_name)),
+            in_specs=(pspecs(params), P(None, axis_name)),
+            out_specs=(P(None, None), kv_spec, kv_spec),
             check_rep=False,
         )(params, token_ids)
         zero = (0,) * 5
@@ -189,16 +222,6 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp"):
             cache.k, ks.astype(cache.k.dtype), zero)
         cv = jax.lax.dynamic_update_slice(
             cache.v, vs.astype(cache.v.dtype), zero)
-        xl = x[:, -1:, :]
-        xl = rms_norm(xl, params.final_norm, cfg.rms_norm_eps)
-        B = xl.shape[0]
-        if isinstance(params.lm_head, QLinear):
-            logits = _ql(xl.astype(qcfg.compute_dtype).reshape(B, -1),
-                         params.lm_head, qcfg)
-        else:
-            logits = jnp.einsum(
-                "bh,vh->bv", xl[:, 0].astype(jnp.bfloat16), params.lm_head,
-                preferred_element_type=jnp.float32)
         return logits, KVCache(k=ck, v=cv)
 
     return f

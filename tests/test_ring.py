@@ -93,6 +93,46 @@ def test_sp_prefill_matches_single_device(n):
             == np.argmax(np.asarray(l2), -1)).all()
 
 
+def test_sp_tp_prefill_matches_single_device():
+    """2D (sp=2, tp=2) mesh: ring prefill over TP-sharded params equals
+    the single-device prefill (greedy logits + filled cache)."""
+    from quantizations_tpu.models.llama import (
+        KVCache, TINY_LLAMA, init_llama_params, prefill)
+    from quantizations_tpu.parallel.ring import make_sp_prefill_fn
+    from quantizations_tpu.parallel.shard import (
+        cache_pspec, shard_llama_params)
+    from jax.sharding import NamedSharding
+
+    cfg = TINY_LLAMA
+    params = init_llama_params(cfg, seed=0)
+    T, B, MAX_SEQ = 16, 2, 32
+    ids = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (B, T)),
+        jnp.int32)
+
+    ref_logits, ref_cache = prefill(
+        params, ids, KVCache.create(cfg, B, MAX_SEQ), cfg,
+        last_token_only=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("sp", "tp"))
+    sp_params = shard_llama_params(params, mesh, cfg)
+    cache = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        KVCache.create(cfg, B, MAX_SEQ), cache_pspec())
+    f = make_sp_prefill_fn(mesh, cfg, tp_axis="tp")
+    sp_logits, sp_cache = f(sp_params, ids, cache)
+
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits[:, 0]),
+        rtol=2e-2, atol=2e-2)
+    assert (np.argmax(np.asarray(sp_logits), -1)
+            == np.argmax(np.asarray(ref_logits[:, 0]), -1)).all()
+    np.testing.assert_allclose(
+        np.asarray(sp_cache.k[:, :, :, :T].astype(jnp.float32)),
+        np.asarray(ref_cache.k[:, :, :, :T].astype(jnp.float32)),
+        rtol=2e-2, atol=2e-2)
+
+
 def test_ring_attention_single_device_degenerates():
     """n=1: the ring is just dense causal attention (no ppermute)."""
     rng = np.random.default_rng(1)
