@@ -41,6 +41,9 @@ def main() -> None:
     p.add_argument("--pipeline", default="grid", choices=["grid", "manual"],
                    help="decode-band pair-kernel weight streaming "
                         "(manual = double-buffered DMA pipeline)")
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
+                   help="KV cache element type (int8 halves attention "
+                        "HBM traffic at long context)")
     args = p.parse_args()
 
     import jax
@@ -66,8 +69,9 @@ def main() -> None:
     if args.lean:
         qkw = dict(quantize_embedding=True, scales_dtype=jnp.bfloat16)
     cfg = dataclasses.replace(
-        base, quant=QuantConfig(quant_type=args.quant_type,
-                                pair_pipeline=args.pipeline, **qkw))
+        base, kv_cache_dtype=args.kv_dtype,
+        quant=QuantConfig(quant_type=args.quant_type,
+                          pair_pipeline=args.pipeline, **qkw))
     serve = ServeConfig(
         max_seq_len=args.max_seq, max_new_tokens=args.new_tokens,
         temperature=0.0, donate_cache=True,

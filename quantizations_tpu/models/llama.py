@@ -87,6 +87,15 @@ class LlamaConfig:
     # (identical program to before; the flag costs nothing at tp=1
     # because _ql_psum short-circuits).
     tp_overlap_chunks: int = 1
+    # KV cache element type: "bf16" (default) or "int8" — int8 stores
+    # per-(layer, slot, head, token) absmax-scaled codes plus a bf16
+    # step, halving attention HBM traffic (the long-context decode
+    # bottleneck: at a 2k window the cache read dominates the step).
+    # Quantize-on-write at the same granularity the attention reads.
+    # int8 runs the einsum attention path (the flash kernels read the
+    # bf16 cache); TP/PP/SP/paged caches remain bf16 (gated at their
+    # factories).
+    kv_cache_dtype: str = "bf16"
     quant: QuantConfig = QuantConfig()
 
     @property
@@ -198,13 +207,26 @@ class KVCache:
 
     k: jnp.ndarray
     v: jnp.ndarray
+    # int8 cache: per-token dequant steps [L, B, KV, S] bf16 (None for
+    # the bf16 cache — the pytree stays two-leaf so existing pspec /
+    # donation plumbing is untouched)
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, max_seq: int,
                kv_heads: Optional[int] = None,
-               dtype: Any = jnp.bfloat16) -> "KVCache":
+               dtype: Any = None) -> "KVCache":
         kv = kv_heads if kv_heads is not None else cfg.num_key_value_heads
         shape = (cfg.num_hidden_layers, batch, kv, max_seq, cfg.head_dim)
+        if dtype is None:
+            dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
+                     else jnp.bfloat16)
+        if jnp.dtype(dtype) == jnp.int8:
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(shape[:4], jnp.bfloat16),
+                       v_scale=jnp.zeros(shape[:4], jnp.bfloat16))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
@@ -583,7 +605,9 @@ def _layer_forward(
                                          # AND the cache layer slot
     attend_len: Optional[int] = None,    # static: attention reads only
                                          # cache[:, :attend_len]
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    cks: Optional[jnp.ndarray] = None,   # int8 cache: [L, B, KV, S] bf16
+    cvs: Optional[jnp.ndarray] = None,   # dequant steps (None = bf16 cache)
+) -> Tuple[jnp.ndarray, ...]:
     """One decoder layer. Head counts derive from the (per-shard) weight
     shapes so the same code runs under shard_map. ``pos`` is per-batch-slot
     (continuous batching: every slot sits at its own sequence offset).
@@ -625,17 +649,38 @@ def _layer_forward(
         k = apply_rope(k, cos, sin)
 
         li = jnp.int32(0) if idx is None else idx
-        kn = k.astype(ck.dtype).swapaxes(1, 2)   # [B, KV, T, D]
-        vn = v.astype(cv.dtype).swapaxes(1, 2)
+        kn = k.swapaxes(1, 2)                    # [B, KV, T, D]
+        vn = v.swapaxes(1, 2)
+        if cks is not None:
+            # int8 quantize-on-write: per-token absmax step (the same
+            # granularity the read dequantizes at — one bf16 step per
+            # [D] row, 1/128 of the code bytes)
+            def _q8(t):
+                tf = t.astype(jnp.float32)
+                step = jnp.max(jnp.abs(tf), axis=-1) * (1.0 / 127.0)
+                codes = jnp.round(tf / jnp.maximum(step, 1e-12)[..., None])
+                return (jnp.clip(codes, -127, 127).astype(jnp.int8),
+                        step.astype(jnp.bfloat16))
+
+            kn, kstep = _q8(kn)
+            vn, vstep = _q8(vn)
+        else:
+            kn = kn.astype(ck.dtype)
+            vn = vn.astype(cv.dtype)
         for b in range(B):
             at = (li, jnp.int32(b), jnp.int32(0), pos[b], jnp.int32(0))
             ck = jax.lax.dynamic_update_slice(ck, kn[b][None, None], at)
             cv = jax.lax.dynamic_update_slice(cv, vn[b][None, None], at)
+            if cks is not None:
+                cks = jax.lax.dynamic_update_slice(
+                    cks, kstep[b][None, None], at[:4])
+                cvs = jax.lax.dynamic_update_slice(
+                    cvs, vstep[b][None, None], at[:4])
         cache_k = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
         cache_v = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
 
         S_att = attend_len or cache_k.shape[2]
-        if (cfg.use_flash_attention and T == 1
+        if (cfg.use_flash_attention and T == 1 and cks is None
                 and cfg.sliding_window is None):
             from ..ops.attention import flash_decode_attention_stacked
 
@@ -650,10 +695,18 @@ def _layer_forward(
             # 2x the cache bytes through HBM per layer (measured ~2x the
             # attention floor at a 2k window); softmax stays fp32.
             # XLA:CPU has no bf16 dot -> fp32 operands off-TPU.
-            adt = (cache_k.dtype if jax.default_backend() == "tpu"
-                   else jnp.float32)
+            on_tpu = jax.default_backend() == "tpu"
+            adt = (jnp.float32 if not on_tpu
+                   else jnp.bfloat16 if cks is not None else cache_k.dtype)
             kf = cache_k[:, :, :S_att].astype(adt)
             vf = cache_v[:, :, :S_att].astype(adt)
+            if cks is not None:
+                ksl = jax.lax.dynamic_index_in_dim(cks, li, 0,
+                                                   keepdims=False)
+                vsl = jax.lax.dynamic_index_in_dim(cvs, li, 0,
+                                                   keepdims=False)
+                kf = kf * ksl[:, :, :S_att, None].astype(adt)
+                vf = vf * vsl[:, :, :S_att, None].astype(adt)
             qg = q.reshape(B, T, n_kv, G, D).astype(adt)
             scores = jnp.einsum(
                 "btkgd,bksd->btkgs", qg, kf,
@@ -678,6 +731,8 @@ def _layer_forward(
         d = _ql_psum(act.astype(qcfg.compute_dtype), layer.down, qcfg,
                      idx, axis_name, cfg.tp_overlap_chunks)
         x = x + d.reshape(B, T, h).astype(x.dtype)
+    if cks is not None:
+        return x, ck, cv, cks, cvs
     return x, ck, cv
 
 
@@ -720,8 +775,10 @@ def _forward(
     # layer i in place (no per-step weight copy). Only the tiny norm
     # vectors are sliced.
 
+    int8_kv = cache.k_scale is not None
+
     def body(carry, i):
-        x, ck, cv = carry
+        x, ck, cv, cks, cvs = carry
         layer = LlamaLayer(
             attn_norm=stacked.attn_norm[i], mlp_norm=stacked.mlp_norm[i],
             q=stacked.q, k=stacked.k, v=stacked.v, o=stacked.o,
@@ -730,14 +787,19 @@ def _forward(
             k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
             v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
         )
-        x, ck, cv = _layer_forward(
+        out = _layer_forward(
             x, layer, ck, cv, pos, cos, sin, mask, cfg,
             axis_name=axis_name, idx=i, attend_len=attend_len,
+            cks=cks, cvs=cvs,
         )
-        return (x, ck, cv), None
+        if int8_kv:
+            return out, None
+        x, ck, cv = out
+        return (x, ck, cv, None, None), None
 
     idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), idx)
+    (x, ck, cv, cks, cvs), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), idx)
 
     if last_token_only:
         x = x[:, -1:, :]
@@ -756,7 +818,7 @@ def _forward(
     if axis_name is not None:
         # lm_head is vocab-sharded (column-parallel): gather the shards.
         logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
-    return logits, KVCache(k=ck, v=cv)
+    return logits, KVCache(k=ck, v=cv, k_scale=cks, v_scale=cvs)
 
 
 def prefill(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,

@@ -216,6 +216,8 @@ def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
     """Pipeline-parallel generate: ``(params, prompt_ids, cache, key) ->
     (tokens, cache)``. ``B % n_pp == 0``; effective max_seq is
     ``serve.max_seq_len - 1`` (one reserved scratch slot)."""
+    if cfg.kv_cache_dtype != "bf16":
+        raise ValueError("pipeline parallelism requires the bf16 KV cache")
     n_pp = mesh.shape[PP_AXIS]
 
     def body(params, prompt_ids, cache, key):

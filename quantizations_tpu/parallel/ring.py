@@ -132,6 +132,9 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
     if cfg.sliding_window is not None:
         raise ValueError("sequence-parallel prefill does not support "
                          "sliding-window attention")
+    if cfg.kv_cache_dtype != "bf16":
+        raise ValueError("sequence-parallel prefill requires the bf16 "
+                         "KV cache")
     n = mesh.shape[axis_name]
     qcfg = cfg.quant
     D = cfg.head_dim

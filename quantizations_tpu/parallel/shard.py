@@ -61,6 +61,8 @@ def validate_tp(cfg: LlamaConfig, tp: int) -> None:
     bad = [msg for ok, msg in checks if not ok]
     if bad:
         raise ValueError(f"config does not shard over tp={tp}: {bad}")
+    if cfg.kv_cache_dtype != "bf16":
+        raise ValueError("tensor parallelism requires the bf16 KV cache")
 
 
 def _col(lead_l: bool) -> QLinear:

@@ -309,7 +309,14 @@ class Engine:
                 cache.k, scratch.k, (0, slot, 0, 0, 0))
             v = jax.lax.dynamic_update_slice(
                 cache.v, scratch.v, (0, slot, 0, 0, 0))
-            return KVCache(k=k, v=v)
+            if cache.k_scale is None:
+                return KVCache(k=k, v=v)
+            return KVCache(
+                k=k, v=v,
+                k_scale=jax.lax.dynamic_update_slice(
+                    cache.k_scale, scratch.k_scale, (0, slot, 0, 0)),
+                v_scale=jax.lax.dynamic_update_slice(
+                    cache.v_scale, scratch.v_scale, (0, slot, 0, 0)))
 
         self._insert_fn = _insert
 

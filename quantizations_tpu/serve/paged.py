@@ -270,6 +270,8 @@ class PagedEngine:
 
         if max_seq % page_size:
             raise ValueError("max_seq must be a multiple of page_size")
+        if cfg.kv_cache_dtype != "bf16":
+            raise ValueError("PagedEngine requires the bf16 KV cache")
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
