@@ -40,6 +40,9 @@ def main() -> None:
                         "exist in the environment")
     p.add_argument("--preset", default="tiny", choices=["tiny", "8b"],
                    help="model shape when no --model dir is given")
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
+                   help="KV cache dtype for the quantized side — parity "
+                        "then measures 4-bit weights + int8 KV jointly")
     args = p.parse_args()
 
     import jax
@@ -57,6 +60,7 @@ def main() -> None:
 
         cfg, params = load_hf_llama(
             args.model, quant=QuantConfig(quant_type=args.quant_type))
+        cfg = dataclasses.replace(cfg, kv_cache_dtype=args.kv_dtype)
         try:
             from transformers import AutoTokenizer
 
@@ -68,7 +72,8 @@ def main() -> None:
 
         base = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
         cfg = dataclasses.replace(
-            base, quant=QuantConfig(quant_type=args.quant_type))
+            base, kv_cache_dtype=args.kv_dtype,
+            quant=QuantConfig(quant_type=args.quant_type))
         params = init_llama_params(
             cfg, seed=0,
             dist="trained_proxy" if args.proxy else "normal")
