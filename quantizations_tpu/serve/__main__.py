@@ -38,6 +38,12 @@ def main() -> None:
     p.add_argument("--speculative", action="store_true",
                    help="prompt-lookup speculative decoding (greedy or "
                         "temperature sampling; single device)")
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
+                   help="KV cache element type (int8 halves attention "
+                        "HBM traffic at long context; single device)")
+    p.add_argument("--pipeline", default="grid",
+                   choices=["grid", "manual"],
+                   help="decode-band pair-kernel weight streaming")
     args = p.parse_args()
 
     import jax
@@ -48,7 +54,11 @@ def main() -> None:
     from ..config import QuantConfig, ServeConfig
     from ..models.llama import KVCache, TINY_LLAMA, init_llama_params
 
-    quant = QuantConfig(quant_type=args.quant_type)
+    if args.tp > 1 and args.kv_dtype != "bf16":
+        raise SystemExit("--kv-dtype int8 is single-device (bf16 cache "
+                         "required for TP)")
+    quant = QuantConfig(quant_type=args.quant_type,
+                        pair_pipeline=args.pipeline)
     serve = ServeConfig(
         max_seq_len=args.max_seq, max_new_tokens=args.max_new_tokens,
         temperature=args.temperature, top_k=args.top_k,
@@ -57,7 +67,8 @@ def main() -> None:
 
     tokenizer = None
     if args.demo or not args.model:
-        cfg = dataclasses.replace(TINY_LLAMA, quant=quant)
+        cfg = dataclasses.replace(TINY_LLAMA, quant=quant,
+                                  kv_cache_dtype=args.kv_dtype)
         params = init_llama_params(cfg, seed=0)
         serve = dataclasses.replace(serve, max_seq_len=min(args.max_seq, 128))
     else:
@@ -69,6 +80,7 @@ def main() -> None:
 
             mesh = make_mesh((args.tp,), ("tp",))
         cfg, params = load_hf_llama(args.model, quant=quant, mesh=mesh)
+        cfg = dataclasses.replace(cfg, kv_cache_dtype=args.kv_dtype)
         try:
             from transformers import AutoTokenizer
 
