@@ -680,15 +680,25 @@ def _layer_forward(
         cache_v = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
 
         S_att = attend_len or cache_k.shape[2]
-        if (cfg.use_flash_attention and T == 1 and cks is None
+        if (cfg.use_flash_attention and T == 1
                 and cfg.sliding_window is None):
-            from ..ops.attention import flash_decode_attention_stacked
+            if cks is not None:
+                from ..ops.attention import (
+                    flash_decode_attention_stacked_i8)
 
-            attn = flash_decode_attention_stacked(
-                q[:, 0].reshape(B, n_kv, G, D), ck, cv, li, pos + 1,
-                attend_len=S_att,
-                interpret=jax.default_backend() != "tpu",
-            ).reshape(B * T, n_q * D)
+                attn = flash_decode_attention_stacked_i8(
+                    q[:, 0].reshape(B, n_kv, G, D), ck, cv, cks, cvs,
+                    li, pos + 1, attend_len=S_att,
+                    interpret=jax.default_backend() != "tpu",
+                ).reshape(B * T, n_q * D)
+            else:
+                from ..ops.attention import flash_decode_attention_stacked
+
+                attn = flash_decode_attention_stacked(
+                    q[:, 0].reshape(B, n_kv, G, D), ck, cv, li, pos + 1,
+                    attend_len=S_att,
+                    interpret=jax.default_backend() != "tpu",
+                ).reshape(B * T, n_q * D)
         else:
             # MXU attention with cache-native (bf16) operands and fp32
             # accumulation: casting the cache slice to fp32 materialized

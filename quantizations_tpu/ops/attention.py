@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_decode_attention", "flash_decode_attention_stacked"]
+__all__ = ["flash_decode_attention", "flash_decode_attention_stacked",
+           "flash_decode_attention_stacked_i8"]
 
 _NEG = -1e30
 
@@ -62,6 +63,51 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     acc = acc_scr[:] * corr + jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # [G, D]
+
+    m_scr[:, 0:1] = m_new
+    l_scr[:, 0:1] = l_new
+    acc_scr[:] = acc
+
+    @pl.when(sq == pl.num_programs(1) - 1)
+    def _flush():
+        l = l_scr[:, 0:1]
+        o_ref[0, 0] = acc_scr[:] / jnp.where(l > 0, l, 1.0)
+
+
+def _kernel_i8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+               m_scr, l_scr, acc_scr, *, s_blk, scale, n_kv, len_off=0):
+    """int8-cache variant: per-token dequant steps are folded into
+    COLUMN scalings (k rows scale the score columns, v rows scale the
+    probability columns) — lane-natural, no transposes, and the int8
+    cache blocks stream at half the bf16 bytes."""
+    sq = pl.program_id(1)
+    b = len_off + pl.program_id(0) // n_kv
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, D]
+    k = k_ref[0, 0].astype(jnp.float32)             # [S_BLK, D] int8->f32
+    v = v_ref[0, 0].astype(jnp.float32)
+    ks = ks_ref[0, 0].astype(jnp.float32)           # [1, S_BLK]
+    vs = vs_ref[0, 0].astype(jnp.float32)
+
+    @pl.when(sq == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * ks
+    span = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + sq * s_blk
+    s = jnp.where(span < len_ref[b], s, _NEG)
+
+    m_prev = m_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc = acc_scr[:] * corr + jax.lax.dot_general(
+        p * vs, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     m_scr[:, 0:1] = m_new
     l_scr[:, 0:1] = l_new
@@ -187,3 +233,70 @@ def flash_decode_attention_stacked(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(scalars, q, cache_k, cache_v)
+
+
+@functools.partial(jax.jit, static_argnames=("attend_len", "s_blk",
+                                             "interpret"))
+def flash_decode_attention_stacked_i8(
+    q: jnp.ndarray,        # [B, KVH, G, D]
+    cache_k: jnp.ndarray,  # [L, B, KVH, S, D] int8 stacked cache
+    cache_v: jnp.ndarray,
+    k_scale: jnp.ndarray,  # [L, B, KVH, S] bf16 dequant steps
+    v_scale: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # scalar int32
+    lengths: jnp.ndarray,    # [B] int32
+    attend_len: Optional[int] = None,
+    s_blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Layer-indexed flash decode over the stacked INT8 cache
+    (kv_cache_dtype="int8"): the code blocks stream from HBM at half
+    the bf16 bytes plus 1/128 for the steps; dequant happens in-VMEM as
+    column scalings (see :func:`_kernel_i8`)."""
+    B, KVH, G, D = q.shape
+    S = cache_k.shape[3]
+    S_att = attend_len or S
+    while S_att % s_blk:
+        s_blk //= 2
+    scale = D ** -0.5
+
+    kernel = functools.partial(_kernel_i8, s_blk=s_blk, scale=scale,
+                               n_kv=KVH, len_off=1)
+
+    def k_wrap(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+               m_scr, l_scr, acc_scr):
+        kernel(scalars_ref, q_ref, k_ref[0], v_ref[0], ks_ref[0],
+               vs_ref[0], o_ref, m_scr, l_scr, acc_scr)
+
+    cblk = pl.BlockSpec((1, 1, 1, s_blk, D),
+                        lambda i, sq, sc: (sc[0], i // KVH, i % KVH,
+                                           sq, 0))
+    sblk = pl.BlockSpec((1, 1, 1, s_blk),
+                        lambda i, sq, sc: (sc[0], i // KVH, i % KVH, sq))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * KVH, S_att // s_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D),
+                         lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+            cblk, cblk, sblk, sblk,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+    scalars = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.asarray(lengths, jnp.int32).reshape(B)])
+    return pl.pallas_call(
+        k_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scalars, q, cache_k, cache_v, k_scale, v_scale)

@@ -87,6 +87,61 @@ def test_engine_with_int8_cache(params):
     assert done[uid].output_ids == list(np.asarray(ref)[0])
 
 
+def test_flash_decode_i8_matches_dequant_reference():
+    """Interpret-mode int8 flash kernel == dequantize-then-attend."""
+    from quantizations_tpu.ops.attention import (
+        flash_decode_attention_stacked_i8)
+
+    rng = np.random.default_rng(7)
+    L, B, KVH, G, D, S = 3, 2, 2, 4, 128, 512
+    kf = rng.standard_normal((L, B, KVH, S, D)).astype(np.float32)
+    vf = rng.standard_normal((L, B, KVH, S, D)).astype(np.float32)
+    step_k = np.abs(kf).max(-1) / 127.0
+    step_v = np.abs(vf).max(-1) / 127.0
+    ki = np.clip(np.round(kf / step_k[..., None]), -127, 127).astype(np.int8)
+    vi = np.clip(np.round(vf / step_v[..., None]), -127, 127).astype(np.int8)
+    sk = step_k.astype(jnp.bfloat16)
+    sv = step_v.astype(jnp.bfloat16)
+    q = rng.standard_normal((B, KVH, G, D)).astype(np.float32)
+    lengths = np.asarray([S, S // 2], np.int32)
+    li = 1
+
+    out = np.asarray(flash_decode_attention_stacked_i8(
+        jnp.asarray(q), jnp.asarray(ki), jnp.asarray(vi),
+        jnp.asarray(sk), jnp.asarray(sv), jnp.int32(li),
+        jnp.asarray(lengths), interpret=True))
+
+    # reference: dequant with the same bf16 steps, plain softmax attend
+    kd = ki[li].astype(np.float32) * np.asarray(
+        sk[li], np.float32)[..., None]
+    vd = vi[li].astype(np.float32) * np.asarray(
+        sv[li], np.float32)[..., None]
+    ref = np.zeros_like(out)
+    for b in range(B):
+        n = lengths[b]
+        s = np.einsum("kgd,ksd->kgs", q[b] * D ** -0.5, kd[b, :, :n])
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref[b] = np.einsum("kgs,ksd->kgd", p, vd[b, :, :n])
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_greedy_generate_matches_bf16_flash(params):
+    """int8 + use_flash_attention runs the i8 kernel end-to-end
+    (interpret on CPU) and still matches the bf16-cache stream."""
+    cfg8f = dataclasses.replace(CFG8, use_flash_attention=True)
+    serve = ServeConfig(max_seq_len=64, max_new_tokens=8,
+                        temperature=0.0, donate_cache=False)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    tb, _ = make_generate_fn(TINY_LLAMA, serve)(
+        params, ids, KVCache.create(TINY_LLAMA, 1, 64), key)
+    t8, _ = make_generate_fn(cfg8f, serve)(
+        params, ids, KVCache.create(cfg8f, 1, 64), key)
+    agree = (np.asarray(tb) == np.asarray(t8)).mean()
+    assert agree >= 0.875, (tb.tolist(), t8.tolist())
+
+
 def test_parallel_factories_reject_int8():
     from quantizations_tpu.parallel.ring import make_sp_prefill_fn
     from quantizations_tpu.parallel.shard import validate_tp
