@@ -25,7 +25,7 @@ Composable with the generate loop: ``make_pp_generate_fn`` mirrors
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,48 +56,59 @@ __all__ = [
 PP_AXIS = "pp"
 
 
-def _stage_qlinear() -> QLinear:
-    return QLinear(wp=P(PP_AXIS, None, None), scales=P(PP_AXIS, None, None))
-
-
-def pp_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
-    ab = P(PP_AXIS, None) if cfg.attention_bias else None
+def pp_param_pspecs(cfg: LlamaConfig,
+                    tp_axis: Optional[str] = None) -> LlamaParams:
+    """Stage-sharded specs; with ``tp_axis`` each stage's layer slice is
+    additionally Megatron-sharded (column-parallel q/k/v/gate/up rows,
+    row-parallel o/down packed-K) — the 2D pp×tp layout."""
+    col = QLinear(wp=P(PP_AXIS, tp_axis, None),
+                  scales=P(PP_AXIS, tp_axis, None))
+    row = QLinear(wp=P(PP_AXIS, None, tp_axis),
+                  scales=P(PP_AXIS, None, tp_axis))
+    ab = P(PP_AXIS, tp_axis) if cfg.attention_bias else None
     layer = LlamaLayer(
         attn_norm=P(PP_AXIS, None),
-        q=_stage_qlinear(), k=_stage_qlinear(), v=_stage_qlinear(),
-        o=_stage_qlinear(),
+        q=col, k=col, v=col, o=row,
         mlp_norm=P(PP_AXIS, None),
-        gate=_stage_qlinear(), up=_stage_qlinear(), down=_stage_qlinear(),
+        gate=col, up=col, down=row,
         q_bias=ab, k_bias=ab, v_bias=ab,
     )
-    lm_head = (QLinear(wp=P(None, None), scales=P(None, None))
-               if cfg.quant.quantize_lm_head else P(None, None))
+    lm_head = (QLinear(wp=P(tp_axis, None), scales=P(tp_axis, None))
+               if cfg.quant.quantize_lm_head else P(tp_axis, None))
     embed = (QLinear(wp=P(None, None), scales=P(None, None))
              if cfg.quant.quantize_embedding else P(None, None))
     return LlamaParams(embed=embed, layers=layer,
                        final_norm=P(None), lm_head=lm_head)
 
 
-def pp_cache_pspec() -> KVCache:
-    # [L, B, KV, S, D] — shard layers.
-    return KVCache(k=P(PP_AXIS, None, None, None, None),
-                   v=P(PP_AXIS, None, None, None, None))
+def pp_cache_pspec(tp_axis: Optional[str] = None) -> KVCache:
+    # [L, B, KV, S, D] — shard layers (and kv heads under pp×tp).
+    return KVCache(k=P(PP_AXIS, None, tp_axis, None, None),
+                   v=P(PP_AXIS, None, tp_axis, None, None))
 
 
 def shard_llama_params_pp(params: LlamaParams, mesh: Mesh,
-                          cfg: LlamaConfig) -> LlamaParams:
+                          cfg: LlamaConfig,
+                          tp_axis: Optional[str] = None) -> LlamaParams:
     n = mesh.shape[PP_AXIS]
     if cfg.num_hidden_layers % n:
         raise ValueError(
             f"layers {cfg.num_hidden_layers} % pp {n} != 0")
-    specs = pp_param_pspecs(cfg)
+    if tp_axis is not None:
+        from .shard import _ensure_planar, validate_tp
+
+        validate_tp(cfg, mesh.shape[tp_axis])
+        layers = params.layers
+        params = params.replace(layers=layers.replace(
+            o=_ensure_planar(layers.o), down=_ensure_planar(layers.down)))
+    specs = pp_param_pspecs(cfg, tp_axis)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs)
 
 
 def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
-                   attend_len):
+                   attend_len, tp_axis=None):
     """Run THIS stage's local layer slice (a python loop over the local
     stacked leaves — per-stage layer count is static)."""
     stacked = params.layers
@@ -113,7 +124,7 @@ def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
         )
         x, ck, cv = _layer_forward(
             x, layer, ck, cv, pos, cos, sin, mask, cfg,
-            idx=jnp.int32(i), attend_len=attend_len)
+            axis_name=tp_axis, idx=jnp.int32(i), attend_len=attend_len)
     return x, ck, cv
 
 
@@ -123,6 +134,7 @@ def _pp_forward(
     cache: KVCache,           # local [L/n, B, KV, S, D]
     pos: jnp.ndarray,         # [B]
     cfg: LlamaConfig,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Microbatched pipeline forward; returns last-token logits [B, vocab]
     (replicated) and the updated local cache."""
@@ -170,7 +182,7 @@ def _pp_forward(
         cv_mb = jax.lax.dynamic_slice_in_dim(cv, safe_idx * mb, mb, 1)
         x, ck_mb, cv_mb = _stage_forward(
             params, x, ck_mb, cv_mb, pos_write, cos, sin, mask, cfg,
-            attend_len=None)
+            attend_len=None, tp_axis=tp_axis)
         write_at = jnp.where(active, safe_idx * mb, 0)
         ck = jax.lax.dynamic_update_slice_in_dim(
             ck, jnp.where(active, ck_mb,
@@ -195,6 +207,8 @@ def _pp_forward(
             lg = jnp.einsum("mh,vh->mv", xl.reshape(mb, h).astype(
                 jnp.bfloat16), params.lm_head,
                 preferred_element_type=jnp.float32)
+        if tp_axis is not None:   # vocab-sharded head: gather over tp
+            lg = jax.lax.all_gather(lg, tp_axis, axis=-1, tiled=True)
         is_last = stage == n_pp - 1
         contrib = jnp.where(active & is_last, lg, 0.0)
         logits_acc = jax.lax.dynamic_update_slice_in_dim(
@@ -212,10 +226,14 @@ def _pp_forward(
 
 
 def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
-                        mesh: Mesh) -> Callable:
+                        mesh: Mesh,
+                        tp_axis: Optional[str] = None) -> Callable:
     """Pipeline-parallel generate: ``(params, prompt_ids, cache, key) ->
     (tokens, cache)``. ``B % n_pp == 0``; effective max_seq is
-    ``serve.max_seq_len - 1`` (one reserved scratch slot)."""
+    ``serve.max_seq_len - 1`` (one reserved scratch slot). ``tp_axis``
+    composes with tensor parallelism on a 2D (pp, tp) mesh: each stage's
+    layer slice is Megatron-sharded, psums ride the tp axis while stage
+    handoffs ppermute on pp."""
     if cfg.kv_cache_dtype != "bf16":
         raise ValueError("pipeline parallelism requires the bf16 KV cache")
     n_pp = mesh.shape[PP_AXIS]
@@ -223,7 +241,8 @@ def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
     def body(params, prompt_ids, cache, key):
         B, Ptok = prompt_ids.shape
         logits, cache = _pp_forward(params, prompt_ids, cache,
-                                    jnp.zeros((B,), jnp.int32), cfg)
+                                    jnp.zeros((B,), jnp.int32), cfg,
+                                    tp_axis=tp_axis)
         key, sub = jax.random.split(key)
         tok = sample_logits(logits, sub, serve.temperature, serve.top_k)
 
@@ -231,7 +250,7 @@ def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
             tok, cache, p, key = carry
             logits, cache = _pp_forward(
                 params, tok[:, None], cache,
-                jnp.full((B,), p, jnp.int32), cfg)
+                jnp.full((B,), p, jnp.int32), cfg, tp_axis=tp_axis)
             key, sub = jax.random.split(key)
             nxt = sample_logits(logits, sub, serve.temperature,
                                 serve.top_k)
@@ -246,9 +265,9 @@ def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
 
     mapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(pp_param_pspecs(cfg), P(None, None), pp_cache_pspec(),
-                  P(None)),
-        out_specs=(P(None, None), pp_cache_pspec()),
+        in_specs=(pp_param_pspecs(cfg, tp_axis), P(None, None),
+                  pp_cache_pspec(tp_axis), P(None)),
+        out_specs=(P(None, None), pp_cache_pspec(tp_axis)),
         check_vma=False,
     )
     donate = (2,) if serve.donate_cache else ()

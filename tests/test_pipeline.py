@@ -54,3 +54,37 @@ def test_pp_generate_matches_single_device(pp):
     toks, _ = gen(sharded, ids, cache, key)
 
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 2), (2, 4)])
+def test_pp_tp_generate_matches_single_device(pp, tp):
+    """2D (pp, tp) mesh: stage-sharded + Megatron-sharded layers,
+    token-identical to single device."""
+    if len(jax.devices()) < pp * tp:
+        pytest.skip(f"needs {pp * tp} devices")
+    import dataclasses
+
+    from jax.sharding import Mesh, NamedSharding
+
+    cfg = dataclasses.replace(TINY_LLAMA, num_hidden_layers=pp)
+    params = init_llama_params(cfg, seed=0)
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=5,
+                        temperature=0.0, donate_cache=False)
+    B = pp * 2
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 4)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    ref_gen = make_generate_fn(cfg, serve)
+    ref_toks, _ = ref_gen(params, ids, KVCache.create(cfg, B, MAX_SEQ), key)
+
+    mesh = Mesh(np.asarray(jax.devices()[:pp * tp]).reshape(pp, tp),
+                ("pp", "tp"))
+    sharded = shard_llama_params_pp(params, mesh, cfg, tp_axis="tp")
+    cache = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        KVCache.create(cfg, B, MAX_SEQ), pp_cache_pspec("tp"))
+    gen = make_pp_generate_fn(cfg, serve, mesh, tp_axis="tp")
+    toks, _ = gen(sharded, ids, cache, key)
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
