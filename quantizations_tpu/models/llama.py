@@ -834,12 +834,15 @@ def _forward(
 def prefill(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,
             cfg: LlamaConfig, pos: Optional[jnp.ndarray] = None,
             axis_name: Optional[str] = None,
-            last_token_only: bool = False) -> Tuple[jnp.ndarray, KVCache]:
-    """Process a prompt chunk; returns (logits [B, T, vocab], cache)."""
+            last_token_only: bool = False,
+            attend_len: Optional[int] = None) -> Tuple[jnp.ndarray, KVCache]:
+    """Process a prompt chunk; returns (logits [B, T, vocab], cache).
+    ``attend_len`` (static) bounds attention to the valid cache prefix —
+    used by the engine's speculative verify windows at large max_seq."""
     if pos is None:
         pos = jnp.int32(0)
     return _forward(params, token_ids, cache, pos, cfg, axis_name=axis_name,
-                    last_token_only=last_token_only)
+                    last_token_only=last_token_only, attend_len=attend_len)
 
 
 def decode_step(params: LlamaParams, token_ids: jnp.ndarray, cache: KVCache,

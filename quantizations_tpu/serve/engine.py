@@ -48,6 +48,22 @@ class Request:
     done: bool = False
 
 
+def draft_lookup_host(hist: List[int], k: int) -> List[int]:
+    """Host-side prompt-lookup drafter (same rule as the device
+    ``draft_prompt_lookup``): the ``k`` tokens following the most recent
+    strictly-earlier occurrence of the current bigram; pads with the
+    last token. Python over a few-thousand-token history is ~µs — far
+    under the device dispatch it rides along with."""
+    n = len(hist)
+    if n >= 2:
+        b2, b1 = hist[-2], hist[-1]
+        for j in range(n - 3, -1, -1):
+            if hist[j] == b2 and hist[j + 1] == b1:
+                src = hist[j + 2:j + 2 + k]
+                return (src + [b1] * k)[:k]
+    return [hist[-1] if hist else 0] * k
+
+
 def iter_prefill_chunks(plen: int, buckets) -> list:
     """(start, take, bucket_len) triples covering a prompt of ``plen``
     tokens with bucket-shaped prefill chunks (shared by the slot Engine
@@ -182,6 +198,27 @@ class Engine:
 
             return _multi
 
+        # speculative verify window: feed [slots, K] = pending token +
+        # K-1 drafts at per-slot positions, accept/correct per slot with
+        # its own temperature. Rejected-draft keys above the committed
+        # position are garbage that the next window (written at the new,
+        # lower-or-equal base) overwrites before any query attends it —
+        # the same invariant the chunked prefill relies on.
+        def _make_spec_step(attend_len, k):
+            from .speculative import (spec_accept_sample_vec,
+                                      spec_window_tokens)
+
+            def _spec(p, feed, cache, pos_vec, draft, temps, key):
+                logits, cache = prefill(
+                    p, feed, cache, cfg, axis_name=axis, pos=pos_vec,
+                    attend_len=attend_len)
+                okk, corr = spec_accept_sample_vec(logits, draft, key,
+                                                   temps)
+                g, a = spec_window_tokens(okk, corr, draft)
+                return g, a, cache
+
+            return _spec
+
         # chunked prefill of ONE sequence into a scratch cache (later
         # inserted into the batch cache at a slot): each chunk is a
         # bucket-shaped slice written at ``start`` — prompts longer than
@@ -250,6 +287,10 @@ class Engine:
                 return jax.jit(_make_multi_step(attend_len, n),
                                donate_argnums=(2,))
 
+            def build_spec_step(attend_len, k):
+                return jax.jit(_make_spec_step(attend_len, k),
+                               donate_argnums=(2,))
+
             pf = jax.jit(_pf, donate_argnums=(2,))
             pfb = jax.jit(_pf_batch, donate_argnums=(2,))
         else:
@@ -281,6 +322,15 @@ class Engine:
                     check_vma=False,
                 ), donate_argnums=(2,))
 
+            def build_spec_step(attend_len, k):
+                return jax.jit(jax.shard_map(
+                    _make_spec_step(attend_len, k), mesh=mesh,
+                    in_specs=(pspecs, P(None, None), cspec, P(None),
+                              P(None, None), P(None), P(None)),
+                    out_specs=(P(None, None), P(None), cspec),
+                    check_vma=False,
+                ), donate_argnums=(2,))
+
             pf = jax.jit(jax.shard_map(
                 _pf, mesh=mesh,
                 in_specs=(pspecs, P(None, None), cspec, P(), P(),
@@ -297,8 +347,11 @@ class Engine:
             ), donate_argnums=(2,))
         self._build_step = build_step
         self._build_multi_step = build_multi_step
+        self._build_spec_step = build_spec_step
         self._step_fns: Dict[int, Any] = {}
         self._multi_fns: Dict[Any, Any] = {}
+        self._spec_fns: Dict[Any, Any] = {}
+        self._spec_windows = 0
         self._prefill_fn = functools.partial(pf, params)
         self._prefill_batch_fn = functools.partial(pfb, params)
         self._params = params
@@ -442,10 +495,86 @@ class Engine:
                 self._cur_tok[i] = nxt[i]
         return len(act)
 
+    def _spec_for(self, attend_len: int, k: int):
+        fn = self._spec_fns.get((attend_len, k))
+        if fn is None:
+            fn = functools.partial(
+                self._build_spec_step(attend_len, k), self._params)
+            self._spec_fns[(attend_len, k)] = fn
+        return fn
+
+    def step_spec(self, k: int = 8) -> int:
+        """One speculative verify window across all active slots: each
+        slot's pending token + k-1 host-drafted (prompt-lookup) tokens
+        go through ONE prefill-shaped forward; accepted tokens commit
+        per slot. Emits 1..k tokens per slot per dispatch — the
+        continuous-batching form of serve/speculative.py. Greedy slots
+        stream token-identically to the plain engine (tested); the
+        temperature>0 rule is exact per-row speculative sampling."""
+        self._admit()
+        act = [i for i, r in enumerate(self.active) if r is not None]
+        if not act:
+            return 0
+        slots = self.slots
+        feed = np.zeros((slots, k), np.int32)
+        draft = np.zeros((slots, k), np.int32)
+        for i in act:
+            r = self.active[i]
+            hist = r.prompt_ids + r.output_ids + [int(self._cur_tok[i])]
+            d = draft_lookup_host(hist, k)
+            draft[i] = d
+            feed[i, 0] = self._cur_tok[i]
+            feed[i, 1:] = d[:k - 1]
+        temps = np.asarray(
+            [0.0 if r is None else (self._temp if r.temperature is None
+                                    else r.temperature)
+             for r in self.active], np.float32)
+        self._key, sub = jax.random.split(self._key)
+        need = int(self.pos.max()) + k + 1
+        bucket = 128
+        while bucket < need:
+            bucket *= 2
+        bucket = min(bucket, self.max_seq)
+        fn = self._spec_for(bucket, k)
+        g, a, self.cache = fn(
+            jnp.asarray(feed), self.cache, jnp.asarray(self.pos),
+            jnp.asarray(draft), jnp.asarray(temps), sub)
+        g = np.asarray(g)
+        a = np.asarray(a)
+        self._steps += 1
+        self._spec_windows += 1
+        for i in act:
+            r = self.active[i]
+            # committed this window: the pending token + a[i] accepted
+            # drafts; the decision token g[i, a[i]] becomes the next
+            # pending (its key is not in the cache yet)
+            toks = [int(self._cur_tok[i])] + [int(t) for t in
+                                              g[i, :int(a[i])]]
+            done = False
+            for t in toks:
+                r.output_ids.append(t)
+                if self.on_token is not None:
+                    self.on_token(r, t)
+                self.pos[i] += 1
+                full = len(r.output_ids) >= r.max_new_tokens
+                hit_eos = r.eos_id is not None and t == r.eos_id
+                out_of_room = self.pos[i] >= self.max_seq - k - 1
+                if full or hit_eos or out_of_room:
+                    r.done = done = True
+                    self.finished[r.uid] = r
+                    self.active[i] = None
+                    break
+            if not done:
+                self._cur_tok[i] = int(g[i, int(a[i])])
+        return len(act)
+
     def run(self, max_steps: int = 100000,
-            steps_per_dispatch: int = 1) -> Dict[int, Request]:
+            steps_per_dispatch: int = 1,
+            spec_k: int = 0) -> Dict[int, Request]:
         while self.has_work() and self._steps < max_steps:
-            if steps_per_dispatch > 1:
+            if spec_k > 0:
+                self.step_spec(spec_k)
+            elif steps_per_dispatch > 1:
                 self.step_window(steps_per_dispatch)
             else:
                 self.step()
@@ -456,6 +585,7 @@ class Engine:
         live = sum(1 for r in self.active if r is not None)
         return {
             "steps": self._steps,
+            "spec_windows": self._spec_windows,
             "active_slots": live,
             "queued": len(self.queue),
             "finished": len(self.finished),

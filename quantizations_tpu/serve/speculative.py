@@ -48,7 +48,8 @@ from ..config import ServeConfig
 from ..models.llama import KVCache, LlamaConfig, LlamaParams, prefill
 
 __all__ = ["make_speculative_generate_fn", "draft_prompt_lookup",
-           "spec_accept_sample", "spec_window_tokens"]
+           "spec_accept_sample", "spec_accept_sample_vec",
+           "spec_window_tokens"]
 
 
 def spec_accept_sample(logits, draft, key, temperature: float):
@@ -105,6 +106,29 @@ def spec_window_tokens(okk, corr, draft):
     g = jnp.where(idx < a[:, None], draft, corr)
     g = jnp.where((idx == a[:, None]) & bonus_ok[:, None], draft, g)
     return g, a
+
+
+def spec_accept_sample_vec(logits, draft, key, temps):
+    """Per-row-temperature variant of :func:`spec_accept_sample` for the
+    continuous-batching engine (each slot carries its own resolved
+    temperature; 0 = greedy argmax acceptance for that row).
+
+    logits [B, K, V], draft [B, K], temps [B] -> (ok [B, K], corr [B, K]).
+    """
+    B, K, V = logits.shape
+    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lt = logits / jnp.maximum(temps, 1e-6)[:, None, None]
+    probs = jax.nn.softmax(lt, axis=-1)
+    pd = jnp.take_along_axis(probs, draft[..., None], axis=-1)[..., 0]
+    ku, ks = jax.random.split(key)
+    u = jax.random.uniform(ku, (B, K))
+    masked = jnp.where(
+        jax.nn.one_hot(draft, V, dtype=bool), -jnp.inf, lt)
+    corr_t = jax.random.categorical(ks, masked, axis=-1).astype(jnp.int32)
+    greedy = (temps == 0.0)[:, None]
+    ok = jnp.where(greedy, draft == g, u < pd)
+    corr = jnp.where(greedy, g, corr_t)
+    return ok, corr
 
 
 def draft_prompt_lookup(hist: jnp.ndarray, hcnt: jnp.ndarray,
