@@ -29,6 +29,9 @@ def main():
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--requests", type=int, default=24)
     p.add_argument("--steps-per-dispatch", type=int, default=1)
+    p.add_argument("--spec-k", type=int, default=0,
+                   help=">0: speculative windows (host prompt-lookup "
+                        "drafts, one verify dispatch per window)")
     args = p.parse_args()
 
     cfg = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
@@ -50,12 +53,16 @@ def main():
     warm = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    done = eng.run(steps_per_dispatch=args.steps_per_dispatch)
+    done = eng.run(steps_per_dispatch=args.steps_per_dispatch,
+                   spec_k=args.spec_k)
     dt = time.perf_counter() - t0
     toks = sum(len(r.output_ids) for r in done.values())
+    extra = (f" spec_windows={eng.stats()['spec_windows']}"
+             if args.spec_k else "")
     print(f"requests={len(done)} tokens={toks} "
           f"steps={eng._steps} wall={dt:.2f}s "
-          f"aggregate={toks/dt:.1f} tok/s (first step {warm:.1f}s)")
+          f"aggregate={toks/dt:.1f} tok/s (first step {warm:.1f}s)"
+          f"{extra}")
 
 
 if __name__ == "__main__":
