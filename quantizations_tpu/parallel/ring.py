@@ -48,20 +48,25 @@ def ring_attention(
     v: jnp.ndarray,      # [B, C, KVH, D] local value chunk
     axis_name: str,
     num_devices: int,
+    sliding_window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Causal ring attention over a sequence-sharded axis. Must be
     called inside ``shard_map`` with the sequence dim sharded over
     ``axis_name``; device ``d`` owns global positions
-    ``[d*C, (d+1)*C)``. Returns fp32 ``[B, C, KVH, G, D]``."""
+    ``[d*C, (d+1)*C)``. ``sliding_window`` applies the Mistral-style
+    window (attend iff ``0 <= q_pos - k_pos < window``). Returns fp32
+    ``[B, C, KVH, G, D]``."""
     B, C, KVH, G, D = q.shape
     scale = D ** -0.5
     d_idx = jax.lax.axis_index(axis_name)
 
     qf = q.astype(jnp.float32) * scale
-    # chunk-local position grids for the diagonal (own-chunk) mask
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    tri = qpos >= kpos                                   # [C, C]
+    # global position grids: the mask is a pure function of
+    # q_pos - k_pos, which covers causal, own-chunk triangular and
+    # sliding-window cases uniformly (the visiting chunk's base offset
+    # shifts k_pos per ring step)
+    qpos = d_idx * C + jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    kloc = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
 
     m = jnp.full((B, C, KVH, G), _NEG, jnp.float32)
     l = jnp.zeros((B, C, KVH, G), jnp.float32)
@@ -75,11 +80,10 @@ def ring_attention(
         sc = jnp.einsum(
             "bqkgd,bskd->bqkgs", qf, kc.astype(jnp.float32),
             preferred_element_type=jnp.float32)          # [B,C,KVH,G,C]
-        # chunk-granular causal mask: past chunk = all visible, own
-        # chunk = triangle, future chunk = nothing
-        own = (src == d_idx)
-        past = src < d_idx
-        vis = jnp.where(own, tri, past)                  # [C, C] bool
+        diff = qpos - (src * C + kloc)                   # [C, C]
+        vis = diff >= 0
+        if sliding_window is not None:
+            vis &= diff < sliding_window
         sc = jnp.where(vis[None, :, None, None, :], sc, _NEG)
 
         m_new = jnp.maximum(m, jnp.max(sc, axis=-1))
@@ -120,18 +124,15 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
     prompt (a 128k Llama3-8B prefill's scores alone are 64 GB dense).
 
     Returns ``f(params, token_ids [B, T], cache) -> (last-token logits
-    [B, vocab], cache)``; T must divide by the mesh axis size. Sliding
-    window is not supported (Mistral's window < chunk would need
-    subchunk masking)."""
+    [B, vocab], cache)``; T must divide by the mesh axis size.
+    Mistral-style ``cfg.sliding_window`` is honored (the ring mask is a
+    pure function of the global position difference)."""
     from jax.experimental.shard_map import shard_map
 
     from ..models.llama import (KVCache, QLinear, _ql, _ql_psum,
                                 apply_rope, embed_lookup, rms_norm,
                                 rope_cos_sin)
 
-    if cfg.sliding_window is not None:
-        raise ValueError("sequence-parallel prefill does not support "
-                         "sliding-window attention")
     if cfg.kv_cache_dtype != "bf16":
         raise ValueError("sequence-parallel prefill requires the bf16 "
                          "KV cache")
@@ -165,7 +166,7 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
             v = v.reshape(B, C, n_kv, D)
             attn = ring_attention(
                 q.reshape(B, C, n_kv, n_q // n_kv, D), k, v,
-                axis_name, n)
+                axis_name, n, sliding_window=cfg.sliding_window)
             o = _ql_psum(
                 attn.reshape(B * C, n_q * D).astype(qcfg.compute_dtype),
                 stacked.o, qcfg, i, tp_axis, cfg.tp_overlap_chunks)

@@ -133,6 +133,36 @@ def test_sp_tp_prefill_matches_single_device():
         rtol=2e-2, atol=2e-2)
 
 
+def test_sp_prefill_sliding_window_matches_single_device():
+    """Mistral-style sliding window through the ring mask (window
+    smaller than a chunk exercises the sub-chunk masking)."""
+    import dataclasses
+
+    from quantizations_tpu.models.llama import (
+        KVCache, TINY_LLAMA, init_llama_params, prefill)
+    from quantizations_tpu.parallel.ring import make_sp_prefill_fn
+
+    cfg = dataclasses.replace(TINY_LLAMA, sliding_window=5)
+    params = init_llama_params(cfg, seed=0)
+    T, B, MAX_SEQ = 16, 2, 32
+    ids = jnp.asarray(
+        np.random.default_rng(4).integers(0, cfg.vocab_size, (B, T)),
+        jnp.int32)
+
+    ref_logits, _ = prefill(
+        params, ids, KVCache.create(cfg, B, MAX_SEQ), cfg,
+        last_token_only=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    f = make_sp_prefill_fn(mesh, cfg)
+    sp_logits, _ = f(params, ids, KVCache.create(cfg, B, MAX_SEQ))
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits[:, 0]),
+        rtol=2e-2, atol=2e-2)
+    assert (np.argmax(np.asarray(sp_logits), -1)
+            == np.argmax(np.asarray(ref_logits[:, 0]), -1)).all()
+
+
 def test_ring_attention_single_device_degenerates():
     """n=1: the ring is just dense causal attention (no ppermute)."""
     rng = np.random.default_rng(1)
