@@ -559,6 +559,7 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
     return apply_4bit(
         x2, lin.wp, lin.scales, qcfg.quant_type,
         compute_dtype=qcfg.compute_dtype,
+        pair_pipeline=qcfg.pair_pipeline,
     )
 
 
@@ -657,10 +658,16 @@ def _layer_forward(
             # [D] row, 1/128 of the code bytes)
             def _q8(t):
                 tf = t.astype(jnp.float32)
-                step = jnp.max(jnp.abs(tf), axis=-1) * (1.0 / 127.0)
-                codes = jnp.round(tf / jnp.maximum(step, 1e-12)[..., None])
-                return (jnp.clip(codes, -127, 127).astype(jnp.int8),
-                        step.astype(jnp.bfloat16))
+                # round the step to its bf16 STORAGE precision before
+                # computing codes so write and read use the same step
+                # (quantizing against the fp32 step would add a
+                # systematic ~0.2% dequant bias)
+                step = (jnp.max(jnp.abs(tf), axis=-1) * (1.0 / 127.0)
+                        ).astype(jnp.bfloat16)
+                stepf = step.astype(jnp.float32)
+                codes = jnp.round(
+                    tf / jnp.maximum(stepf, 1e-12)[..., None])
+                return jnp.clip(codes, -127, 127).astype(jnp.int8), step
 
             kn, kstep = _q8(kn)
             vn, vstep = _q8(vn)

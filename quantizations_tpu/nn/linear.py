@@ -293,6 +293,7 @@ class Linear4bit:
     bias: Optional[jnp.ndarray] = None
     compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
+    pair_pipeline: str = struct.field(pytree_node=False, default="grid")
 
     @property
     def in_features(self) -> int:
@@ -341,6 +342,7 @@ class Linear4bit:
             x2, self.weight.wp, self.weight.scales,
             self.quant_state.quant_type,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            pair_pipeline=self.pair_pipeline,
         )
         if self.bias is not None:
             out = out + self.bias.astype(out.dtype)

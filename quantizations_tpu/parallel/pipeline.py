@@ -202,7 +202,8 @@ def _pp_forward(
                 xl.astype(cfg.quant.compute_dtype).reshape(mb, h),
                 params.lm_head.wp, params.lm_head.scales,
                 cfg.quant.quant_type,
-                compute_dtype=cfg.quant.compute_dtype)
+                compute_dtype=cfg.quant.compute_dtype,
+                pair_pipeline=cfg.quant.pair_pipeline)
         else:
             lg = jnp.einsum("mh,vh->mv", xl.reshape(mb, h).astype(
                 jnp.bfloat16), params.lm_head,

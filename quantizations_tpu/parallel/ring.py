@@ -127,8 +127,6 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
     [B, vocab], cache)``; T must divide by the mesh axis size.
     Mistral-style ``cfg.sliding_window`` is honored (the ring mask is a
     pure function of the global position difference)."""
-    from jax.experimental.shard_map import shard_map
-
     from ..models.llama import (KVCache, QLinear, _ql, _ql_psum,
                                 apply_rope, embed_lookup, rms_norm,
                                 rope_cos_sin)
@@ -136,6 +134,15 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
     if cfg.kv_cache_dtype != "bf16":
         raise ValueError("sequence-parallel prefill requires the bf16 "
                          "KV cache")
+    if tp_axis is not None:
+        if tp_axis != "tp":
+            # llama_param_pspecs hardcodes the mesh axis name "tp"
+            # (shard.AXIS); an arbitrary name would make the param
+            # in_specs and kv out_specs disagree
+            raise ValueError("tp_axis must be the mesh axis named 'tp'")
+        from .shard import validate_tp
+
+        validate_tp(cfg, mesh.shape[tp_axis])
     n = mesh.shape[axis_name]
     qcfg = cfg.quant
     D = cfg.head_dim
@@ -215,11 +222,17 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
 
     @jax.jit
     def f(params, token_ids, cache):
-        logits, ks, vs = shard_map(
+        if tp_axis is not None and (params.layers.o.layout == "pair"
+                                    or params.layers.down.layout == "pair"):
+            raise ValueError(
+                "row-parallel o/down must be planar under tp (the pair "
+                "layout's word axis does not slice congruently with K) "
+                "— place params with parallel.shard_llama_params")
+        logits, ks, vs = jax.shard_map(
             trunk, mesh=mesh,
             in_specs=(pspecs(params), P(None, axis_name)),
             out_specs=(P(None, None), kv_spec, kv_spec),
-            check_rep=False,
+            check_vma=False,
         )(params, token_ids)
         zero = (0,) * 5
         ck = jax.lax.dynamic_update_slice(
@@ -243,9 +256,7 @@ def make_ring_attention_fn(
 
     @jax.jit
     def f(q, k, v):
-        from jax.experimental.shard_map import shard_map
-
-        fn = shard_map(
+        fn = jax.shard_map(
             functools.partial(ring_attention, axis_name=axis_name,
                               num_devices=n),
             mesh=mesh,

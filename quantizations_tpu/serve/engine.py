@@ -381,10 +381,11 @@ class Engine:
             self._step_fns[attend_len] = fn
         return fn
 
-    def _attend_bucket(self) -> int:
-        """Smallest power-of-two >= live max position + 1 (floor 128),
-        capped at max_seq."""
-        need = int(self.pos.max()) + 1
+    def _attend_bucket(self, extra: int = 0) -> int:
+        """Smallest power-of-two >= live max position + 1 + ``extra``
+        (floor 128), capped at max_seq. ``extra`` is the window
+        headroom: n-1 future steps or k-1 speculative positions."""
+        need = int(self.pos.max()) + 1 + extra
         b = 128
         while b < need:
             b *= 2
@@ -463,12 +464,7 @@ class Engine:
             [0.0 if r is None else (self._temp if r.temperature is None
                                     else r.temperature)
              for r in self.active], np.float32)
-        need = int(self.pos.max()) + n + 1
-        bucket = 128
-        while bucket < need:
-            bucket *= 2
-        bucket = min(bucket, self.max_seq)
-        fn = self._multi_for(bucket, n)
+        fn = self._multi_for(self._attend_bucket(extra=n), n)
         nxt, emitted, self.cache = fn(
             jnp.asarray(self._cur_tok), self.cache,
             jnp.asarray(self.pos), jnp.asarray(temps), sub)
@@ -515,6 +511,12 @@ class Engine:
         act = [i for i, r in enumerate(self.active) if r is not None]
         if not act:
             return 0
+        # a verify window writes k keys at pos: any slot too close to
+        # the cache end falls back to ONE plain step (which runs requests
+        # to max_seq - 1 exactly like the non-speculative engine — the
+        # streams stay token-identical at the cache boundary)
+        if any(self.pos[i] + k > self.max_seq - 1 for i in act):
+            return self.step()
         slots = self.slots
         feed = np.zeros((slots, k), np.int32)
         draft = np.zeros((slots, k), np.int32)
@@ -530,12 +532,7 @@ class Engine:
                                     else r.temperature)
              for r in self.active], np.float32)
         self._key, sub = jax.random.split(self._key)
-        need = int(self.pos.max()) + k + 1
-        bucket = 128
-        while bucket < need:
-            bucket *= 2
-        bucket = min(bucket, self.max_seq)
-        fn = self._spec_for(bucket, k)
+        fn = self._spec_for(self._attend_bucket(extra=k), k)
         g, a, self.cache = fn(
             jnp.asarray(feed), self.cache, jnp.asarray(self.pos),
             jnp.asarray(draft), jnp.asarray(temps), sub)
@@ -558,7 +555,7 @@ class Engine:
                 self.pos[i] += 1
                 full = len(r.output_ids) >= r.max_new_tokens
                 hit_eos = r.eos_id is not None and t == r.eos_id
-                out_of_room = self.pos[i] >= self.max_seq - k - 1
+                out_of_room = self.pos[i] >= self.max_seq - 1
                 if full or hit_eos or out_of_room:
                     r.done = done = True
                     self.finished[r.uid] = r

@@ -201,7 +201,8 @@ def paged_decode_step(
 
         logits = apply_4bit(x2, params.lm_head.wp, params.lm_head.scales,
                             qcfg.quant_type,
-                            compute_dtype=qcfg.compute_dtype)
+                            compute_dtype=qcfg.compute_dtype,
+                            pair_pipeline=qcfg.pair_pipeline)
     else:
         logits = jnp.dot(x2, params.lm_head.T.astype(x2.dtype),
                          preferred_element_type=jnp.float32)

@@ -48,8 +48,11 @@ def test_prefill_roundtrip_error_bounded(params):
           * np.asarray(c8.k_scale[0, :, :, :T], np.float32)[..., None])
     kb = np.asarray(cb.k[0, :, :, :T], np.float32)
     step = np.asarray(c8.k_scale[0, :, :, :T], np.float32)[..., None]
-    # half-step quantization error + bf16 rounding of both step and kb
-    assert np.all(np.abs(kq - kb) <= 0.5 * step + 0.02 * np.abs(kb) + 1e-6)
+    # half-step quantization error (codes are computed against the
+    # bf16-rounded step, so write/read are consistent) + kb's own bf16
+    # rounding
+    assert np.all(
+        np.abs(kq - kb) <= 0.5 * step + 0.005 * np.abs(kb) + 1e-6)
 
 
 def test_greedy_generate_matches_bf16(params):
