@@ -83,6 +83,28 @@ def test_spec_engine_repetitive_prompt_accepts(params):
     assert eng.stats()["spec_windows"] <= 15
 
 
+def test_spec_engine_cache_end_matches_plain(params):
+    """Requests that run into the cache end must still stream
+    token-identically: step_spec falls back to plain steps when any
+    slot is within k of max_seq."""
+    small = 24
+    serve = ServeConfig(max_seq_len=small)
+    prompts = [[3, 1, 4, 1, 5, 9, 2, 6], [2, 7, 1]]
+    lens = [40, 40]   # forces out-of-room retirement at max_seq-1
+
+    eng_p = Engine(params, CFG, serve, slots=2, prefill_buckets=(8,))
+    uids_p = [eng_p.submit(p, max_new_tokens=n)
+              for p, n in zip(prompts, lens)]
+    ref = [eng_p.run()[u].output_ids for u in uids_p]
+
+    eng_s = Engine(params, CFG, serve, slots=2, prefill_buckets=(8,))
+    uids_s = [eng_s.submit(p, max_new_tokens=n)
+              for p, n in zip(prompts, lens)]
+    done = eng_s.run(spec_k=4)
+    got = [done[u].output_ids for u in uids_s]
+    assert got == ref
+
+
 def test_spec_engine_temperature_smoke(params):
     """Temperature>0 slots run the per-row exact sampling path and
     complete; greedy slot in the same batch stays deterministic."""
