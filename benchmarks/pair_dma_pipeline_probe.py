@@ -47,6 +47,12 @@ def main():
     for qt in ("fp4", "nf4"):
         cases.append((f"prod_{qt}", jax.jit(functools.partial(
             matmul_4bit_pair_pallas, quant_type=qt))))
+        # smaller grid tiles: if the measured DMA/compute serialization
+        # is VMEM pressure disabling Mosaic's automatic double
+        # buffering, halving the tile should overlap without manual DMA
+        for tm in (256, 128):
+            cases.append((f"grid_{qt}_tm{tm}", jax.jit(functools.partial(
+                matmul_4bit_pair_pallas, quant_type=qt, tile_m=tm))))
         for tm in (512, 256):
             cases.append((f"man_{qt}_tm{tm}", jax.jit(functools.partial(
                 matmul_4bit_pair_manual, quant_type=qt, tile_m=tm))))
