@@ -98,7 +98,15 @@ def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
     positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
                             cfg.rope_scaling)
-    mask = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])[None]
+    qp = jnp.arange(T)[:, None]
+    kp = jnp.arange(T)[None, :]
+    mask = kp <= qp
+    if cfg.sliding_window is not None:
+        # Mistral-style window — without this the dense reference would
+        # attend MORE than the quantized model and parity would measure
+        # the window, not the quantization
+        mask &= kp > qp - cfg.sliding_window
+    mask = mask[None]
 
     def proj(x2, W):
         return jnp.dot(x2.astype(jnp.bfloat16), W.T,

@@ -16,6 +16,37 @@ transformers = pytest.importorskip("transformers")
 VOCAB, HID, INTER, L, NQ, NKV, HD = 256, 128, 256, 2, 4, 2, 32
 
 
+def _dense_params_from_sd(sd, bias=False):
+    """LlamaParams with raw (unquantized) arrays straight from an HF
+    state dict — the exact-convention comparison target."""
+    from quantizations_tpu.models.llama import LlamaLayer, LlamaParams
+
+    def stack(fmt):
+        return jnp.asarray(np.stack([sd[fmt.format(i)] for i in range(L)]))
+
+    bs = (stack if bias else lambda fmt: None)
+    layers = LlamaLayer(
+        attn_norm=stack("model.layers.{}.input_layernorm.weight"),
+        mlp_norm=stack("model.layers.{}.post_attention_layernorm.weight"),
+        q=stack("model.layers.{}.self_attn.q_proj.weight"),
+        k=stack("model.layers.{}.self_attn.k_proj.weight"),
+        v=stack("model.layers.{}.self_attn.v_proj.weight"),
+        o=stack("model.layers.{}.self_attn.o_proj.weight"),
+        gate=stack("model.layers.{}.mlp.gate_proj.weight"),
+        up=stack("model.layers.{}.mlp.up_proj.weight"),
+        down=stack("model.layers.{}.mlp.down_proj.weight"),
+        q_bias=bs("model.layers.{}.self_attn.q_proj.bias"),
+        k_bias=bs("model.layers.{}.self_attn.k_proj.bias"),
+        v_bias=bs("model.layers.{}.self_attn.v_proj.bias"),
+    )
+    return LlamaParams(
+        embed=jnp.asarray(sd["model.embed_tokens.weight"]),
+        layers=layers,
+        final_norm=jnp.asarray(sd["model.norm.weight"]),
+        lm_head=jnp.asarray(sd["lm_head.weight"]),
+    )
+
+
 @pytest.fixture(scope="module")
 def hf_setup(tmp_path_factory):
     from transformers import LlamaConfig, LlamaForCausalLM
@@ -71,6 +102,83 @@ def test_loader_reads_real_hf_shards(hf_setup):
     assert agree >= 0.5, agree
 
 
+def test_qwen2_bias_conventions_match_transformers(tmp_path):
+    """Qwen2 family: additive q/k/v biases through the loader and the
+    quantized forward, vs the transformers oracle."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(1)
+    config = Qwen2Config(
+        vocab_size=VOCAB, hidden_size=HID, intermediate_size=INTER,
+        num_hidden_layers=L, num_attention_heads=NQ,
+        num_key_value_heads=NKV, head_dim=HD, rope_theta=10000.0,
+        rms_norm_eps=1e-5, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    model = Qwen2ForCausalLM(config).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.dim() == 2:
+                p.mul_(0.5)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    ids = np.random.default_rng(1).integers(0, VOCAB, (1, 10))
+    with torch.no_grad():
+        hf_logits = model(torch.asarray(ids)).logits.float().numpy()
+
+    from quantizations_tpu.evals.parity import _dense_forward
+    from quantizations_tpu.models.hf_loader import (config_from_hf,
+                                                    load_hf_llama)
+
+    cfg, params = load_hf_llama(str(tmp_path))
+    assert cfg.attention_bias and params.layers.q_bias is not None
+
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    dense = _dense_params_from_sd(sd, bias=True)
+    ours = np.asarray(_dense_forward(
+        dense, jnp.asarray(ids, jnp.int32), config_from_hf(str(tmp_path))))
+    np.testing.assert_allclose(ours, hf_logits, rtol=0.12, atol=0.06)
+    assert (np.argmax(ours, -1) == np.argmax(hf_logits, -1)).mean() >= 0.9
+
+
+def test_mistral_sliding_window_matches_transformers(tmp_path):
+    """Mistral family: the sliding-window mask semantics vs the
+    transformers eager-attention oracle (window smaller than the
+    sequence so the mask actually bites)."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(2)
+    config = MistralConfig(
+        vocab_size=VOCAB, hidden_size=HID, intermediate_size=INTER,
+        num_hidden_layers=L, num_attention_heads=NQ,
+        num_key_value_heads=NKV, head_dim=HD, rope_theta=10000.0,
+        rms_norm_eps=1e-5, max_position_embeddings=128,
+        sliding_window=4, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = MistralForCausalLM(config).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.dim() == 2:
+                p.mul_(0.5)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    ids = np.random.default_rng(2).integers(0, VOCAB, (1, 12))
+    with torch.no_grad():
+        hf_logits = model(torch.asarray(ids)).logits.float().numpy()
+
+    from quantizations_tpu.evals.parity import _dense_forward
+    from quantizations_tpu.models.hf_loader import config_from_hf
+
+    cfg = config_from_hf(str(tmp_path))
+    assert cfg.sliding_window == 4
+
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    dense = _dense_params_from_sd(sd)
+    ours = np.asarray(_dense_forward(
+        dense, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=0.12, atol=0.06)
+    assert (np.argmax(ours, -1) == np.argmax(hf_logits, -1)).mean() >= 0.9
+
+
 def test_dense_conventions_match_transformers(hf_setup):
     """Bypass quantization entirely: our dense forward on the ORIGINAL
     HF weights must reproduce transformers' logits to bf16 tolerance —
@@ -78,31 +186,9 @@ def test_dense_conventions_match_transformers(hf_setup):
     d, ids, hf_logits, sd = hf_setup
     from quantizations_tpu.evals.parity import _dense_forward
     from quantizations_tpu.models.hf_loader import config_from_hf
-    from quantizations_tpu.models.llama import LlamaLayer, LlamaParams
 
     cfg = config_from_hf(d)
-
-    def stack(fmt):
-        return jnp.asarray(np.stack(
-            [sd[fmt.format(i)] for i in range(L)]))
-
-    layers = LlamaLayer(
-        attn_norm=stack("model.layers.{}.input_layernorm.weight"),
-        mlp_norm=stack("model.layers.{}.post_attention_layernorm.weight"),
-        q=stack("model.layers.{}.self_attn.q_proj.weight"),
-        k=stack("model.layers.{}.self_attn.k_proj.weight"),
-        v=stack("model.layers.{}.self_attn.v_proj.weight"),
-        o=stack("model.layers.{}.self_attn.o_proj.weight"),
-        gate=stack("model.layers.{}.mlp.gate_proj.weight"),
-        up=stack("model.layers.{}.mlp.up_proj.weight"),
-        down=stack("model.layers.{}.mlp.down_proj.weight"),
-    )
-    dense = LlamaParams(
-        embed=jnp.asarray(sd["model.embed_tokens.weight"]),
-        layers=layers,
-        final_norm=jnp.asarray(sd["model.norm.weight"]),
-        lm_head=jnp.asarray(sd["lm_head.weight"]),
-    )
+    dense = _dense_params_from_sd(sd)
     ours = np.asarray(_dense_forward(
         dense, jnp.asarray(ids, jnp.int32), cfg))
     # our dense path computes in bf16; transformers in fp32
