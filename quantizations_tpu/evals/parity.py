@@ -72,6 +72,7 @@ def dequantized_params(params: LlamaParams,
         # dropping them would make parity measure the missing bias, not
         # the quantization error
         q_bias=lay.q_bias, k_bias=lay.k_bias, v_bias=lay.v_bias,
+        post_attn_norm=lay.post_attn_norm, post_mlp_norm=lay.post_mlp_norm,
     )
     lm_head = (conv_ql(params.lm_head)
                if isinstance(params.lm_head, QLinear) else params.lm_head)
@@ -91,22 +92,24 @@ def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
     [B, T, vocab]. Mirrors models/llama.py but with jnp.dot projections
     (this is also the independent cross-check of the quantized path)."""
     B, T = token_ids.shape
-    from ..models.llama import apply_rope, rms_norm, rope_cos_sin
+    from ..models.llama import _act, _norm, apply_rope, rope_cos_sin
 
     x = dense.embed[token_ids].astype(jnp.bfloat16)
+    if cfg.embed_normalizer:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
     pos = jnp.zeros((B,), jnp.int32)
     positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
                             cfg.rope_scaling)
     qp = jnp.arange(T)[:, None]
     kp = jnp.arange(T)[None, :]
-    mask = kp <= qp
+    mask_full = (kp <= qp)[None]
+    mask_win = mask_full
     if cfg.sliding_window is not None:
         # Mistral-style window — without this the dense reference would
         # attend MORE than the quantized model and parity would measure
         # the window, not the quantization
-        mask &= kp > qp - cfg.sliding_window
-    mask = mask[None]
+        mask_win = mask_full & (kp > qp - cfg.sliding_window)[None]
 
     def proj(x2, W):
         return jnp.dot(x2.astype(jnp.bfloat16), W.T,
@@ -116,10 +119,16 @@ def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
     D = cfg.head_dim
     for i in range(L):
         lay = jax.tree.map(lambda a, i=i: a[i], dense.layers)
+        if cfg.sliding_window is None or cfg.sliding_layers == "all":
+            mask = mask_win
+        else:
+            use_win = (i % 2 == 0 if cfg.sliding_layers == "even"
+                       else i % 2 == 1)
+            mask = mask_win if use_win else mask_full
         n_q = lay.q.shape[0] // D
         n_kv = lay.k.shape[0] // D
         G = n_q // n_kv
-        xa = rms_norm(x, lay.attn_norm, cfg.rms_norm_eps)
+        xa = _norm(x, lay.attn_norm, cfg)
         x2 = xa.reshape(B * T, -1)
         q = proj(x2, lay.q)
         k = proj(x2, lay.k)
@@ -134,24 +143,38 @@ def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)
-        scores = jnp.einsum("btkgd,bskd->btkgs", qg,
-                            k.astype(jnp.float32)) * (D ** -0.5)
+        scores = jnp.einsum(
+            "btkgd,bskd->btkgs", qg, k.astype(jnp.float32)
+        ) * ((cfg.query_scale or D) ** -0.5)
+        if cfg.attn_logit_softcap is not None:
+            cap = cfg.attn_logit_softcap
+            scores = cap * jnp.tanh(scores / cap)
         scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
         w = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("btkgs,bskd->btkgd", w, v.astype(jnp.float32))
         o = proj(attn.reshape(B * T, -1), lay.o)
-        x = x + o.reshape(B, T, -1).astype(x.dtype)
-        xm = rms_norm(x, lay.mlp_norm, cfg.rms_norm_eps)
+        ob = o.reshape(B, T, -1)
+        if lay.post_attn_norm is not None:
+            ob = _norm(ob, lay.post_attn_norm, cfg)
+        x = x + ob.astype(x.dtype)
+        xm = _norm(x, lay.mlp_norm, cfg)
         x2 = xm.reshape(B * T, -1)
-        act = jax.nn.silu(proj(x2, lay.gate)) * proj(x2, lay.up)
+        act = _act(proj(x2, lay.gate), cfg) * proj(x2, lay.up)
         d = proj(act, lay.down)
-        x = x + d.reshape(B, T, -1).astype(x.dtype)
+        db = d.reshape(B, T, -1)
+        if lay.post_mlp_norm is not None:
+            db = _norm(db, lay.post_mlp_norm, cfg)
+        x = x + db.astype(x.dtype)
 
-    x = rms_norm(x, dense.final_norm, cfg.rms_norm_eps)
+    x = _norm(x, dense.final_norm, cfg)
     head = dense.lm_head
-    return jnp.einsum("bth,vh->btv", x.astype(jnp.bfloat16),
-                      head.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bth,vh->btv", x.astype(jnp.bfloat16),
+                        head.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
 
 
 @dataclasses.dataclass

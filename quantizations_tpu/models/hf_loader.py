@@ -59,6 +59,26 @@ def config_from_hf(model_dir: str,
         )
     head_dim = hf.get("head_dim") or (
         hf["hidden_size"] // hf["num_attention_heads"])
+    archs = hf.get("architectures", [])
+    gemma2 = any(a.startswith("Gemma2") for a in archs)
+    gemma_kw = {}
+    if gemma2:
+        lt = hf.get("layer_types")
+        if lt:
+            sliding = ("even" if lt[0] == "sliding_attention" else "odd")
+        else:
+            # transformers Gemma2 default: sliding on even layer indices
+            sliding = "even"
+        gemma_kw = dict(
+            hidden_activation="gelu_tanh",
+            post_norms=True,
+            norm_plus_one=True,
+            embed_normalizer=True,
+            attn_logit_softcap=hf.get("attn_logit_softcapping"),
+            final_logit_softcap=hf.get("final_logit_softcapping"),
+            query_scale=hf.get("query_pre_attn_scalar"),
+            sliding_layers=sliding,
+        )
     return LlamaConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -88,6 +108,7 @@ def config_from_hf(model_dir: str,
                                                           [])))
                         else None),
         quant=quant or QuantConfig(),
+        **gemma_kw,
     )
 
 
@@ -209,6 +230,17 @@ def load_hf_llama(
     per_layer = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
+        if cfg.post_norms:
+            # Gemma sandwich norms: post_attention_layernorm is the
+            # POST-attn norm; the pre-MLP norm is pre_feedforward
+            mlp_norm_name = p + "pre_feedforward_layernorm.weight"
+            post_attn = read(p + "post_attention_layernorm.weight"
+                             ).astype(jnp.bfloat16)
+            post_mlp = read(p + "post_feedforward_layernorm.weight"
+                            ).astype(jnp.bfloat16)
+        else:
+            mlp_norm_name = p + "post_attention_layernorm.weight"
+            post_attn = post_mlp = None
         per_layer.append(LlamaLayer(
             attn_norm=read(p + "input_layernorm.weight").astype(jnp.bfloat16),
             q=qlin(p + "self_attn.q_proj.weight", layer_slice("q")),
@@ -219,12 +251,13 @@ def load_hf_llama(
             v_bias=bias(p + "self_attn.v_proj.bias"),
             o=qlin(p + "self_attn.o_proj.weight", layer_slice("o"),
                    layout="planar" if mesh is not None else "auto"),
-            mlp_norm=read(p + "post_attention_layernorm.weight"
-                          ).astype(jnp.bfloat16),
+            mlp_norm=read(mlp_norm_name).astype(jnp.bfloat16),
             gate=qlin(p + "mlp.gate_proj.weight", layer_slice("gate")),
             up=qlin(p + "mlp.up_proj.weight", layer_slice("up")),
             down=qlin(p + "mlp.down_proj.weight", layer_slice("down"),
                       layout="planar" if mesh is not None else "auto"),
+            post_attn_norm=post_attn,
+            post_mlp_norm=post_mlp,
         ))
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     if specs is not None:

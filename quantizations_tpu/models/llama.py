@@ -87,6 +87,28 @@ class LlamaConfig:
     # (identical program to before; the flag costs nothing at tp=1
     # because _ql_psum short-circuits).
     tp_overlap_chunks: int = 1
+    # ---- Gemma-2 family knobs (defaults = Llama behavior) ----------
+    # MLP activation: "silu" (Llama/Qwen/Mistral SwiGLU) or
+    # "gelu_tanh" (Gemma GeGLU)
+    hidden_activation: str = "silu"
+    # Gemma sandwich norms: post-attention and post-MLP RMSNorms applied
+    # to the block OUTPUT before the residual add (LlamaLayer gains
+    # post_attn_norm / post_mlp_norm leaves when True)
+    post_norms: bool = False
+    # Gemma RMSNorm multiplies by (1 + weight) (zero-centered gains)
+    norm_plus_one: bool = False
+    # Gemma scales embeddings by bf16(sqrt(hidden_size))
+    embed_normalizer: bool = False
+    # Gemma-2 soft caps: cap * tanh(x / cap)
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    # attention score scale; None = head_dim ** -0.5 (Gemma-2 uses
+    # query_pre_attn_scalar ** -0.5)
+    query_scale: Optional[float] = None
+    # which layers use the sliding window: "all" (Mistral), or the
+    # Gemma-2 alternation ("even" / "odd" layer indices; pinned against
+    # the transformers oracle in tests)
+    sliding_layers: str = "all"
     # KV cache element type: "bf16" (default) or "int8" — int8 stores
     # per-(layer, slot, head, token) absmax-scaled codes plus a bf16
     # step, halving attention HBM traffic (the long-context decode
@@ -117,6 +139,32 @@ LLAMA3_70B = LlamaConfig(
     num_hidden_layers=80,
     num_attention_heads=64,
     num_key_value_heads=8,
+)
+
+# Gemma2-9B (HF google/gemma-2-9b): sandwich norms, GeGLU, softcaps,
+# alternating 4k sliding window. Conventions pinned against the
+# transformers oracle in tests/test_hf_oracle.py.
+GEMMA2_9B = LlamaConfig(
+    vocab_size=256000,
+    hidden_size=3584,
+    intermediate_size=14336,
+    num_hidden_layers=42,
+    num_attention_heads=16,
+    num_key_value_heads=8,
+    head_dim=256,
+    rope_theta=10000.0,
+    rms_norm_eps=1e-6,
+    max_position_embeddings=8192,
+    tie_word_embeddings=True,
+    hidden_activation="gelu_tanh",
+    post_norms=True,
+    norm_plus_one=True,
+    embed_normalizer=True,
+    attn_logit_softcap=50.0,
+    final_logit_softcap=30.0,
+    query_scale=256.0,
+    sliding_window=4096,
+    sliding_layers="even",
 )
 
 # Tiny config for tests and mesh dry-runs: every tensor-parallel shard (up
@@ -185,6 +233,10 @@ class LlamaLayer:
     q_bias: Optional[jnp.ndarray] = None
     k_bias: Optional[jnp.ndarray] = None
     v_bias: Optional[jnp.ndarray] = None
+    # Gemma sandwich norms (cfg.post_norms): applied to the attention /
+    # MLP block OUTPUT before the residual add
+    post_attn_norm: Optional[jnp.ndarray] = None
+    post_mlp_norm: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
@@ -377,7 +429,7 @@ def init_llama_params(
             return (jax.random.normal(key, (n,), jnp.float32)
                     * scale).astype(jnp.bfloat16)
 
-        kb = jax.random.split(jax.random.fold_in(key, i + 10**5), 3)
+        kb = jax.random.split(jax.random.fold_in(key, i + 10**5), 5)
         return LlamaLayer(
             attn_norm=norm_gain(ks[7]),
             q=qlin(ks[0], qs, h),
@@ -389,6 +441,8 @@ def init_llama_params(
             up=qlin(ks[5], inter, h),
             down=qlin(ks[6], h, inter),
             q_bias=b(kb[0], qs), k_bias=b(kb[1], kvs), v_bias=b(kb[2], kvs),
+            post_attn_norm=norm_gain(kb[3]) if cfg.post_norms else None,
+            post_mlp_norm=norm_gain(kb[4]) if cfg.post_norms else None,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -437,6 +491,23 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps)) * w.astype(jnp.float32)
+
+
+def _norm(x: jnp.ndarray, w: jnp.ndarray, cfg: "LlamaConfig") -> jnp.ndarray:
+    """RMSNorm with the family's gain convention: Llama multiplies by
+    ``w``, Gemma by ``1 + w`` (zero-centered gains, HF Gemma2RMSNorm)."""
+    wf = w.astype(jnp.float32)
+    if cfg.norm_plus_one:
+        wf = wf + 1.0
+    return rms_norm(x, wf, cfg.rms_norm_eps)
+
+
+def _act(g: jnp.ndarray, cfg: "LlamaConfig") -> jnp.ndarray:
+    """Gated-MLP activation: SwiGLU silu (Llama) or GeGLU tanh-gelu
+    (Gemma, HF "gelu_pytorch_tanh")."""
+    if cfg.hidden_activation == "gelu_tanh":
+        return jax.nn.gelu(g, approximate=True)
+    return jax.nn.silu(g)
 
 
 def rope_cos_sin(
@@ -633,7 +704,7 @@ def _layer_forward(
 
     # -- attention --
     with jax.named_scope("attn"):
-        xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
+        xa = _norm(x, layer.attn_norm, cfg)
         x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
         q = _ql(x2, layer.q, qcfg, idx)
         k = _ql(x2, layer.k, qcfg, idx)
@@ -688,7 +759,9 @@ def _layer_forward(
 
         S_att = attend_len or cache_k.shape[2]
         if (cfg.use_flash_attention and T == 1
-                and cfg.sliding_window is None):
+                and cfg.sliding_window is None
+                and cfg.attn_logit_softcap is None
+                and cfg.query_scale is None):
             if cks is not None:
                 from ..ops.attention import (
                     flash_decode_attention_stacked_i8)
@@ -727,7 +800,11 @@ def _layer_forward(
             qg = q.reshape(B, T, n_kv, G, D).astype(adt)
             scores = jnp.einsum(
                 "btkgd,bksd->btkgs", qg, kf,
-                preferred_element_type=jnp.float32) * (D ** -0.5)
+                preferred_element_type=jnp.float32
+            ) * ((cfg.query_scale or D) ** -0.5)
+            if cfg.attn_logit_softcap is not None:
+                cap = cfg.attn_logit_softcap
+                scores = cap * jnp.tanh(scores / cap)
             scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
             w = jax.nn.softmax(scores, axis=-1)
             attn = jnp.einsum("btkgs,bksd->btkgd", w.astype(vf.dtype), vf,
@@ -736,18 +813,24 @@ def _layer_forward(
 
         o = _ql_psum(attn, layer.o, qcfg, idx, axis_name,
                      cfg.tp_overlap_chunks)
-        x = x + o.reshape(B, T, h).astype(x.dtype)
+        ob = o.reshape(B, T, h)
+        if layer.post_attn_norm is not None:
+            ob = _norm(ob, layer.post_attn_norm, cfg)
+        x = x + ob.astype(x.dtype)
 
-    # -- MLP (SwiGLU) --
+    # -- MLP (SwiGLU / GeGLU) --
     with jax.named_scope("mlp"):
-        xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
+        xm = _norm(x, layer.mlp_norm, cfg)
         x2 = xm.astype(qcfg.compute_dtype).reshape(B * T, h)
         g = _ql(x2, layer.gate, qcfg, idx)
         u = _ql(x2, layer.up, qcfg, idx)
-        act = jax.nn.silu(g) * u
+        act = _act(g, cfg) * u
         d = _ql_psum(act.astype(qcfg.compute_dtype), layer.down, qcfg,
                      idx, axis_name, cfg.tp_overlap_chunks)
-        x = x + d.reshape(B, T, h).astype(x.dtype)
+        db = d.reshape(B, T, h)
+        if layer.post_mlp_norm is not None:
+            db = _norm(db, layer.post_mlp_norm, cfg)
+        x = x + db.astype(x.dtype)
     if cks is not None:
         return x, ck, cv, cks, cvs
     return x, ck, cv
@@ -774,6 +857,10 @@ def _forward(
     S = cache.max_seq
     x = embed_lookup(params.embed, token_ids,
                      cfg.quant.quant_type)             # [B, T, hidden]
+    if cfg.embed_normalizer:
+        # Gemma scales embeddings by sqrt(hidden) (HF casts the
+        # normalizer to the activation dtype)
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
 
     pos = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), (B,))
     positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -782,7 +869,8 @@ def _forward(
     # mask[b, t, s]: attend iff s is a written position not after query t.
     S_att = attend_len or S
     key_pos = jnp.arange(S_att, dtype=jnp.int32)
-    mask = key_pos[None, None, :] <= positions[:, :, None]  # [B, T, S_att]
+    mask_full = key_pos[None, None, :] <= positions[:, :, None]
+    mask = mask_full                                    # [B, T, S_att]
     if cfg.sliding_window is not None:
         mask = mask & (key_pos[None, None, :]
                        > positions[:, :, None] - cfg.sliding_window)
@@ -803,9 +891,20 @@ def _forward(
             q_bias=(None if stacked.q_bias is None else stacked.q_bias[i]),
             k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
             v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
+            post_attn_norm=(None if stacked.post_attn_norm is None
+                            else stacked.post_attn_norm[i]),
+            post_mlp_norm=(None if stacked.post_mlp_norm is None
+                           else stacked.post_mlp_norm[i]),
         )
+        if cfg.sliding_window is not None and cfg.sliding_layers != "all":
+            # Gemma-2 alternation: only every other layer slides
+            use_win = ((i % 2) == 0 if cfg.sliding_layers == "even"
+                       else (i % 2) == 1)
+            mask_i = jnp.where(use_win, mask, mask_full)
+        else:
+            mask_i = mask
         out = _layer_forward(
-            x, layer, ck, cv, pos, cos, sin, mask, cfg,
+            x, layer, ck, cv, pos, cos, sin, mask_i, cfg,
             axis_name=axis_name, idx=i, attend_len=attend_len,
             cks=cks, cvs=cvs,
         )
@@ -821,7 +920,7 @@ def _forward(
     if last_token_only:
         x = x[:, -1:, :]
         B, T = x.shape[0], 1
-    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    x = _norm(x, params.final_norm, cfg)
     if isinstance(params.lm_head, QLinear):
         logits = _ql(
             x.astype(cfg.quant.compute_dtype).reshape(B * T, -1),
@@ -832,6 +931,9 @@ def _forward(
             "bth,vh->btv", x.astype(jnp.bfloat16),
             params.lm_head, preferred_element_type=jnp.float32,
         )
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
     if axis_name is not None:
         # lm_head is vocab-sharded (column-parallel): gather the shards.
         logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)

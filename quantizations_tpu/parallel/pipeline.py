@@ -121,6 +121,10 @@ def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
             q_bias=(None if stacked.q_bias is None else stacked.q_bias[i]),
             k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
             v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
+            post_attn_norm=(None if stacked.post_attn_norm is None
+                            else stacked.post_attn_norm[i]),
+            post_mlp_norm=(None if stacked.post_mlp_norm is None
+                           else stacked.post_mlp_norm[i]),
         )
         x, ck, cv = _layer_forward(
             x, layer, ck, cv, pos, cos, sin, mask, cfg,

@@ -16,7 +16,7 @@ transformers = pytest.importorskip("transformers")
 VOCAB, HID, INTER, L, NQ, NKV, HD = 256, 128, 256, 2, 4, 2, 32
 
 
-def _dense_params_from_sd(sd, bias=False):
+def _dense_params_from_sd(sd, bias=False, post_norms=False):
     """LlamaParams with raw (unquantized) arrays straight from an HF
     state dict — the exact-convention comparison target."""
     from quantizations_tpu.models.llama import LlamaLayer, LlamaParams
@@ -25,9 +25,13 @@ def _dense_params_from_sd(sd, bias=False):
         return jnp.asarray(np.stack([sd[fmt.format(i)] for i in range(L)]))
 
     bs = (stack if bias else lambda fmt: None)
+    ps = (stack if post_norms else lambda fmt: None)
+    mlp_norm = ("model.layers.{}.pre_feedforward_layernorm.weight"
+                if post_norms
+                else "model.layers.{}.post_attention_layernorm.weight")
     layers = LlamaLayer(
         attn_norm=stack("model.layers.{}.input_layernorm.weight"),
-        mlp_norm=stack("model.layers.{}.post_attention_layernorm.weight"),
+        mlp_norm=stack(mlp_norm),
         q=stack("model.layers.{}.self_attn.q_proj.weight"),
         k=stack("model.layers.{}.self_attn.k_proj.weight"),
         v=stack("model.layers.{}.self_attn.v_proj.weight"),
@@ -38,12 +42,17 @@ def _dense_params_from_sd(sd, bias=False):
         q_bias=bs("model.layers.{}.self_attn.q_proj.bias"),
         k_bias=bs("model.layers.{}.self_attn.k_proj.bias"),
         v_bias=bs("model.layers.{}.self_attn.v_proj.bias"),
+        post_attn_norm=ps(
+            "model.layers.{}.post_attention_layernorm.weight"),
+        post_mlp_norm=ps(
+            "model.layers.{}.post_feedforward_layernorm.weight"),
     )
+    head = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
     return LlamaParams(
         embed=jnp.asarray(sd["model.embed_tokens.weight"]),
         layers=layers,
         final_norm=jnp.asarray(sd["model.norm.weight"]),
-        lm_head=jnp.asarray(sd["lm_head.weight"]),
+        lm_head=jnp.asarray(head),
     )
 
 
@@ -177,6 +186,59 @@ def test_mistral_sliding_window_matches_transformers(tmp_path):
         dense, jnp.asarray(ids, jnp.int32), cfg))
     np.testing.assert_allclose(ours, hf_logits, rtol=0.12, atol=0.06)
     assert (np.argmax(ours, -1) == np.argmax(hf_logits, -1)).mean() >= 0.9
+
+
+def test_gemma2_conventions_match_transformers(tmp_path):
+    """Gemma-2 family: sandwich norms, (1+w) RMSNorm, GeGLU, embed
+    normalizer, query_pre_attn_scalar, attn/final softcaps, alternating
+    sliding window — all vs the transformers eager oracle."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(3)
+    config = Gemma2Config(
+        vocab_size=VOCAB, hidden_size=HID, intermediate_size=INTER,
+        num_hidden_layers=L, num_attention_heads=NQ,
+        num_key_value_heads=NKV, head_dim=HD, rope_theta=10000.0,
+        rms_norm_eps=1e-5, max_position_embeddings=128,
+        query_pre_attn_scalar=64, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, sliding_window=4,
+        attn_implementation="eager",
+    )
+    model = Gemma2ForCausalLM(config).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.dim() == 2:
+                p.mul_(0.5)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    ids = np.random.default_rng(3).integers(0, VOCAB, (1, 12))
+    with torch.no_grad():
+        hf_logits = model(torch.asarray(ids)).logits.float().numpy()
+
+    from quantizations_tpu.evals.parity import _dense_forward
+    from quantizations_tpu.models.hf_loader import (config_from_hf,
+                                                    load_hf_llama)
+
+    cfg = config_from_hf(str(tmp_path))
+    assert cfg.post_norms and cfg.norm_plus_one
+    assert cfg.hidden_activation == "gelu_tanh"
+    assert cfg.attn_logit_softcap == 50.0 and cfg.query_scale == 64
+
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    dense = _dense_params_from_sd(sd, post_norms=True)
+    ours = np.asarray(_dense_forward(
+        dense, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=0.12, atol=0.06)
+    assert (np.argmax(ours, -1) == np.argmax(hf_logits, -1)).mean() >= 0.9
+
+    # quantized end-to-end through the loader runs and tracks the oracle
+    from quantizations_tpu.models.llama import KVCache, prefill
+
+    qcfg, params = load_hf_llama(str(tmp_path))
+    assert params.layers.post_attn_norm is not None
+    logits, _ = prefill(params, jnp.asarray(ids, jnp.int32),
+                        KVCache.create(qcfg, 1, 32), qcfg)
+    corr = np.corrcoef(np.asarray(logits).ravel(), hf_logits.ravel())[0, 1]
+    assert corr > 0.95, corr
 
 
 def test_dense_conventions_match_transformers(hf_setup):
