@@ -73,6 +73,7 @@ def dequantized_params(params: LlamaParams,
         # the quantization error
         q_bias=lay.q_bias, k_bias=lay.k_bias, v_bias=lay.v_bias,
         post_attn_norm=lay.post_attn_norm, post_mlp_norm=lay.post_mlp_norm,
+        q_norm=lay.q_norm, k_norm=lay.k_norm,
     )
     lm_head = (conv_ql(params.lm_head)
                if isinstance(params.lm_head, QLinear) else params.lm_head)
@@ -140,6 +141,11 @@ def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
         q = q.reshape(B, T, n_q, D)
         k = k.reshape(B, T, n_kv, D)
         v = v.reshape(B, T, n_kv, D)
+        if lay.q_norm is not None:
+            from ..models.llama import rms_norm
+
+            q = rms_norm(q, lay.q_norm, cfg.rms_norm_eps)
+            k = rms_norm(k, lay.k_norm, cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         qg = q.reshape(B, T, n_kv, G, D).astype(jnp.float32)

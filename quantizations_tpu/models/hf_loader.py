@@ -61,6 +61,7 @@ def config_from_hf(model_dir: str,
         hf["hidden_size"] // hf["num_attention_heads"])
     archs = hf.get("architectures", [])
     gemma2 = any(a.startswith("Gemma2") for a in archs)
+    qwen3 = any(a.startswith("Qwen3") for a in archs)
     gemma_kw = {}
     if gemma2:
         lt = hf.get("layer_types")
@@ -108,6 +109,7 @@ def config_from_hf(model_dir: str,
                                                           [])))
                         else None),
         quant=quant or QuantConfig(),
+        qk_norm=qwen3,
         **gemma_kw,
     )
 
@@ -258,6 +260,10 @@ def load_hf_llama(
                       layout="planar" if mesh is not None else "auto"),
             post_attn_norm=post_attn,
             post_mlp_norm=post_mlp,
+            q_norm=(read(p + "self_attn.q_norm.weight").astype(jnp.bfloat16)
+                    if cfg.qk_norm else None),
+            k_norm=(read(p + "self_attn.k_norm.weight").astype(jnp.bfloat16)
+                    if cfg.qk_norm else None),
         ))
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     if specs is not None:

@@ -109,6 +109,9 @@ class LlamaConfig:
     # Gemma-2 alternation ("even" / "odd" layer indices; pinned against
     # the transformers oracle in tests)
     sliding_layers: str = "all"
+    # Qwen3-style per-head RMSNorm on q and k (weight [head_dim],
+    # applied before RoPE)
+    qk_norm: bool = False
     # KV cache element type: "bf16" (default) or "int8" — int8 stores
     # per-(layer, slot, head, token) absmax-scaled codes plus a bf16
     # step, halving attention HBM traffic (the long-context decode
@@ -237,6 +240,9 @@ class LlamaLayer:
     # MLP block OUTPUT before the residual add
     post_attn_norm: Optional[jnp.ndarray] = None
     post_mlp_norm: Optional[jnp.ndarray] = None
+    # Qwen3 per-head q/k RMSNorm gains [head_dim] (cfg.qk_norm)
+    q_norm: Optional[jnp.ndarray] = None
+    k_norm: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
@@ -443,6 +449,10 @@ def init_llama_params(
             q_bias=b(kb[0], qs), k_bias=b(kb[1], kvs), v_bias=b(kb[2], kvs),
             post_attn_norm=norm_gain(kb[3]) if cfg.post_norms else None,
             post_mlp_norm=norm_gain(kb[4]) if cfg.post_norms else None,
+            q_norm=(jnp.ones((cfg.head_dim,), jnp.bfloat16)
+                    if cfg.qk_norm else None),
+            k_norm=(jnp.ones((cfg.head_dim,), jnp.bfloat16)
+                    if cfg.qk_norm else None),
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -716,6 +726,10 @@ def _layer_forward(
         q = q.reshape(B, T, n_q, D)
         k = k.reshape(B, T, n_kv, D)
         v = v.reshape(B, T, n_kv, D)
+        if layer.q_norm is not None:
+            # Qwen3 per-head RMSNorm before RoPE
+            q = rms_norm(q, layer.q_norm, cfg.rms_norm_eps)
+            k = rms_norm(k, layer.k_norm, cfg.rms_norm_eps)
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -895,6 +909,8 @@ def _forward(
                             else stacked.post_attn_norm[i]),
             post_mlp_norm=(None if stacked.post_mlp_norm is None
                            else stacked.post_mlp_norm[i]),
+            q_norm=(None if stacked.q_norm is None else stacked.q_norm[i]),
+            k_norm=(None if stacked.k_norm is None else stacked.k_norm[i]),
         )
         if cfg.sliding_window is not None and cfg.sliding_layers != "all":
             # Gemma-2 alternation: only every other layer slides

@@ -125,6 +125,8 @@ def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
                             else stacked.post_attn_norm[i]),
             post_mlp_norm=(None if stacked.post_mlp_norm is None
                            else stacked.post_mlp_norm[i]),
+            q_norm=(None if stacked.q_norm is None else stacked.q_norm[i]),
+            k_norm=(None if stacked.k_norm is None else stacked.k_norm[i]),
         )
         x, ck, cv = _layer_forward(
             x, layer, ck, cv, pos, cos, sin, mask, cfg,

@@ -135,10 +135,12 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
         raise ValueError("sequence-parallel prefill requires the bf16 "
                          "KV cache")
     if cfg.post_norms or cfg.attn_logit_softcap is not None \
-            or cfg.query_scale is not None or cfg.norm_plus_one:
+            or cfg.query_scale is not None or cfg.norm_plus_one \
+            or cfg.qk_norm:
         raise ValueError("sequence-parallel prefill does not support "
-                         "the Gemma-2 family yet (sandwich norms / "
-                         "softcaps live only in the main layer forward)")
+                         "the Gemma-2/Qwen3 knobs yet (sandwich norms / "
+                         "softcaps / qk-norm live only in the main "
+                         "layer forward)")
     if tp_axis is not None:
         if tp_axis != "tp":
             # llama_param_pspecs hardcodes the mesh axis name "tp"

@@ -274,10 +274,12 @@ class PagedEngine:
         if cfg.kv_cache_dtype != "bf16":
             raise ValueError("PagedEngine requires the bf16 KV cache")
         if cfg.post_norms or cfg.attn_logit_softcap is not None \
-                or cfg.query_scale is not None or cfg.norm_plus_one:
-            raise ValueError("PagedEngine does not support the Gemma-2 "
-                             "family yet (its layer body predates the "
-                             "sandwich-norm/softcap knobs)")
+                or cfg.query_scale is not None or cfg.norm_plus_one \
+                or cfg.qk_norm:
+            raise ValueError("PagedEngine does not support the "
+                             "Gemma-2/Qwen3 knobs yet (its layer body "
+                             "predates the sandwich-norm/softcap/qk-norm "
+                             "knobs)")
         self.params = params
         self.cfg = cfg
         self.page_size = page_size

@@ -47,6 +47,10 @@ def _dense_params_from_sd(sd, bias=False, post_norms=False):
         post_mlp_norm=ps(
             "model.layers.{}.post_feedforward_layernorm.weight"),
     )
+    if "model.layers.0.self_attn.q_norm.weight" in sd:
+        layers = layers.replace(
+            q_norm=stack("model.layers.{}.self_attn.q_norm.weight"),
+            k_norm=stack("model.layers.{}.self_attn.k_norm.weight"))
     head = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
     return LlamaParams(
         embed=jnp.asarray(sd["model.embed_tokens.weight"]),
@@ -186,6 +190,54 @@ def test_mistral_sliding_window_matches_transformers(tmp_path):
         dense, jnp.asarray(ids, jnp.int32), cfg))
     np.testing.assert_allclose(ours, hf_logits, rtol=0.12, atol=0.06)
     assert (np.argmax(ours, -1) == np.argmax(hf_logits, -1)).mean() >= 0.9
+
+
+def test_qwen3_qk_norm_matches_transformers(tmp_path):
+    """Qwen3 family: per-head q/k RMSNorm before RoPE, vs the
+    transformers oracle."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(4)
+    config = Qwen3Config(
+        vocab_size=VOCAB, hidden_size=HID, intermediate_size=INTER,
+        num_hidden_layers=L, num_attention_heads=NQ,
+        num_key_value_heads=NKV, head_dim=HD, rope_theta=10000.0,
+        rms_norm_eps=1e-5, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    model = Qwen3ForCausalLM(config).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.dim() == 2:
+                p.mul_(0.5)
+    model.save_pretrained(tmp_path, safe_serialization=True)
+    ids = np.random.default_rng(4).integers(0, VOCAB, (1, 10))
+    with torch.no_grad():
+        hf_logits = model(torch.asarray(ids)).logits.float().numpy()
+
+    from quantizations_tpu.evals.parity import _dense_forward
+    from quantizations_tpu.models.hf_loader import (config_from_hf,
+                                                    load_hf_llama)
+
+    cfg = config_from_hf(str(tmp_path))
+    assert cfg.qk_norm and not cfg.attention_bias
+
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    dense = _dense_params_from_sd(sd)
+    ours = np.asarray(_dense_forward(
+        dense, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=0.12, atol=0.06)
+    assert (np.argmax(ours, -1) == np.argmax(hf_logits, -1)).mean() >= 0.9
+
+    # quantized loader end-to-end tracks the oracle
+    from quantizations_tpu.models.llama import KVCache, prefill
+
+    qcfg, params = load_hf_llama(str(tmp_path))
+    assert params.layers.q_norm is not None
+    logits, _ = prefill(params, jnp.asarray(ids, jnp.int32),
+                        KVCache.create(qcfg, 1, 32), qcfg)
+    corr = np.corrcoef(np.asarray(logits).ravel(), hf_logits.ravel())[0, 1]
+    assert corr > 0.95, corr
 
 
 def test_gemma2_conventions_match_transformers(tmp_path):
