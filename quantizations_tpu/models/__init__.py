@@ -3,10 +3,14 @@
 path, with HF used only as checkpoint/tokenizer format."""
 
 from .llama import (
+    GEMMA2_9B,
     KVCache,
+    LLAMA3_8B,
+    LLAMA3_70B,
     LlamaConfig,
     LlamaParams,
     QLinear,
+    TINY_LLAMA,
     decode_step,
     init_llama_params,
     prefill,
@@ -20,4 +24,8 @@ __all__ = [
     "init_llama_params",
     "prefill",
     "decode_step",
+    "LLAMA3_8B",
+    "LLAMA3_70B",
+    "GEMMA2_9B",
+    "TINY_LLAMA",
 ]

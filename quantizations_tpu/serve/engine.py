@@ -49,12 +49,21 @@ class Request:
 
 
 def draft_lookup_host(hist: List[int], k: int) -> List[int]:
-    """Host-side prompt-lookup drafter (same rule as the device
-    ``draft_prompt_lookup``): the ``k`` tokens following the most recent
-    strictly-earlier occurrence of the current bigram; pads with the
-    last token. Python over a few-thousand-token history is ~µs — far
-    under the device dispatch it rides along with."""
+    """Host-side prompt-lookup drafter: the ``k`` tokens following the
+    most recent strictly-earlier occurrence of the current TRIGRAM,
+    falling back to the bigram (the device ``draft_prompt_lookup``
+    rule); pads with the last token. A trigram match is a stronger
+    predictor when it exists (fewer false continuations on repeated
+    bigrams), and any draft is sound — verification rejects bad ones.
+    Python over a few-thousand-token history is ~µs — far under the
+    device dispatch it rides along with."""
     n = len(hist)
+    if n >= 3:
+        t3, t2, t1 = hist[-3], hist[-2], hist[-1]
+        for j in range(n - 4, -1, -1):
+            if hist[j] == t3 and hist[j + 1] == t2 and hist[j + 2] == t1:
+                src = hist[j + 3:j + 3 + k]
+                return (src + [t1] * k)[:k]
     if n >= 2:
         b2, b1 = hist[-2], hist[-1]
         for j in range(n - 3, -1, -1):

@@ -145,6 +145,23 @@ def test_greedy_generate_matches_bf16_flash(params):
     assert agree >= 0.875, (tb.tolist(), t8.tolist())
 
 
+def test_engine_spec_with_int8_cache(params):
+    """Speculative windows over the int8 slot cache (T=K quantized
+    writes per window): stream matches the plain int8 engine."""
+    from quantizations_tpu.serve.engine import Engine
+
+    serve = ServeConfig(max_seq_len=48)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    eng_p = Engine(params, CFG8, serve, slots=2, prefill_buckets=(8,))
+    u_p = eng_p.submit(prompt, max_new_tokens=10)
+    ref = eng_p.run()[u_p].output_ids
+
+    eng_s = Engine(params, CFG8, serve, slots=2, prefill_buckets=(8,))
+    u_s = eng_s.submit(prompt, max_new_tokens=10)
+    got = eng_s.run(spec_k=4)[u_s].output_ids
+    assert got == ref
+
+
 def test_parallel_factories_reject_int8():
     from quantizations_tpu.parallel.ring import make_sp_prefill_fn
     from quantizations_tpu.parallel.shard import validate_tp
