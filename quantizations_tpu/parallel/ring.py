@@ -49,15 +49,21 @@ def ring_attention(
     axis_name: str,
     num_devices: int,
     sliding_window: Optional[int] = None,
+    use_window: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
 ) -> jnp.ndarray:
     """Causal ring attention over a sequence-sharded axis. Must be
     called inside ``shard_map`` with the sequence dim sharded over
     ``axis_name``; device ``d`` owns global positions
     ``[d*C, (d+1)*C)``. ``sliding_window`` applies the Mistral-style
-    window (attend iff ``0 <= q_pos - k_pos < window``). Returns fp32
-    ``[B, C, KVH, G, D]``."""
+    window (attend iff ``0 <= q_pos - k_pos < window``);
+    ``use_window`` (traced bool) toggles it per call — the Gemma-2
+    per-layer alternation under ``lax.scan``. ``scale`` overrides the
+    default ``D**-0.5`` score scale; ``logit_softcap`` applies the
+    Gemma-2 ``cap*tanh(s/cap)``. Returns fp32 ``[B, C, KVH, G, D]``."""
     B, C, KVH, G, D = q.shape
-    scale = D ** -0.5
+    scale = (D ** -0.5) if scale is None else scale
     d_idx = jax.lax.axis_index(axis_name)
 
     qf = q.astype(jnp.float32) * scale
@@ -80,10 +86,14 @@ def ring_attention(
         sc = jnp.einsum(
             "bqkgd,bskd->bqkgs", qf, kc.astype(jnp.float32),
             preferred_element_type=jnp.float32)          # [B,C,KVH,G,C]
+        if logit_softcap is not None:
+            sc = logit_softcap * jnp.tanh(sc / logit_softcap)
         diff = qpos - (src * C + kloc)                   # [C, C]
         vis = diff >= 0
         if sliding_window is not None:
-            vis &= diff < sliding_window
+            win = vis & (diff < sliding_window)
+            vis = (win if use_window is None
+                   else jnp.where(use_window, win, vis))
         sc = jnp.where(vis[None, :, None, None, :], sc, _NEG)
 
         m_new = jnp.maximum(m, jnp.max(sc, axis=-1))
@@ -127,20 +137,13 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
     [B, vocab], cache)``; T must divide by the mesh axis size.
     Mistral-style ``cfg.sliding_window`` is honored (the ring mask is a
     pure function of the global position difference)."""
-    from ..models.llama import (KVCache, QLinear, _ql, _ql_psum,
-                                apply_rope, embed_lookup, rms_norm,
-                                rope_cos_sin)
+    from ..models.llama import (KVCache, QLinear, _act, _norm, _ql,
+                                _ql_psum, apply_rope, embed_lookup,
+                                rms_norm, rope_cos_sin)
 
     if cfg.kv_cache_dtype != "bf16":
         raise ValueError("sequence-parallel prefill requires the bf16 "
                          "KV cache")
-    if cfg.post_norms or cfg.attn_logit_softcap is not None \
-            or cfg.query_scale is not None or cfg.norm_plus_one \
-            or cfg.qk_norm:
-        raise ValueError("sequence-parallel prefill does not support "
-                         "the Gemma-2/Qwen3 knobs yet (sandwich norms / "
-                         "softcaps / qk-norm live only in the main "
-                         "layer forward)")
     if tp_axis is not None:
         if tp_axis != "tp":
             # llama_param_pspecs hardcodes the mesh axis name "tp"
@@ -162,10 +165,12 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
         cos, sin = rope_cos_sin(positions, D, cfg.rope_theta,
                                 cfg.rope_scaling)
         x = embed_lookup(params.embed, tokens, qcfg.quant_type)
+        if cfg.embed_normalizer:
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
         stacked = params.layers
 
         def body(x, i):
-            xa = rms_norm(x, stacked.attn_norm[i], cfg.rms_norm_eps)
+            xa = _norm(x, stacked.attn_norm[i], cfg)
             x2 = xa.astype(qcfg.compute_dtype).reshape(B * C, -1)
             q = _ql(x2, stacked.q, qcfg, i)
             k = _ql(x2, stacked.k, qcfg, i)
@@ -175,25 +180,45 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
                 k = k + stacked.k_bias[i].astype(k.dtype)
                 v = v + stacked.v_bias[i].astype(v.dtype)
             n_q, n_kv = q.shape[-1] // D, k.shape[-1] // D  # per tp shard
-            q = apply_rope(q.reshape(B, C, n_q, D), cos, sin)
-            k = apply_rope(k.reshape(B, C, n_kv, D), cos, sin)
+            q = q.reshape(B, C, n_q, D)
+            k = k.reshape(B, C, n_kv, D)
+            if stacked.q_norm is not None:
+                q = rms_norm(q, stacked.q_norm[i], cfg.rms_norm_eps)
+                k = rms_norm(k, stacked.k_norm[i], cfg.rms_norm_eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
             v = v.reshape(B, C, n_kv, D)
+            if cfg.sliding_window is None or cfg.sliding_layers == "all":
+                use_win = None
+            else:
+                use_win = ((i % 2) == 0 if cfg.sliding_layers == "even"
+                           else (i % 2) == 1)
             attn = ring_attention(
                 q.reshape(B, C, n_kv, n_q // n_kv, D), k, v,
-                axis_name, n, sliding_window=cfg.sliding_window)
+                axis_name, n, sliding_window=cfg.sliding_window,
+                use_window=use_win,
+                scale=(None if cfg.query_scale is None
+                       else cfg.query_scale ** -0.5),
+                logit_softcap=cfg.attn_logit_softcap)
             o = _ql_psum(
                 attn.reshape(B * C, n_q * D).astype(qcfg.compute_dtype),
                 stacked.o, qcfg, i, tp_axis, cfg.tp_overlap_chunks)
-            x = x + o.reshape(B, C, -1).astype(x.dtype)
+            ob = o.reshape(B, C, -1)
+            if stacked.post_attn_norm is not None:
+                ob = _norm(ob, stacked.post_attn_norm[i], cfg)
+            x = x + ob.astype(x.dtype)
 
-            xm = rms_norm(x, stacked.mlp_norm[i], cfg.rms_norm_eps)
+            xm = _norm(x, stacked.mlp_norm[i], cfg)
             x2 = xm.astype(qcfg.compute_dtype).reshape(B * C, -1)
             g = _ql(x2, stacked.gate, qcfg, i)
             u = _ql(x2, stacked.up, qcfg, i)
-            dn = _ql_psum((jax.nn.silu(g) * u).astype(qcfg.compute_dtype),
+            dn = _ql_psum((_act(g, cfg) * u).astype(qcfg.compute_dtype),
                           stacked.down, qcfg, i, tp_axis,
                           cfg.tp_overlap_chunks)
-            x = x + dn.reshape(B, C, -1).astype(x.dtype)
+            db = dn.reshape(B, C, -1)
+            if stacked.post_mlp_norm is not None:
+                db = _norm(db, stacked.post_mlp_norm[i], cfg)
+            x = x + db.astype(x.dtype)
             # cache-native chunk [B, KV(shard), C, D]
             return x, (k.swapaxes(1, 2).astype(jnp.bfloat16),
                        v.swapaxes(1, 2).astype(jnp.bfloat16))
@@ -203,7 +228,7 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
 
         # lm_head on the global last token (it lives on sp rank n-1)
         xl = jax.lax.all_gather(x[:, -1, :], axis_name)[-1]    # [B, h]
-        xl = rms_norm(xl, params.final_norm, cfg.rms_norm_eps)
+        xl = _norm(xl, params.final_norm, cfg)
         if isinstance(params.lm_head, QLinear):
             logits = _ql(xl.astype(qcfg.compute_dtype), params.lm_head,
                          qcfg)
@@ -211,6 +236,9 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
             logits = jnp.einsum(
                 "bh,vh->bv", xl.astype(jnp.bfloat16), params.lm_head,
                 preferred_element_type=jnp.float32)
+        if cfg.final_logit_softcap is not None:
+            cap = cfg.final_logit_softcap
+            logits = cap * jnp.tanh(logits / cap)
         if tp_axis is not None:   # vocab-sharded head: gather the shards
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
                                         tiled=True)

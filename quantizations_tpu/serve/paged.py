@@ -273,6 +273,11 @@ class PagedEngine:
             raise ValueError("max_seq must be a multiple of page_size")
         if cfg.kv_cache_dtype != "bf16":
             raise ValueError("PagedEngine requires the bf16 KV cache")
+        if cfg.sliding_window is not None:
+            raise ValueError("PagedEngine does not support sliding-window "
+                             "attention (the paged flash kernel masks by "
+                             "length only — a Mistral config would "
+                             "silently attend past the window)")
         if cfg.post_norms or cfg.attn_logit_softcap is not None \
                 or cfg.query_scale is not None or cfg.norm_plus_one \
                 or cfg.qk_norm:

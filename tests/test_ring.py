@@ -163,6 +163,46 @@ def test_sp_prefill_sliding_window_matches_single_device():
             == np.argmax(np.asarray(ref_logits[:, 0]), -1)).all()
 
 
+@pytest.mark.parametrize("family", ["gemma2", "qwen3"])
+def test_sp_prefill_family_knobs_match_single_device(family):
+    """Gemma-2 (sandwich norms, softcaps, alternating window, GeGLU,
+    embed normalizer) and Qwen3 (qk-norm) through the ring trunk."""
+    import dataclasses
+
+    from quantizations_tpu.models.llama import (
+        KVCache, TINY_LLAMA, init_llama_params, prefill)
+    from quantizations_tpu.parallel.ring import make_sp_prefill_fn
+
+    if family == "gemma2":
+        cfg = dataclasses.replace(
+            TINY_LLAMA, hidden_activation="gelu_tanh", post_norms=True,
+            norm_plus_one=True, embed_normalizer=True,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            query_scale=48.0, sliding_window=5, sliding_layers="even")
+    else:
+        cfg = dataclasses.replace(TINY_LLAMA, qk_norm=True)
+    params = init_llama_params(cfg, seed=0)
+    T, B, MAX_SEQ = 16, 2, 32
+    ids = jnp.asarray(
+        np.random.default_rng(5).integers(0, cfg.vocab_size, (B, T)),
+        jnp.int32)
+
+    ref_logits, _ = prefill(
+        params, ids, KVCache.create(cfg, B, MAX_SEQ), cfg,
+        last_token_only=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    f = make_sp_prefill_fn(mesh, cfg)
+    sp_logits, _ = f(params, ids, KVCache.create(cfg, B, MAX_SEQ))
+    # the softcap tanh + (1+w) norms amplify bf16 reorder noise a bit
+    # beyond the plain-Llama tolerance
+    np.testing.assert_allclose(
+        np.asarray(sp_logits), np.asarray(ref_logits[:, 0]),
+        rtol=5e-2, atol=5e-2)
+    assert (np.argmax(np.asarray(sp_logits), -1)
+            == np.argmax(np.asarray(ref_logits[:, 0]), -1)).all()
+
+
 def test_ring_attention_single_device_degenerates():
     """n=1: the ring is just dense causal attention (no ppermute)."""
     rng = np.random.default_rng(1)
