@@ -117,9 +117,9 @@ class LlamaConfig:
     # step, halving attention HBM traffic (the long-context decode
     # bottleneck: at a 2k window the cache read dominates the step).
     # Quantize-on-write at the same granularity the attention reads.
-    # int8 runs the einsum attention path (the flash kernels read the
-    # bf16 cache); TP/PP/SP/paged caches remain bf16 (gated at their
-    # factories).
+    # Works with both the einsum path and the flash-decode kernel
+    # (flash_decode_attention_stacked_i8); TP/PP/SP/paged caches remain
+    # bf16 (gated at their factories).
     kv_cache_dtype: str = "bf16"
     quant: QuantConfig = QuantConfig()
 
@@ -689,6 +689,10 @@ def _layer_forward(
                                          # cache[:, :attend_len]
     cks: Optional[jnp.ndarray] = None,   # int8 cache: [L, B, KV, S] bf16
     cvs: Optional[jnp.ndarray] = None,   # dequant steps (None = bf16 cache)
+    win_eff: Optional[jnp.ndarray] = None,  # traced effective sliding
+    # window for THIS layer (int32; huge = global layer). Enables the
+    # flash-decode path for sliding-window configs; when None the
+    # einsum path's mask carries the window instead.
 ) -> Tuple[jnp.ndarray, ...]:
     """One decoder layer. Head counts derive from the (per-shard) weight
     shapes so the same code runs under shard_map. ``pos`` is per-batch-slot
@@ -773,9 +777,13 @@ def _layer_forward(
 
         S_att = attend_len or cache_k.shape[2]
         if (cfg.use_flash_attention and T == 1
-                and cfg.sliding_window is None
-                and cfg.attn_logit_softcap is None
-                and cfg.query_scale is None):
+                and (cfg.sliding_window is None or win_eff is not None)):
+            # family knobs ride the kernel: query_scale/softcap compile
+            # in statically, the sliding window arrives traced via the
+            # scalar-prefetch vector (per-layer alternation under scan)
+            fscale = (cfg.query_scale or D) ** -0.5
+            fcap = cfg.attn_logit_softcap
+            fwin = win_eff if cfg.sliding_window is not None else None
             if cks is not None:
                 from ..ops.attention import (
                     flash_decode_attention_stacked_i8)
@@ -784,6 +792,7 @@ def _layer_forward(
                     q[:, 0].reshape(B, n_kv, G, D), ck, cv, cks, cvs,
                     li, pos + 1, attend_len=S_att,
                     interpret=jax.default_backend() != "tpu",
+                    scale=fscale, softcap=fcap, window=fwin,
                 ).reshape(B * T, n_q * D)
             else:
                 from ..ops.attention import flash_decode_attention_stacked
@@ -792,6 +801,7 @@ def _layer_forward(
                     q[:, 0].reshape(B, n_kv, G, D), ck, cv, li, pos + 1,
                     attend_len=S_att,
                     interpret=jax.default_backend() != "tpu",
+                    scale=fscale, softcap=fcap, window=fwin,
                 ).reshape(B * T, n_q * D)
         else:
             # MXU attention with cache-native (bf16) operands and fp32
@@ -917,12 +927,19 @@ def _forward(
             use_win = ((i % 2) == 0 if cfg.sliding_layers == "even"
                        else (i % 2) == 1)
             mask_i = jnp.where(use_win, mask, mask_full)
+            # effective window for the flash kernel: huge = global layer
+            win_eff = jnp.where(use_win, jnp.int32(cfg.sliding_window),
+                                jnp.int32(2 ** 30))
+        elif cfg.sliding_window is not None:
+            mask_i = mask
+            win_eff = jnp.int32(cfg.sliding_window)
         else:
             mask_i = mask
+            win_eff = None
         out = _layer_forward(
             x, layer, ck, cv, pos, cos, sin, mask_i, cfg,
             axis_name=axis_name, idx=i, attend_len=attend_len,
-            cks=cks, cvs=cvs,
+            cks=cks, cvs=cvs, win_eff=win_eff,
         )
         if int8_kv:
             return out, None

@@ -36,7 +36,8 @@ _NEG = -1e30
 
 
 def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-            *, s_blk, scale, n_kv, len_off=0):
+            *, s_blk, scale, n_kv, len_off=0, softcap=None, window=None,
+            win_slot=None):
     sq = pl.program_id(1)
     b = len_off + pl.program_id(0) // n_kv
 
@@ -52,8 +53,20 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [G, S_BLK]
+    if softcap is not None:
+        # Gemma-2 attn_logit_softcap (applied pre-mask, like the HF ref)
+        s = softcap * jnp.tanh(s * (1.0 / softcap))
     span = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + sq * s_blk
-    s = jnp.where(span < len_ref[b], s, _NEG)
+    vis = span < len_ref[b]
+    if window is not None or win_slot is not None:
+        # decode: the single query sits at position len-1 — sliding
+        # window means attend iff (len-1) - s < window. ``win_slot``
+        # reads the window from the scalar-prefetch vector (traced —
+        # Gemma-2 alternates windowed/global per layer under one scan;
+        # a huge value disables the mask for global layers).
+        win = len_ref[win_slot] if win_slot is not None else window
+        vis &= span > len_ref[b] - 1 - win
+    s = jnp.where(vis, s, _NEG)
 
     m_prev = m_scr[:, 0:1]                          # [G, 1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -75,7 +88,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
 
 def _kernel_i8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-               m_scr, l_scr, acc_scr, *, s_blk, scale, n_kv, len_off=0):
+               m_scr, l_scr, acc_scr, *, s_blk, scale, n_kv, len_off=0,
+               softcap=None, win_slot=None):
     """int8-cache variant: per-token dequant steps are folded into
     COLUMN scalings (k rows scale the score columns, v rows scale the
     probability columns) — lane-natural, no transposes, and the int8
@@ -97,8 +111,13 @@ def _kernel_i8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * ks
+    if softcap is not None:
+        s = softcap * jnp.tanh(s * (1.0 / softcap))
     span = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + sq * s_blk
-    s = jnp.where(span < len_ref[b], s, _NEG)
+    vis = span < len_ref[b]
+    if win_slot is not None:
+        vis &= span > len_ref[b] - 1 - len_ref[win_slot]
+    s = jnp.where(vis, s, _NEG)
 
     m_prev = m_scr[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -119,7 +138,8 @@ def _kernel_i8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         o_ref[0, 0] = acc_scr[:] / jnp.where(l > 0, l, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("s_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("s_blk", "interpret", "scale",
+                                             "softcap", "window"))
 def flash_decode_attention(
     q: jnp.ndarray,        # [B, KVH, G, D]
     cache_k: jnp.ndarray,  # [B, KVH, S, D]
@@ -127,6 +147,9 @@ def flash_decode_attention(
     lengths: jnp.ndarray,  # [B] int32: attend to s < lengths[b]
     s_blk: int = 256,
     interpret: bool = False,
+    scale: Optional[float] = None,     # default D**-0.5
+    softcap: Optional[float] = None,   # Gemma-2 attn logit softcap
+    window: Optional[int] = None,      # Mistral sliding window
 ) -> jnp.ndarray:
     """Online-softmax decode attention over the cache prefix. Returns
     fp32 ``[B, KVH, G, D]``."""
@@ -134,10 +157,10 @@ def flash_decode_attention(
     S = cache_k.shape[2]
     while S % s_blk:
         s_blk //= 2
-    scale = D ** -0.5
+    scale = scale if scale is not None else D ** -0.5
 
     kernel = functools.partial(_kernel, s_blk=s_blk, scale=scale,
-                               n_kv=KVH)
+                               n_kv=KVH, softcap=softcap, window=window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * KVH, S // s_blk),
@@ -168,7 +191,8 @@ def flash_decode_attention(
 
 
 @functools.partial(jax.jit, static_argnames=("attend_len", "s_blk",
-                                             "interpret"))
+                                             "interpret", "scale",
+                                             "softcap"))
 def flash_decode_attention_stacked(
     q: jnp.ndarray,        # [B, KVH, G, D]
     cache_k: jnp.ndarray,  # [L, B, KVH, S, D] FULL stacked cache
@@ -178,6 +202,12 @@ def flash_decode_attention_stacked(
     attend_len: Optional[int] = None,  # static prefix bound (<= S)
     s_blk: int = 256,
     interpret: bool = False,
+    scale: Optional[float] = None,     # default D**-0.5
+    softcap: Optional[float] = None,   # Gemma-2 attn logit softcap
+    window: Optional[jnp.ndarray] = None,  # TRACED effective sliding
+    # window (int32 scalar) — per-layer under one scan: the caller
+    # passes a huge value for global-attention layers (Gemma-2
+    # alternation); None compiles the mask out entirely
 ) -> jnp.ndarray:
     """Layer-indexed flash decode over the STACKED cache: the kernel's
     DMAs read layer ``layer_idx`` (and only the first ``attend_len``
@@ -190,10 +220,12 @@ def flash_decode_attention_stacked(
     S_att = attend_len or S
     while S_att % s_blk:
         s_blk //= 2
-    scale = D ** -0.5
+    scale = scale if scale is not None else D ** -0.5
 
-    kernel = functools.partial(_kernel, s_blk=s_blk, scale=scale,
-                               n_kv=KVH, len_off=1)
+    kernel = functools.partial(
+        _kernel, s_blk=s_blk, scale=scale, n_kv=KVH, len_off=1,
+        softcap=softcap,
+        win_slot=(1 + B) if window is not None else None)
 
     def k_wrap(scalars_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
                acc_scr):
@@ -222,9 +254,11 @@ def flash_decode_attention_stacked(
             pltpu.VMEM((G, D), jnp.float32),
         ],
     )
-    scalars = jnp.concatenate([
-        jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        jnp.asarray(lengths, jnp.int32).reshape(B)])
+    parts = [jnp.asarray(layer_idx, jnp.int32).reshape(1),
+             jnp.asarray(lengths, jnp.int32).reshape(B)]
+    if window is not None:
+        parts.append(jnp.asarray(window, jnp.int32).reshape(1))
+    scalars = jnp.concatenate(parts)
     return pl.pallas_call(
         k_wrap,
         grid_spec=grid_spec,
@@ -236,7 +270,8 @@ def flash_decode_attention_stacked(
 
 
 @functools.partial(jax.jit, static_argnames=("attend_len", "s_blk",
-                                             "interpret"))
+                                             "interpret", "scale",
+                                             "softcap"))
 def flash_decode_attention_stacked_i8(
     q: jnp.ndarray,        # [B, KVH, G, D]
     cache_k: jnp.ndarray,  # [L, B, KVH, S, D] int8 stacked cache
@@ -248,6 +283,9 @@ def flash_decode_attention_stacked_i8(
     attend_len: Optional[int] = None,
     s_blk: int = 256,
     interpret: bool = False,
+    scale: Optional[float] = None,
+    softcap: Optional[float] = None,
+    window: Optional[jnp.ndarray] = None,  # traced effective window
 ) -> jnp.ndarray:
     """Layer-indexed flash decode over the stacked INT8 cache
     (kv_cache_dtype="int8"): the code blocks stream from HBM at half
@@ -258,10 +296,12 @@ def flash_decode_attention_stacked_i8(
     S_att = attend_len or S
     while S_att % s_blk:
         s_blk //= 2
-    scale = D ** -0.5
+    scale = scale if scale is not None else D ** -0.5
 
-    kernel = functools.partial(_kernel_i8, s_blk=s_blk, scale=scale,
-                               n_kv=KVH, len_off=1)
+    kernel = functools.partial(
+        _kernel_i8, s_blk=s_blk, scale=scale, n_kv=KVH, len_off=1,
+        softcap=softcap,
+        win_slot=(1 + B) if window is not None else None)
 
     def k_wrap(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                m_scr, l_scr, acc_scr):
@@ -289,9 +329,11 @@ def flash_decode_attention_stacked_i8(
             pltpu.VMEM((G, D), jnp.float32),
         ],
     )
-    scalars = jnp.concatenate([
-        jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        jnp.asarray(lengths, jnp.int32).reshape(B)])
+    parts = [jnp.asarray(layer_idx, jnp.int32).reshape(1),
+             jnp.asarray(lengths, jnp.int32).reshape(B)]
+    if window is not None:
+        parts.append(jnp.asarray(window, jnp.int32).reshape(1))
+    scalars = jnp.concatenate(parts)
     return pl.pallas_call(
         k_wrap,
         grid_spec=grid_spec,

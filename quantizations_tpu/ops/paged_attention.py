@@ -34,7 +34,8 @@ from .attention import _kernel
 __all__ = ["paged_flash_decode_attention"]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "scale",
+                                             "softcap"))
 def paged_flash_decode_attention(
     q: jnp.ndarray,          # [B, KVH, G, D]
     pages_k: jnp.ndarray,    # [L, P, KVH, page, D]
@@ -43,6 +44,11 @@ def paged_flash_decode_attention(
     layer_idx: jnp.ndarray,    # scalar int32
     lengths: jnp.ndarray,      # [B] int32: attend to s < lengths[b]
     interpret: bool = False,
+    scale: Optional[float] = None,     # default D**-0.5
+    softcap: Optional[float] = None,   # Gemma-2 attn logit softcap
+    window: Optional[jnp.ndarray] = None,  # traced effective sliding
+    # window (int32 scalar; huge value = global layer — see
+    # ops/attention.flash_decode_attention_stacked)
 ) -> jnp.ndarray:
     """Online-softmax decode attention over paged KV. Returns fp32
     ``[B, KVH, G, D]``. The sequence-position grid walks the block
@@ -51,10 +57,13 @@ def paged_flash_decode_attention(
     B, KVH, G, D = q.shape
     L, P, _, page, _ = pages_k.shape
     max_pages = block_table.shape[1]
-    scale = D ** -0.5
+    scale = scale if scale is not None else D ** -0.5
 
-    kernel = functools.partial(_kernel, s_blk=page, scale=scale,
-                               n_kv=KVH, len_off=1 + B * max_pages)
+    n_scalars = 1 + B * max_pages + B
+    kernel = functools.partial(
+        _kernel, s_blk=page, scale=scale, n_kv=KVH,
+        len_off=1 + B * max_pages, softcap=softcap,
+        win_slot=n_scalars if window is not None else None)
 
     def k_wrap(scalars_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
                acc_scr):
@@ -87,10 +96,12 @@ def paged_flash_decode_attention(
             pltpu.VMEM((G, D), jnp.float32),
         ],
     )
-    scalars = jnp.concatenate([
-        jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        jnp.asarray(block_table, jnp.int32).reshape(B * max_pages),
-        jnp.asarray(lengths, jnp.int32).reshape(B)])
+    parts = [jnp.asarray(layer_idx, jnp.int32).reshape(1),
+             jnp.asarray(block_table, jnp.int32).reshape(B * max_pages),
+             jnp.asarray(lengths, jnp.int32).reshape(B)]
+    if window is not None:
+        parts.append(jnp.asarray(window, jnp.int32).reshape(1))
+    scalars = jnp.concatenate(parts)
     return pl.pallas_call(
         k_wrap,
         grid_spec=grid_spec,

@@ -37,6 +37,8 @@ from ..models.llama import (
     LlamaLayer,
     LlamaParams,
     QLinear,
+    _act,
+    _norm,
     _ql,
     apply_rope,
     embed_lookup,
@@ -124,6 +126,8 @@ def paged_decode_step(
     D = cfg.head_dim
 
     x = embed_lookup(params.embed, token_ids, qcfg.quant_type)
+    if cfg.embed_normalizer:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
     positions = pos[:, None]
     cos, sin = rope_cos_sin(positions, D, cfg.rope_theta, cfg.rope_scaling)
 
@@ -143,6 +147,12 @@ def paged_decode_step(
             q_bias=(None if stacked.q_bias is None else stacked.q_bias[i]),
             k_bias=(None if stacked.k_bias is None else stacked.k_bias[i]),
             v_bias=(None if stacked.v_bias is None else stacked.v_bias[i]),
+            post_attn_norm=(None if stacked.post_attn_norm is None
+                            else stacked.post_attn_norm[i]),
+            post_mlp_norm=(None if stacked.post_mlp_norm is None
+                           else stacked.post_mlp_norm[i]),
+            q_norm=(None if stacked.q_norm is None else stacked.q_norm[i]),
+            k_norm=(None if stacked.k_norm is None else stacked.k_norm[i]),
         )
         B_, T_, h = x.shape
         n_q = layer.q.out_features // D
@@ -150,7 +160,7 @@ def paged_decode_step(
         G = n_q // n_kv
 
         with jax.named_scope("attn"):
-            xa = rms_norm(x, layer.attn_norm, cfg.rms_norm_eps)
+            xa = _norm(x, layer.attn_norm, cfg)
             x2 = xa.astype(qcfg.compute_dtype).reshape(B_, h)
             q = _ql(x2, layer.q, qcfg, i)
             k = _ql(x2, layer.k, qcfg, i)
@@ -159,8 +169,13 @@ def paged_decode_step(
                 q = q + layer.q_bias.astype(q.dtype)
                 k = k + layer.k_bias.astype(k.dtype)
                 v = v + layer.v_bias.astype(v.dtype)
-            q = apply_rope(q.reshape(B_, 1, n_q, D), cos, sin)
-            k = apply_rope(k.reshape(B_, 1, n_kv, D), cos, sin)
+            q = q.reshape(B_, 1, n_q, D)
+            k = k.reshape(B_, 1, n_kv, D)
+            if layer.q_norm is not None:
+                q = rms_norm(q, layer.q_norm, cfg.rms_norm_eps)
+                k = rms_norm(k, layer.k_norm, cfg.rms_norm_eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
             v = v.reshape(B_, 1, n_kv, D)
 
             kn = k.astype(pk.dtype).swapaxes(1, 2)   # [B, KV, 1, D]
@@ -172,29 +187,47 @@ def paged_decode_step(
                 pv = jax.lax.dynamic_update_slice(
                     pv, vn[b][None, None], at)
 
+            if cfg.sliding_window is None:
+                win_eff = None
+            elif cfg.sliding_layers == "all":
+                win_eff = jnp.int32(cfg.sliding_window)
+            else:
+                use_win = ((i % 2) == 0 if cfg.sliding_layers == "even"
+                           else (i % 2) == 1)
+                win_eff = jnp.where(use_win,
+                                    jnp.int32(cfg.sliding_window),
+                                    jnp.int32(2 ** 30))
             attn = paged_flash_decode_attention(
                 q[:, 0].reshape(B_, n_kv, G, D), pk, pv,
                 block_table[:, :max_pages], i, pos + 1,
                 interpret=interp,
+                scale=(cfg.query_scale or D) ** -0.5,
+                softcap=cfg.attn_logit_softcap, window=win_eff,
             ).reshape(B_, n_q * D)
 
             o = _ql(attn.astype(qcfg.compute_dtype), layer.o, qcfg, i)
-            x = x + o.reshape(B_, 1, h).astype(x.dtype)
+            ob = o.reshape(B_, 1, h)
+            if layer.post_attn_norm is not None:
+                ob = _norm(ob, layer.post_attn_norm, cfg)
+            x = x + ob.astype(x.dtype)
 
         with jax.named_scope("mlp"):
-            xm = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps)
+            xm = _norm(x, layer.mlp_norm, cfg)
             x2 = xm.astype(qcfg.compute_dtype).reshape(B_, h)
             g = _ql(x2, layer.gate, qcfg, i)
             u = _ql(x2, layer.up, qcfg, i)
-            act = jax.nn.silu(g) * u
+            act = _act(g, cfg) * u
             d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg, i)
-            x = x + d.reshape(B_, 1, h).astype(x.dtype)
+            db = d.reshape(B_, 1, h)
+            if layer.post_mlp_norm is not None:
+                db = _norm(db, layer.post_mlp_norm, cfg)
+            x = x + db.astype(x.dtype)
         return (x, pk, pv), None
 
     idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
     (x, pk, pv), _ = jax.lax.scan(body, (x, pk, pv), idx)
 
-    xf = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    xf = _norm(x, params.final_norm, cfg)
     x2 = xf.astype(qcfg.compute_dtype).reshape(B, -1)
     if isinstance(params.lm_head, QLinear):
         from ..nn.linear import apply_4bit
@@ -206,8 +239,11 @@ def paged_decode_step(
     else:
         logits = jnp.dot(x2, params.lm_head.T.astype(x2.dtype),
                          preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), PagedKVCache(pages_k=pk,
-                                                    pages_v=pv)
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, PagedKVCache(pages_k=pk, pages_v=pv)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -273,18 +309,6 @@ class PagedEngine:
             raise ValueError("max_seq must be a multiple of page_size")
         if cfg.kv_cache_dtype != "bf16":
             raise ValueError("PagedEngine requires the bf16 KV cache")
-        if cfg.sliding_window is not None:
-            raise ValueError("PagedEngine does not support sliding-window "
-                             "attention (the paged flash kernel masks by "
-                             "length only — a Mistral config would "
-                             "silently attend past the window)")
-        if cfg.post_norms or cfg.attn_logit_softcap is not None \
-                or cfg.query_scale is not None or cfg.norm_plus_one \
-                or cfg.qk_norm:
-            raise ValueError("PagedEngine does not support the "
-                             "Gemma-2/Qwen3 knobs yet (its layer body "
-                             "predates the sandwich-norm/softcap/qk-norm "
-                             "knobs)")
         self.params = params
         self.cfg = cfg
         self.page_size = page_size

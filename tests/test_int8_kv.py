@@ -129,6 +129,49 @@ def test_flash_decode_i8_matches_dequant_reference():
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_flash_decode_i8_window_softcap():
+    """int8 flash kernel with a traced sliding window + static softcap
+    == dequantize-then-attend with the same masking."""
+    from quantizations_tpu.ops.attention import (
+        flash_decode_attention_stacked_i8)
+
+    rng = np.random.default_rng(9)
+    L, B, KVH, G, D, S = 2, 2, 1, 4, 128, 256
+    W, CAP = 64, 50.0
+    kf = rng.standard_normal((L, B, KVH, S, D)).astype(np.float32)
+    vf = rng.standard_normal((L, B, KVH, S, D)).astype(np.float32)
+    step_k = np.abs(kf).max(-1) / 127.0
+    step_v = np.abs(vf).max(-1) / 127.0
+    ki = np.clip(np.round(kf / step_k[..., None]), -127, 127).astype(np.int8)
+    vi = np.clip(np.round(vf / step_v[..., None]), -127, 127).astype(np.int8)
+    sk = step_k.astype(jnp.bfloat16)
+    sv = step_v.astype(jnp.bfloat16)
+    q = rng.standard_normal((B, KVH, G, D)).astype(np.float32)
+    lengths = np.asarray([S, 100], np.int32)
+    li = 0
+
+    out = np.asarray(flash_decode_attention_stacked_i8(
+        jnp.asarray(q), jnp.asarray(ki), jnp.asarray(vi),
+        jnp.asarray(sk), jnp.asarray(sv), jnp.int32(li),
+        jnp.asarray(lengths), interpret=True,
+        softcap=CAP, window=jnp.int32(W)))
+
+    kd = ki[li].astype(np.float32) * np.asarray(
+        sk[li], np.float32)[..., None]
+    vd = vi[li].astype(np.float32) * np.asarray(
+        sv[li], np.float32)[..., None]
+    ref = np.zeros_like(out)
+    for b in range(B):
+        n = lengths[b]
+        lo = max(n - W, 0)     # attend iff (n-1) - s < W  <=>  s >= n-W
+        s = np.einsum("kgd,ksd->kgs", q[b] * D ** -0.5, kd[b, :, lo:n])
+        s = CAP * np.tanh(s / CAP)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref[b] = np.einsum("kgs,ksd->kgd", p, vd[b, :, lo:n])
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_greedy_generate_matches_bf16_flash(params):
     """int8 + use_flash_attention runs the i8 kernel end-to-end
     (interpret on CPU) and still matches the bf16-cache stream."""

@@ -119,6 +119,39 @@ def test_flash_attention_decode_matches_einsum(params):
                                    rtol=0, atol=3e-2)
 
 
+@pytest.mark.parametrize("knobs", [
+    # Mistral: every layer slides
+    dict(sliding_window=6),
+    # Gemma-2: alternating window + softcap + query scale
+    dict(sliding_window=6, sliding_layers="even",
+         attn_logit_softcap=50.0, query_scale=24),
+])
+def test_flash_decode_family_knobs_match_einsum(params, knobs):
+    """Sliding-window / softcap / query-scale configs must produce the
+    same decode logits through the flash kernel as through the einsum
+    path (the round-1 gate forced einsum for these families)."""
+    import dataclasses
+
+    cfg_e = dataclasses.replace(CFG, **knobs)
+    cfg_f = dataclasses.replace(cfg_e, use_flash_attention=True)
+    B, P, N = 2, 5, 9
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, N)), jnp.int32)
+
+    _, cache = jax.jit(functools.partial(prefill, cfg=cfg_e))(
+        params, ids[:, :P], KVCache.create(cfg_e, B, MAX_SEQ))
+    step_ref = jax.jit(functools.partial(decode_step, cfg=cfg_e))
+    step_fl = jax.jit(functools.partial(decode_step, cfg=cfg_f))
+    cache2 = jax.tree.map(lambda x: x, cache)
+    for t in range(P, N):
+        l_ref, cache = step_ref(params, ids[:, t:t + 1], cache,
+                                jnp.int32(t))
+        l_fl, cache2 = step_fl(params, ids[:, t:t + 1], cache2,
+                               jnp.int32(t))
+        np.testing.assert_allclose(np.asarray(l_fl), np.asarray(l_ref),
+                                   rtol=0, atol=3e-2)
+
+
 def test_bf16_scales_footprint_option():
     """scales_dtype=bfloat16 halves scale bytes; generation stays close
     to the fp32-scales model."""

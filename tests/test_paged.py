@@ -1,9 +1,12 @@
 """Paged KV serving: block-table attention kernel, prefill scatter, and
 decode equivalence with the slot cache (CPU)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from quantizations_tpu.models.llama import (
     KVCache, TINY_LLAMA, init_llama_params, prefill, decode_step)
@@ -67,6 +70,62 @@ def test_paged_decode_matches_slot_cache():
         lg, pages = paged_decode_step(
             params, jnp.asarray([[got[-1]]], jnp.int32), pages, tbl,
             jnp.asarray([P + i], jnp.int32), CFG, max_pages=2)
+        got.append(int(jnp.argmax(lg[0])))
+
+    assert got == ref, (got, ref)
+
+
+@pytest.mark.parametrize("knobs", [
+    # Mistral: every layer slides (window < live context to be binding)
+    dict(sliding_window=6),
+    # Gemma-2 family: sandwich norms, (1+w) gains, GeGLU, softcaps,
+    # embed normalizer, query scale, alternating window
+    dict(sliding_window=6, sliding_layers="even", post_norms=True,
+         norm_plus_one=True, hidden_activation="gelu_tanh",
+         embed_normalizer=True, attn_logit_softcap=50.0,
+         final_logit_softcap=30.0, query_scale=24),
+    # Qwen3: per-head q/k RMSNorm
+    dict(qk_norm=True, attention_bias=False),
+])
+def test_paged_decode_family_knobs_match_slot(knobs):
+    """The paged decode step must reproduce the slot-cache greedy stream
+    for sliding-window / Gemma-2 / Qwen3 configs (round 1 gated these
+    out of PagedEngine entirely)."""
+    cfg = dataclasses.replace(TINY_LLAMA, **knobs)
+    params = init_llama_params(cfg, seed=0)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    P = len(prompt)
+    N = 6
+    ids = jnp.asarray([prompt], jnp.int32)
+
+    cache = KVCache.create(cfg, 1, 64)
+    logits, cache = jax.jit(
+        lambda p, i, c: prefill(p, i, c, cfg, last_token_only=True)
+    )(params, ids, cache)
+    ref = [int(jnp.argmax(logits[0, -1]))]
+    step = jax.jit(lambda p, t, c, pos: decode_step(p, t, c, pos, cfg))
+    for i in range(N - 1):
+        lg, cache = step(params, jnp.asarray([[ref[-1]]], jnp.int32),
+                         cache, jnp.asarray([P + i], jnp.int32))
+        ref.append(int(jnp.argmax(lg[0])))
+
+    pages = PagedKVCache.create(cfg, num_pages=8, page_size=PSZ)
+    alloc = PageAllocator(8)
+    scratch = KVCache.create(cfg, 1, 64)
+    logits, scratch = jax.jit(
+        lambda p, i, c: prefill(p, i, c, cfg, last_token_only=True)
+    )(params, ids, scratch)
+    got = [int(jnp.argmax(logits[0, -1]))]
+    need = -(-(P + N) // PSZ)
+    page_ids = alloc.alloc(need)
+    pages = insert_prefill(pages, scratch, page_ids, P)
+    table = np.zeros((1, 4), np.int32)
+    table[0, :need] = page_ids
+    tbl = jnp.asarray(table)
+    for i in range(N - 1):
+        lg, pages = paged_decode_step(
+            params, jnp.asarray([[got[-1]]], jnp.int32), pages, tbl,
+            jnp.asarray([P + i], jnp.int32), cfg, max_pages=2)
         got.append(int(jnp.argmax(lg[0])))
 
     assert got == ref, (got, ref)
