@@ -40,7 +40,7 @@ from ..models.llama import (
     LlamaParams,
     QLinear,
     _layer_forward,
-    rms_norm,
+    _norm,
     rope_cos_sin,
 )
 from ..serve.generate import sample_logits
@@ -66,12 +66,15 @@ def pp_param_pspecs(cfg: LlamaConfig,
     row = QLinear(wp=P(PP_AXIS, None, tp_axis),
                   scales=P(PP_AXIS, None, tp_axis))
     ab = P(PP_AXIS, tp_axis) if cfg.attention_bias else None
+    pn = P(PP_AXIS, None) if cfg.post_norms else None   # Gemma-2 sandwich
+    qn = P(PP_AXIS, None) if cfg.qk_norm else None      # Qwen3 [head_dim]
     layer = LlamaLayer(
         attn_norm=P(PP_AXIS, None),
         q=col, k=col, v=col, o=row,
         mlp_norm=P(PP_AXIS, None),
         gate=col, up=col, down=row,
         q_bias=ab, k_bias=ab, v_bias=ab,
+        post_attn_norm=pn, post_mlp_norm=pn, q_norm=qn, k_norm=qn,
     )
     lm_head = (QLinear(wp=P(tp_axis, None), scales=P(tp_axis, None))
                if cfg.quant.quantize_lm_head else P(tp_axis, None))
@@ -108,9 +111,12 @@ def shard_llama_params_pp(params: LlamaParams, mesh: Mesh,
 
 
 def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
-                   attend_len, tp_axis=None):
+                   attend_len, tp_axis=None, stage=None, mask_full=None):
     """Run THIS stage's local layer slice (a python loop over the local
-    stacked leaves — per-stage layer count is static)."""
+    stacked leaves — per-stage layer count is static). ``stage`` (the
+    traced pp coordinate) recovers each layer's GLOBAL index for the
+    Gemma-2 per-layer window alternation; ``mask_full`` is the
+    unwindowed causal mask selected on global-attention layers."""
     stacked = params.layers
     L_local = stacked.attn_norm.shape[0]
     for i in range(L_local):
@@ -128,9 +134,23 @@ def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
             q_norm=(None if stacked.q_norm is None else stacked.q_norm[i]),
             k_norm=(None if stacked.k_norm is None else stacked.k_norm[i]),
         )
+        if cfg.sliding_window is not None and cfg.sliding_layers != "all":
+            gi = (jnp.int32(0) if stage is None else stage) * L_local + i
+            use_win = ((gi % 2) == 0 if cfg.sliding_layers == "even"
+                       else (gi % 2) == 1)
+            mask_i = jnp.where(use_win, mask, mask_full)
+            win_eff = jnp.where(use_win, jnp.int32(cfg.sliding_window),
+                                jnp.int32(2 ** 30))
+        elif cfg.sliding_window is not None:
+            mask_i = mask
+            win_eff = jnp.int32(cfg.sliding_window)
+        else:
+            mask_i = mask
+            win_eff = None
         x, ck, cv = _layer_forward(
-            x, layer, ck, cv, pos, cos, sin, mask, cfg,
-            axis_name=tp_axis, idx=jnp.int32(i), attend_len=attend_len)
+            x, layer, ck, cv, pos, cos, sin, mask_i, cfg,
+            axis_name=tp_axis, idx=jnp.int32(i), attend_len=attend_len,
+            win_eff=win_eff)
     return x, ck, cv
 
 
@@ -171,13 +191,20 @@ def _pp_forward(
 
         # stage 0 ingests fresh tokens; other stages consume the buffer
         x_embed = embed_lookup(params.embed, toks_t, cfg.quant.quant_type)
+        if cfg.embed_normalizer:
+            x_embed = x_embed * jnp.asarray(cfg.hidden_size ** 0.5,
+                                            x_embed.dtype)
         x = jnp.where(stage == 0, x_embed, buf)
 
         positions = pos_t[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
                                 cfg.rope_scaling)
         key_pos = jnp.arange(S, dtype=jnp.int32)
-        mask = key_pos[None, None, :] <= positions[:, :, None]
+        mask_full = key_pos[None, None, :] <= positions[:, :, None]
+        mask = mask_full
+        if cfg.sliding_window is not None:
+            mask = mask & (key_pos[None, None, :]
+                           > positions[:, :, None] - cfg.sliding_window)
 
         # inactive ticks write their (garbage) k/v to the reserved
         # scratch position S-1-T+1 .. S-1, never read by the mask
@@ -188,7 +215,8 @@ def _pp_forward(
         cv_mb = jax.lax.dynamic_slice_in_dim(cv, safe_idx * mb, mb, 1)
         x, ck_mb, cv_mb = _stage_forward(
             params, x, ck_mb, cv_mb, pos_write, cos, sin, mask, cfg,
-            attend_len=None, tp_axis=tp_axis)
+            attend_len=None, tp_axis=tp_axis, stage=stage,
+            mask_full=mask_full)
         write_at = jnp.where(active, safe_idx * mb, 0)
         ck = jax.lax.dynamic_update_slice_in_dim(
             ck, jnp.where(active, ck_mb,
@@ -200,7 +228,7 @@ def _pp_forward(
             write_at, 1)
 
         # last stage: last-token logits for this microbatch
-        xl = rms_norm(x[:, -1:, :], params.final_norm, cfg.rms_norm_eps)
+        xl = _norm(x[:, -1:, :], params.final_norm, cfg)
         if isinstance(params.lm_head, QLinear):
             from ..nn.linear import apply_4bit
 
@@ -216,6 +244,9 @@ def _pp_forward(
                 preferred_element_type=jnp.float32)
         if tp_axis is not None:   # vocab-sharded head: gather over tp
             lg = jax.lax.all_gather(lg, tp_axis, axis=-1, tiled=True)
+        if cfg.final_logit_softcap is not None:
+            cap = cfg.final_logit_softcap
+            lg = cap * jnp.tanh(lg / cap)
         is_last = stage == n_pp - 1
         contrib = jnp.where(active & is_last, lg, 0.0)
         logits_acc = jax.lax.dynamic_update_slice_in_dim(

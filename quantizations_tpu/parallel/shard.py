@@ -80,12 +80,15 @@ def _row(lead_l: bool) -> QLinear:
 def llama_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
     """PartitionSpec pytree matching :class:`LlamaParams`."""
     ab = P(None, AXIS) if cfg.attention_bias else None
+    pn = P(None, None) if cfg.post_norms else None    # Gemma-2 sandwich
+    qn = P(None, None) if cfg.qk_norm else None       # Qwen3 [head_dim]
     layer = LlamaLayer(
         attn_norm=P(None, None),
         q=_col(True), k=_col(True), v=_col(True), o=_row(True),
         mlp_norm=P(None, None),
         gate=_col(True), up=_col(True), down=_row(True),
         q_bias=ab, k_bias=ab, v_bias=ab,
+        post_attn_norm=pn, post_mlp_norm=pn, q_norm=qn, k_norm=qn,
     )
     lm_head = (_col(False) if cfg.quant.quantize_lm_head
                else P(AXIS, None))

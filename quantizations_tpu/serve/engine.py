@@ -73,6 +73,32 @@ def draft_lookup_host(hist: List[int], k: int) -> List[int]:
     return [hist[-1] if hist else 0] * k
 
 
+def sample_rows(logits: jnp.ndarray, temps: jnp.ndarray,
+                key: jnp.ndarray, *, top_k: int = 0,
+                top_p: float = 1.0) -> jnp.ndarray:
+    """Per-row temperature sampling: rows with ``temps == 0`` take the
+    greedy argmax, others a categorical draw over the
+    temperature-scaled (and top-k/top-p truncated) logits. ``top_k`` /
+    ``top_p`` are static under jit (per-engine, not per-request).
+    Shared by the slot Engine (decode/prefill/spec paths) and the
+    PagedEngine so the sampling semantics can't drift."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lt = logits / jnp.maximum(temps, 1e-6)[:, None]
+    if top_k > 0:
+        kth = jnp.sort(lt, axis=-1)[:, -top_k][:, None]
+        lt = jnp.where(lt < kth, -jnp.inf, lt)
+    if top_p < 1.0:
+        srt = jnp.sort(lt, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < jnp.float32(top_p)
+        thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                      keepdims=True)
+        lt = jnp.where(lt < thr, -jnp.inf, lt)
+    sampled = jax.random.categorical(key, lt, axis=-1).astype(jnp.int32)
+    return jnp.where(temps == 0.0, greedy, sampled)
+
+
 def iter_prefill_chunks(plen: int, buckets) -> list:
     """(start, take, bucket_len) triples covering a prompt of ``plen``
     tokens with bucket-shaped prefill chunks (shared by the slot Engine
@@ -155,22 +181,8 @@ class Engine:
         # AND the prefill closure so a request's resolved temperature
         # governs its FIRST emitted token too.
         def _sample(logits, temps, key):
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            lt = logits / jnp.maximum(temps, 1e-6)[:, None]
-            if top_k > 0:
-                kth = jnp.sort(lt, axis=-1)[:, -top_k][:, None]
-                lt = jnp.where(lt < kth, -jnp.inf, lt)
-            if top_p < 1.0:
-                srt = jnp.sort(lt, axis=-1)[:, ::-1]
-                probs = jax.nn.softmax(srt, axis=-1)
-                cum = jnp.cumsum(probs, axis=-1)
-                keep = (cum - probs) < jnp.float32(top_p)
-                thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
-                              keepdims=True)
-                lt = jnp.where(lt < thr, -jnp.inf, lt)
-            sampled = jax.random.categorical(
-                key, lt, axis=-1).astype(jnp.int32)
-            return jnp.where(temps == 0.0, greedy, sampled)
+            return sample_rows(logits, temps, key, top_k=top_k,
+                               top_p=top_p)
 
         def _make_step(attend_len):
             def _step(p, tokens, cache, pos_vec, temps, key):

@@ -78,21 +78,41 @@ class PagedKVCache:
 
 
 class PageAllocator:
-    """Host-side page free list. Page 0 is reserved as the junk page
-    (unused block-table entries point at it — masked by lengths)."""
+    """Host-side refcounted page free list. Page 0 is reserved as the
+    junk page (unused block-table entries point at it — masked by
+    lengths). Refcounts enable prefix caching: a page shared by several
+    sequences (or pinned by the prefix cache) returns to the free list
+    only when its last holder frees it."""
 
     def __init__(self, num_pages: int):
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        self._refs: dict = {}
 
     def alloc(self, n: int) -> List[int]:
         if n > len(self._free):
             raise MemoryError(
                 f"paged KV pool exhausted: need {n}, "
                 f"free {len(self._free)}")
-        return [self._free.pop() for _ in range(n)]
+        out = [self._free.pop() for _ in range(n)]
+        for p in out:
+            self._refs[p] = 1
+        return out
+
+    def retain(self, page: int) -> None:
+        """Add a holder to an allocated page (prefix-cache sharing)."""
+        self._refs[page] += 1
+
+    def refs(self, page: int) -> int:
+        return self._refs.get(page, 0)
 
     def free(self, pages: List[int]) -> None:
-        self._free.extend(p for p in pages if p != 0)
+        for p in pages:
+            if p == 0:
+                continue
+            self._refs[p] -= 1
+            if self._refs[p] == 0:
+                del self._refs[p]
+                self._free.append(p)
 
     @property
     def available(self) -> int:
@@ -271,25 +291,52 @@ def _scatter_page(pages: PagedKVCache, scratch: KVCache,
 
 
 def insert_prefill(pages: PagedKVCache, scratch: KVCache,
-                   page_ids: List[int], plen: int) -> PagedKVCache:
+                   page_ids: List[int], plen: int,
+                   start_page: int = 0) -> PagedKVCache:
     """Scatter a slot-layout scratch prefill (batch slot 0, positions
-    [0, plen)) into the allocated ``page_ids``."""
+    [0, plen)) into the allocated ``page_ids``. ``start_page`` skips
+    the leading pages (prefix-cache hits whose KV is already in the
+    pool — their scratch range was never prefilled)."""
     psz = pages.page_size
     need = -(-plen // psz)
     assert len(page_ids) >= need, (len(page_ids), need)
-    for j in range(need):
+    for j in range(start_page, need):
         pages = _scatter_page(pages, scratch, jnp.int32(j * psz),
                               jnp.int32(page_ids[j]), jnp.int32(plen))
     return pages
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _gather_page(scratch: KVCache, pages: PagedKVCache,
+                 dst_start: jnp.ndarray,
+                 page_id: jnp.ndarray) -> KVCache:
+    """Copy pool page ``page_id`` into scratch positions
+    [dst_start, dst_start + page) of slot 0 — the inverse of
+    :func:`_scatter_page`, used to seed a prefill scratch with
+    prefix-cache hits so the suffix prefill can attend them."""
+    psz = pages.page_size
+    L, _, KV, _, D = pages.pages_k.shape
+    at_src = (jnp.int32(0), page_id, jnp.int32(0), jnp.int32(0),
+              jnp.int32(0))
+    sk = jax.lax.dynamic_slice(pages.pages_k, at_src, (L, 1, KV, psz, D))
+    sv = jax.lax.dynamic_slice(pages.pages_v, at_src, (L, 1, KV, psz, D))
+    at_dst = (jnp.int32(0), jnp.int32(0), jnp.int32(0), dst_start,
+              jnp.int32(0))
+    return scratch.replace(
+        k=jax.lax.dynamic_update_slice(scratch.k, sk.astype(
+            scratch.k.dtype), at_dst),
+        v=jax.lax.dynamic_update_slice(scratch.v, sv.astype(
+            scratch.v.dtype), at_dst))
+
+
 class PagedEngine:
     """Continuous batching over the paged pool: slots hold sequence
     STATE only (the block table rows); KV memory is allocated
-    page-by-page as sequences grow and freed on completion. Greedy
-    sampling (per-request temperature rides the same vectorized select
-    as the slot engine when needed — kept greedy-only here to keep the
-    jitted step small; see serve/engine.py for the full sampler).
+    page-by-page as sequences grow and freed on completion. Sampling is
+    per-request: a temperature vector selects greedy (temp 0) or
+    categorical per slot via the shared :func:`engine.sample_rows`
+    (top_k/top_p stay engine-global — static under jit), covering the
+    first emitted token (admission) too.
 
     Admission prefills through the dense chunked path into a scratch
     slot cache, scatters it into freshly allocated pages, then decode
@@ -298,12 +345,15 @@ class PagedEngine:
 
     def __init__(self, params: LlamaParams, cfg: LlamaConfig, *,
                  num_pages: int, page_size: int = 128, slots: int = 4,
-                 max_seq: int = 2048, prefill_buckets=(64, 256)):
-        from collections import deque
+                 max_seq: int = 2048, prefill_buckets=(64, 256),
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, seed: int = 0,
+                 prefix_cache: bool = False):
+        from collections import OrderedDict, deque
 
         import numpy as np
 
-        from .engine import Request
+        from .engine import Request, sample_rows
 
         if max_seq % page_size:
             raise ValueError("max_seq must be a multiple of page_size")
@@ -329,9 +379,18 @@ class PagedEngine:
         self._buckets = tuple(sorted(prefill_buckets))
         self._Request = Request
         self._np = np
+        self._temp = temperature
+        # prefix cache: hash of the token PREFIX ending at each full
+        # page boundary -> pool page id. LRU-ordered; entries are
+        # pinned with one allocator ref and evicted (oldest-first,
+        # only if no live sequence shares them) when the pool runs dry.
+        self._prefix = OrderedDict() if prefix_cache else None
 
         import jax as _jax
 
+        self._key = _jax.random.PRNGKey(seed)
+        self._sample = _jax.jit(functools.partial(
+            sample_rows, top_k=top_k, top_p=top_p))
         self._pf = _jax.jit(functools.partial(
             self._prefill_impl, cfg=cfg), donate_argnums=(2,))
 
@@ -342,7 +401,8 @@ class PagedEngine:
         return prefill(params, ids, scratch, cfg, pos=start)
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               temperature: Optional[float] = None) -> int:
         if len(prompt_ids) + max_new_tokens >= self.max_seq:
             raise ValueError(
                 f"request needs {len(prompt_ids)} + {max_new_tokens} "
@@ -350,14 +410,42 @@ class PagedEngine:
         self._uid += 1
         self.queue.append(self._Request(
             uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
-            max_new_tokens=max_new_tokens, eos_id=eos_id))
+            max_new_tokens=max_new_tokens, eos_id=eos_id,
+            temperature=temperature))
         return self._uid
+
+    def _slot_temps(self):
+        """[slots] resolved temperatures (0 for empty slots)."""
+        return self._np.asarray(
+            [0.0 if r is None else (self._temp if r.temperature is None
+                                    else r.temperature)
+             for r in self.active], self._np.float32)
+
+    def _alloc_pages(self, n: int) -> List[int]:
+        """Allocate, evicting prefix-cache pages (LRU, unshared only)
+        when the pool is dry."""
+        while True:
+            try:
+                return self.alloc.alloc(n)
+            except MemoryError:
+                if not self._evict_one():
+                    raise
+
+    def _evict_one(self) -> bool:
+        if not self._prefix:
+            return False
+        for k, pg in self._prefix.items():    # oldest first
+            if self.alloc.refs(pg) == 1:      # only the cache holds it
+                del self._prefix[k]
+                self.alloc.free([pg])
+                return True
+        return False
 
     def _ensure_pages(self, slot: int, upto: int) -> None:
         """Grow slot's page list to cover positions [0, upto)."""
         need = -(-upto // self.page_size)
         while len(self.owned[slot]) < need:
-            pg = self.alloc.alloc(1)[0]
+            pg = self._alloc_pages(1)[0]
             self.table[slot, len(self.owned[slot])] = pg
             self.owned[slot].append(pg)
 
@@ -365,25 +453,67 @@ class PagedEngine:
         import jax as _jax
         import jax.numpy as _jnp
 
+        psz = self.page_size
         for slot in range(self.slots):
             if self.active[slot] is not None or not self.queue:
                 continue
             r = self.queue.popleft()
             plen = len(r.prompt_ids)
+
+            # prefix-cache lookup: longest run of FULL prompt pages
+            # already in the pool, capped at plen-1 so at least one
+            # suffix token is prefilled (its logits seed the stream)
+            cov, shared = 0, []
+            if self._prefix is not None:
+                for j in range((plen - 1) // psz):
+                    k = tuple(r.prompt_ids[:(j + 1) * psz])
+                    pg = self._prefix.get(k)
+                    if pg is None:
+                        break
+                    self._prefix.move_to_end(k)   # LRU touch
+                    shared.append(pg)
+                    cov = (j + 1) * psz
+
             scratch = KVCache.create(self.cfg, 1, self.max_seq)
+            for j, pg in enumerate(shared):
+                # point the slot at the shared page and seed the
+                # scratch with its KV so the suffix prefill attends it
+                self.alloc.retain(pg)
+                self.table[slot, j] = pg
+                self.owned[slot].append(pg)
+                scratch = _gather_page(scratch, self.pages,
+                                       _jnp.int32(j * psz),
+                                       _jnp.int32(pg))
+
             for start, take, blen in iter_prefill_chunks(
-                    plen, self._buckets):
+                    plen - cov, self._buckets):
                 ids = self._np.zeros((1, blen), self._np.int32)
-                ids[0, :take] = r.prompt_ids[start:start + take]
+                ids[0, :take] = r.prompt_ids[cov + start:
+                                             cov + start + take]
                 logits, scratch = self._pf(
                     self.params, _jnp.asarray(ids), scratch,
-                    _jnp.int32(start))
-            # greedy next token from the LAST VALID position of the
-            # final (possibly padded) chunk
-            tok = int(_jnp.argmax(logits[0, take - 1]))
+                    _jnp.int32(cov + start))
+            # next token from the LAST VALID position of the final
+            # (possibly padded) chunk, sampled with the request's
+            # RESOLVED temperature (its first emitted token)
+            temp = (self._temp if r.temperature is None
+                    else r.temperature)
+            self._key, sub = _jax.random.split(self._key)
+            tok = int(self._sample(
+                logits[:, take - 1],
+                _jnp.asarray([temp], _jnp.float32), sub)[0])
             self._ensure_pages(slot, plen + 1)
             self.pages = insert_prefill(self.pages, scratch,
-                                        self.owned[slot], plen)
+                                        self.owned[slot], plen,
+                                        start_page=len(shared))
+            if self._prefix is not None:
+                # register this prompt's full pages for future sharing
+                for j in range(plen // psz):
+                    k = tuple(r.prompt_ids[:(j + 1) * psz])
+                    if k not in self._prefix:
+                        pg = int(self.table[slot, j])
+                        self.alloc.retain(pg)   # cache pin
+                        self._prefix[k] = pg
             self.active[slot] = r
             self.pos[slot] = plen
             self._cur[slot] = tok
@@ -407,7 +537,11 @@ class PagedEngine:
             self.params, _jnp.asarray(self._cur)[:, None], self.pages,
             _jnp.asarray(self.table), _jnp.asarray(self.pos), self.cfg,
             max_pages=mp)
-        nxt = self._np.asarray(_jnp.argmax(logits, axis=-1))
+        import jax as _jax
+
+        self._key, sub = _jax.random.split(self._key)
+        nxt = self._np.asarray(self._sample(
+            logits, _jnp.asarray(self._slot_temps()), sub))
         for i in act:
             r = self.active[i]
             r.output_ids.append(int(self._cur[i]))

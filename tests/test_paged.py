@@ -185,6 +185,84 @@ def test_paged_decode_two_sequences():
     assert got[1] == refs[1], (got[1], refs[1])
 
 
+def test_paged_engine_per_request_temperature():
+    """A temperature=0 request in a temp>0 PagedEngine stays greedy
+    (matches a pure-greedy engine), incl. its FIRST emitted token;
+    sampled requests emit in-range tokens."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    prompt = [3, 1, 4, 1, 5]
+
+    ref_eng = PagedEngine(params, CFG, num_pages=16, page_size=PSZ,
+                          slots=2, max_seq=64, prefill_buckets=(8,))
+    ru = ref_eng.submit(prompt, max_new_tokens=6)
+    ref = ref_eng.run()[ru].output_ids
+
+    eng = PagedEngine(params, CFG, num_pages=16, page_size=PSZ,
+                      slots=2, max_seq=64, prefill_buckets=(8,),
+                      temperature=0.9, seed=3)
+    ug = eng.submit(prompt, max_new_tokens=6, temperature=0.0)
+    us = eng.submit(prompt, max_new_tokens=6)   # engine default 0.9
+    done = eng.run()
+    assert done[ug].output_ids == ref, (done[ug].output_ids, ref)
+    samp = done[us].output_ids
+    assert len(samp) == 6
+    assert all(0 <= t < CFG.vocab_size for t in samp)
+
+
+def test_paged_engine_prefix_cache_shares_pages():
+    """With prefix_cache=True, a repeated prompt prefix reuses pool
+    pages (same block-table entries, fewer allocations) and the greedy
+    streams stay identical to the uncached engine."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    # prompt long enough for 2 full pages (PSZ=16) + a partial tail
+    base = [int(x) for x in
+            np.random.default_rng(5).integers(1, CFG.vocab_size, 40)]
+    prompts = [base, base[:36] + [7, 7, 7], base]   # shared 2-page prefix
+
+    def run(prefix_cache):
+        eng = PagedEngine(params, CFG, num_pages=32, page_size=PSZ,
+                          slots=1, max_seq=64, prefill_buckets=(8, 16),
+                          prefix_cache=prefix_cache)
+        uids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+        done = eng.run()
+        return eng, [done[u].output_ids for u in uids]
+
+    eng_ref, streams_ref = run(False)
+    eng_pc, streams_pc = run(True)
+    assert streams_pc == streams_ref, (streams_pc, streams_ref)
+    # the shared 2-page prefix is registered and pinned by the cache
+    assert len(eng_pc._prefix) >= 2
+    # cache-pinned pages remain out of the free list; everything a
+    # request owned privately was returned
+    pinned = len(eng_pc._prefix)
+    assert eng_pc.alloc.available == 31 - pinned
+
+
+def test_paged_engine_prefix_cache_evicts_under_pressure():
+    """When the pool runs dry, LRU cache-pinned pages are evicted to
+    satisfy new allocations (no MemoryError while evictable pages
+    exist)."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    rng = np.random.default_rng(6)
+    eng = PagedEngine(params, CFG, num_pages=8, page_size=PSZ,
+                      slots=1, max_seq=64, prefill_buckets=(8, 16),
+                      prefix_cache=True)
+    # several distinct 2-page prompts: each pins 2 pages; a 7-page pool
+    # can't hold them all, so later admissions must evict earlier pins
+    for _ in range(4):
+        p = [int(x) for x in rng.integers(1, CFG.vocab_size, 33)]
+        eng.submit(p, max_new_tokens=3)
+    done = eng.run()
+    assert len(done) == 4
+    assert all(len(r.output_ids) == 3 for r in done.values())
+
+
 def test_paged_engine_matches_slot_engine():
     """PagedEngine produces the same greedy streams as the slot Engine,
     and frees its pages when requests finish."""

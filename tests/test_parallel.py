@@ -65,6 +65,44 @@ def test_tp_generate_matches_single_device(params, tp):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
 
 
+@pytest.mark.parametrize("knobs", [
+    dict(sliding_window=6),                               # Mistral
+    dict(sliding_window=6, sliding_layers="even",         # Gemma-2
+         post_norms=True, norm_plus_one=True,
+         hidden_activation="gelu_tanh", embed_normalizer=True,
+         attn_logit_softcap=50.0, final_logit_softcap=30.0,
+         query_scale=24),
+    dict(qk_norm=True),                                   # Qwen3
+])
+def test_tp_generate_family_knobs(knobs):
+    """Family-knob configs (sliding window / Gemma-2 / Qwen3) must be
+    token-identical through the TP-sharded generate — incl. the knob
+    param leaves (post norms, q/k norms) in the pspec pytree."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_LLAMA, **knobs)
+    validate_tp(cfg, 2)
+    p = init_llama_params(cfg, seed=0)
+    mesh = make_mesh((2,), ("tp",))
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=5,
+                        temperature=0.0, donate_cache=False)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    ref_toks, _ = make_generate_fn(cfg, serve)(
+        p, ids, KVCache.create(cfg, 1, MAX_SEQ), key)
+
+    from jax.sharding import NamedSharding
+
+    sharded = shard_llama_params(p, mesh, cfg)
+    cache = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        KVCache.create(cfg, 1, MAX_SEQ), cache_pspec())
+    toks, _ = make_sharded_generate_fn(cfg, serve, mesh)(
+        sharded, ids, cache, key)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+
 def test_tp_prefill_logits_close(params):
     """Direct logits comparison single-device vs tp=4 shard_map."""
     tp = 4

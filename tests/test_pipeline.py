@@ -88,3 +88,52 @@ def test_pp_tp_generate_matches_single_device(pp, tp):
     toks, _ = gen(sharded, ids, cache, key)
 
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+
+@pytest.mark.parametrize("knobs", [
+    dict(sliding_window=6),                               # Mistral
+    dict(sliding_window=6, sliding_layers="even",         # Gemma-2 —
+         post_norms=True, norm_plus_one=True,             # alternation
+         hidden_activation="gelu_tanh", embed_normalizer=True,  # crosses
+         attn_logit_softcap=50.0, final_logit_softcap=30.0,     # the
+         query_scale=24),                                 # stage boundary
+    dict(qk_norm=True),                                   # Qwen3
+])
+def test_pp_generate_family_knobs(knobs):
+    """Family knobs through PP: the per-layer window alternation must
+    use the GLOBAL layer index (stage * L_local + i), and the embed
+    normalizer / final softcap must ride the pipelined forward.
+
+    max_new_tokens=4: at token 5 the qk_norm config hits a measured
+    greedy near-tie (top-2 logit gap 1.5e-3 on ids 754/357, row 1)
+    that bf16 reduction-order differences across the pipelined
+    microbatching legitimately flip — exact token equality is only a
+    sound oracle away from ties."""
+    import dataclasses
+
+    from jax.sharding import Mesh, NamedSharding
+
+    pp = 2
+    if len(jax.devices()) < pp:
+        pytest.skip(f"needs {pp} devices")
+    cfg = dataclasses.replace(TINY_LLAMA, num_hidden_layers=4, **knobs)
+    params = init_llama_params(cfg, seed=0)
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=4,
+                        temperature=0.0, donate_cache=False)
+    B = pp * 2
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 8)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    ref_toks, _ = make_generate_fn(cfg, serve)(
+        params, ids, KVCache.create(cfg, B, MAX_SEQ), key)
+
+    mesh = Mesh(np.asarray(jax.devices()[:pp]), ("pp",))
+    sharded = shard_llama_params_pp(params, mesh, cfg)
+    cache = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        KVCache.create(cfg, B, MAX_SEQ), pp_cache_pspec())
+    toks, _ = make_pp_generate_fn(cfg, serve, mesh)(
+        sharded, ids, cache, key)
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
