@@ -33,7 +33,7 @@ sys.path.insert(0, "/root/repo")
 from quantizations_tpu.ops.attention import (
     flash_decode_attention_stacked, _kernel)
 from quantizations_tpu.ops.paged_attention import (
-    paged_flash_decode_attention)
+    paged_flash_decode_attention, paged_flash_decode_attention_i8)
 from quantizations_tpu.utils.timing import time_scan_chain
 
 L = 4          # enough layers to make layer indexing real
@@ -172,6 +172,34 @@ def main():
                     q, iters=300, trials=2, consts=(pk, pv))
                 print(f"B={B} pagedcl_p{page:<4d}{name} {dt*1e6:6.1f}us "
                       f"(vs prod {errc:.1e})", flush=True)
+
+                if name == "uni":
+                    # int8 pool: half the code bytes per page DMA
+                    rs = np.random.default_rng(1)
+                    step_k = jnp.asarray(np.abs(np.asarray(
+                        pk, np.float32)).max(-1) / 127.0, jnp.bfloat16)
+                    step_v = jnp.asarray(np.abs(np.asarray(
+                        pv, np.float32)).max(-1) / 127.0, jnp.bfloat16)
+                    pk8 = jnp.asarray(np.clip(np.round(
+                        np.asarray(pk, np.float32)
+                        / np.maximum(np.asarray(step_k, np.float32),
+                                     1e-12)[..., None]),
+                        -127, 127), jnp.int8)
+                    pv8 = jnp.asarray(np.clip(np.round(
+                        np.asarray(pv, np.float32)
+                        / np.maximum(np.asarray(step_v, np.float32),
+                                     1e-12)[..., None]),
+                        -127, 127), jnp.int8)
+                    out8 = np.asarray(paged_flash_decode_attention_i8(
+                        q, pk8, pv8, step_k, step_v, tbl, li, lens))
+                    err8 = np.max(np.abs(out8 - out))
+                    dt = time_scan_chain(
+                        lambda qq, k, v: paged_flash_decode_attention_i8(
+                            qq, k, v, step_k, step_v, tbl, li, lens),
+                        q, iters=300, trials=2, consts=(pk8, pv8))
+                    print(f"B={B} paged8_p{page:<4d}{name} "
+                          f"{dt*1e6:7.1f}us (vs bf16 {err8:.1e})",
+                          flush=True)
 
 
 if __name__ == "__main__":

@@ -117,9 +117,10 @@ class LlamaConfig:
     # step, halving attention HBM traffic (the long-context decode
     # bottleneck: at a 2k window the cache read dominates the step).
     # Quantize-on-write at the same granularity the attention reads.
-    # Works with both the einsum path and the flash-decode kernel
-    # (flash_decode_attention_stacked_i8); TP/PP/SP/paged caches remain
-    # bf16 (gated at their factories).
+    # Works with the einsum path, the flash-decode kernel
+    # (flash_decode_attention_stacked_i8) and the paged pool
+    # (paged_flash_decode_attention_i8); TP/PP/SP caches remain bf16
+    # (gated at their factories).
     kv_cache_dtype: str = "bf16"
     quant: QuantConfig = QuantConfig()
 
@@ -672,6 +673,22 @@ def _ql_psum(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
     return jnp.concatenate(outs, axis=-1)
 
 
+def quantize_kv_i8(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 quantize-on-write for KV rows: per-token absmax step over
+    the trailing [D] axis (the same granularity the attention read
+    dequantizes at — one bf16 step per row, 1/128 of the code bytes).
+    The step is rounded to its bf16 STORAGE precision before computing
+    codes so write and read use the same step (quantizing against the
+    fp32 step would add a systematic ~0.2% dequant bias). Shared by the
+    slot-cache layer body and the paged decode step."""
+    tf = t.astype(jnp.float32)
+    step = (jnp.max(jnp.abs(tf), axis=-1) * (1.0 / 127.0)
+            ).astype(jnp.bfloat16)
+    stepf = step.astype(jnp.float32)
+    codes = jnp.round(tf / jnp.maximum(stepf, 1e-12)[..., None])
+    return jnp.clip(codes, -127, 127).astype(jnp.int8), step
+
+
 def _layer_forward(
     x: jnp.ndarray,              # [B, T, hidden]
     layer: LlamaLayer,           # single layer (no L axis)
@@ -742,24 +759,8 @@ def _layer_forward(
         kn = k.swapaxes(1, 2)                    # [B, KV, T, D]
         vn = v.swapaxes(1, 2)
         if cks is not None:
-            # int8 quantize-on-write: per-token absmax step (the same
-            # granularity the read dequantizes at — one bf16 step per
-            # [D] row, 1/128 of the code bytes)
-            def _q8(t):
-                tf = t.astype(jnp.float32)
-                # round the step to its bf16 STORAGE precision before
-                # computing codes so write and read use the same step
-                # (quantizing against the fp32 step would add a
-                # systematic ~0.2% dequant bias)
-                step = (jnp.max(jnp.abs(tf), axis=-1) * (1.0 / 127.0)
-                        ).astype(jnp.bfloat16)
-                stepf = step.astype(jnp.float32)
-                codes = jnp.round(
-                    tf / jnp.maximum(stepf, 1e-12)[..., None])
-                return jnp.clip(codes, -127, 127).astype(jnp.int8), step
-
-            kn, kstep = _q8(kn)
-            vn, vstep = _q8(vn)
+            kn, kstep = quantize_kv_i8(kn)
+            vn, vstep = quantize_kv_i8(vn)
         else:
             kn = kn.astype(ck.dtype)
             vn = vn.astype(cv.dtype)

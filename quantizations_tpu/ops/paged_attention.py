@@ -29,9 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import _kernel
+from .attention import _kernel, _kernel_i8
 
-__all__ = ["paged_flash_decode_attention"]
+__all__ = ["paged_flash_decode_attention",
+           "paged_flash_decode_attention_i8"]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "scale",
@@ -110,3 +111,82 @@ def paged_flash_decode_attention(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(scalars, q, pages_k, pages_v)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "scale",
+                                             "softcap"))
+def paged_flash_decode_attention_i8(
+    q: jnp.ndarray,          # [B, KVH, G, D]
+    pages_k: jnp.ndarray,    # [L, P, KVH, page, D] int8 codes
+    pages_v: jnp.ndarray,
+    scales_k: jnp.ndarray,   # [L, P, KVH, page] bf16 dequant steps
+    scales_v: jnp.ndarray,
+    block_table: jnp.ndarray,  # [B, max_pages] int32 page ids
+    layer_idx: jnp.ndarray,    # scalar int32
+    lengths: jnp.ndarray,      # [B] int32: attend to s < lengths[b]
+    interpret: bool = False,
+    scale: Optional[float] = None,
+    softcap: Optional[float] = None,
+    window: Optional[jnp.ndarray] = None,  # traced effective window
+) -> jnp.ndarray:
+    """int8-pool variant of :func:`paged_flash_decode_attention`
+    (kv_cache_dtype="int8"): code pages stream at half the bf16 bytes
+    plus 1/128 for the step pages; dequant happens in-VMEM as column
+    scalings (ops/attention._kernel_i8), the same block-table
+    indirection aims every DMA."""
+    B, KVH, G, D = q.shape
+    L, P, _, page, _ = pages_k.shape
+    max_pages = block_table.shape[1]
+    scale = scale if scale is not None else D ** -0.5
+
+    n_scalars = 1 + B * max_pages + B
+    kernel = functools.partial(
+        _kernel_i8, s_blk=page, scale=scale, n_kv=KVH,
+        len_off=1 + B * max_pages, softcap=softcap,
+        win_slot=n_scalars if window is not None else None)
+
+    def k_wrap(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+               m_scr, l_scr, acc_scr):
+        kernel(scalars_ref, q_ref, k_ref[0], v_ref[0], ks_ref[0],
+               vs_ref[0], o_ref, m_scr, l_scr, acc_scr)
+
+    def page_of(i, sq, sc):
+        b = i // KVH
+        return sc[1 + b * max_pages + sq]
+
+    cblk = pl.BlockSpec((1, 1, 1, page, D),
+                        lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
+                                           i % KVH, 0, 0))
+    sblk = pl.BlockSpec((1, 1, 1, page),
+                        lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
+                                           i % KVH, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * KVH, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D),
+                         lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+            cblk, cblk, sblk, sblk,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+    parts = [jnp.asarray(layer_idx, jnp.int32).reshape(1),
+             jnp.asarray(block_table, jnp.int32).reshape(B * max_pages),
+             jnp.asarray(lengths, jnp.int32).reshape(B)]
+    if window is not None:
+        parts.append(jnp.asarray(window, jnp.int32).reshape(1))
+    scalars = jnp.concatenate(parts)
+    return pl.pallas_call(
+        k_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scalars, q, pages_k, pages_v, scales_k, scales_v)

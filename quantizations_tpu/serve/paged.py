@@ -53,18 +53,31 @@ __all__ = ["PagedKVCache", "PageAllocator", "PagedEngine",
 @struct.dataclass
 class PagedKVCache:
     """Device page pool. Page ``p`` of layer ``l`` holds ``page_size``
-    consecutive positions of whichever sequence owns it."""
+    consecutive positions of whichever sequence owns it. An int8 pool
+    (kv_cache_dtype="int8") carries per-token bf16 dequant-step pages
+    alongside the code pages — half the bf16 page bytes plus 1/128."""
 
     pages_k: jnp.ndarray   # [L, P, KVH, page, D]
     pages_v: jnp.ndarray
+    # int8 pool: dequant steps [L, P, KVH, page] bf16 (None for bf16)
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def create(cls, cfg: LlamaConfig, num_pages: int,
                page_size: int = 128, kv_heads: Optional[int] = None,
-               dtype=jnp.bfloat16) -> "PagedKVCache":
+               dtype=None) -> "PagedKVCache":
         kv = kv_heads if kv_heads is not None else cfg.num_key_value_heads
         shape = (cfg.num_hidden_layers, num_pages, kv, page_size,
                  cfg.head_dim)
+        if dtype is None:
+            dtype = (jnp.int8 if cfg.kv_cache_dtype == "int8"
+                     else jnp.bfloat16)
+        if jnp.dtype(dtype) == jnp.int8:
+            return cls(pages_k=jnp.zeros(shape, jnp.int8),
+                       pages_v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(shape[:4], jnp.bfloat16),
+                       v_scale=jnp.zeros(shape[:4], jnp.bfloat16))
         return cls(pages_k=jnp.zeros(shape, dtype),
                    pages_v=jnp.zeros(shape, dtype))
 
@@ -136,14 +149,19 @@ def paged_decode_step(
     """One decode step over the paged pool: write each row's new kv at
     (page=table[b, pos//page], offset=pos%page), attend the first
     ``max_pages`` table entries via the block-table flash kernel.
+    An int8 pool quantizes-on-write (per-token absmax, shared
+    quantize_kv_i8 semantics) and attends through the i8 paged kernel.
     Returns (logits [B, vocab], pages)."""
-    from ..ops.paged_attention import paged_flash_decode_attention
+    from ..models.llama import quantize_kv_i8
+    from ..ops.paged_attention import (paged_flash_decode_attention,
+                                       paged_flash_decode_attention_i8)
 
     B, T = token_ids.shape
     assert T == 1
     psz = pages.page_size
     qcfg = cfg.quant
     D = cfg.head_dim
+    int8_kv = pages.k_scale is not None
 
     x = embed_lookup(params.embed, token_ids, qcfg.quant_type)
     if cfg.embed_normalizer:
@@ -156,10 +174,11 @@ def paged_decode_step(
 
     stacked = params.layers
     pk, pv = pages.pages_k, pages.pages_v
+    pks, pvs = pages.k_scale, pages.v_scale
     interp = jax.default_backend() != "tpu"
 
     def body(carry, i):
-        x, pk, pv = carry
+        x, pk, pv, pks, pvs = carry
         layer = LlamaLayer(
             attn_norm=stacked.attn_norm[i], mlp_norm=stacked.mlp_norm[i],
             q=stacked.q, k=stacked.k, v=stacked.v, o=stacked.o,
@@ -198,14 +217,25 @@ def paged_decode_step(
             k = apply_rope(k, cos, sin)
             v = v.reshape(B_, 1, n_kv, D)
 
-            kn = k.astype(pk.dtype).swapaxes(1, 2)   # [B, KV, 1, D]
-            vn = v.astype(pv.dtype).swapaxes(1, 2)
+            kn = k.swapaxes(1, 2)                    # [B, KV, 1, D]
+            vn = v.swapaxes(1, 2)
+            if int8_kv:
+                kn, kstep = quantize_kv_i8(kn)
+                vn, vstep = quantize_kv_i8(vn)
+            else:
+                kn = kn.astype(pk.dtype)
+                vn = vn.astype(pv.dtype)
             for b in range(B_):
                 at = (i, page_of[b], jnp.int32(0), off[b], jnp.int32(0))
                 pk = jax.lax.dynamic_update_slice(
                     pk, kn[b][None, None], at)
                 pv = jax.lax.dynamic_update_slice(
                     pv, vn[b][None, None], at)
+                if int8_kv:
+                    pks = jax.lax.dynamic_update_slice(
+                        pks, kstep[b][None, None], at[:4])
+                    pvs = jax.lax.dynamic_update_slice(
+                        pvs, vstep[b][None, None], at[:4])
 
             if cfg.sliding_window is None:
                 win_eff = None
@@ -217,13 +247,22 @@ def paged_decode_step(
                 win_eff = jnp.where(use_win,
                                     jnp.int32(cfg.sliding_window),
                                     jnp.int32(2 ** 30))
-            attn = paged_flash_decode_attention(
-                q[:, 0].reshape(B_, n_kv, G, D), pk, pv,
-                block_table[:, :max_pages], i, pos + 1,
-                interpret=interp,
-                scale=(cfg.query_scale or D) ** -0.5,
-                softcap=cfg.attn_logit_softcap, window=win_eff,
-            ).reshape(B_, n_q * D)
+            if int8_kv:
+                attn = paged_flash_decode_attention_i8(
+                    q[:, 0].reshape(B_, n_kv, G, D), pk, pv, pks, pvs,
+                    block_table[:, :max_pages], i, pos + 1,
+                    interpret=interp,
+                    scale=(cfg.query_scale or D) ** -0.5,
+                    softcap=cfg.attn_logit_softcap, window=win_eff,
+                ).reshape(B_, n_q * D)
+            else:
+                attn = paged_flash_decode_attention(
+                    q[:, 0].reshape(B_, n_kv, G, D), pk, pv,
+                    block_table[:, :max_pages], i, pos + 1,
+                    interpret=interp,
+                    scale=(cfg.query_scale or D) ** -0.5,
+                    softcap=cfg.attn_logit_softcap, window=win_eff,
+                ).reshape(B_, n_q * D)
 
             o = _ql(attn.astype(qcfg.compute_dtype), layer.o, qcfg, i)
             ob = o.reshape(B_, 1, h)
@@ -242,10 +281,11 @@ def paged_decode_step(
             if layer.post_mlp_norm is not None:
                 db = _norm(db, layer.post_mlp_norm, cfg)
             x = x + db.astype(x.dtype)
-        return (x, pk, pv), None
+        return (x, pk, pv, pks, pvs), None
 
     idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    (x, pk, pv), _ = jax.lax.scan(body, (x, pk, pv), idx)
+    (x, pk, pv, pks, pvs), _ = jax.lax.scan(
+        body, (x, pk, pv, pks, pvs), idx)
 
     xf = _norm(x, params.final_norm, cfg)
     x2 = xf.astype(qcfg.compute_dtype).reshape(B, -1)
@@ -263,7 +303,8 @@ def paged_decode_step(
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         logits = cap * jnp.tanh(logits / cap)
-    return logits, PagedKVCache(pages_k=pk, pages_v=pv)
+    return logits, PagedKVCache(pages_k=pk, pages_v=pv,
+                                k_scale=pks, v_scale=pvs)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -287,7 +328,16 @@ def _scatter_page(pages: PagedKVCache, scratch: KVCache,
           jnp.int32(0))
     pk = jax.lax.dynamic_update_slice(pages.pages_k, sk, at)
     pv = jax.lax.dynamic_update_slice(pages.pages_v, sv, at)
-    return PagedKVCache(pages_k=pk, pages_v=pv)
+    pks, pvs = pages.k_scale, pages.v_scale
+    if pks is not None:
+        sks = jax.lax.dynamic_slice(
+            scratch.k_scale, (0, 0, 0, src_start), (L, 1, KV, psz))
+        svs = jax.lax.dynamic_slice(
+            scratch.v_scale, (0, 0, 0, src_start), (L, 1, KV, psz))
+        pks = jax.lax.dynamic_update_slice(pks, sks, at[:4])
+        pvs = jax.lax.dynamic_update_slice(pvs, svs, at[:4])
+    return PagedKVCache(pages_k=pk, pages_v=pv, k_scale=pks,
+                        v_scale=pvs)
 
 
 def insert_prefill(pages: PagedKVCache, scratch: KVCache,
@@ -322,11 +372,22 @@ def _gather_page(scratch: KVCache, pages: PagedKVCache,
     sv = jax.lax.dynamic_slice(pages.pages_v, at_src, (L, 1, KV, psz, D))
     at_dst = (jnp.int32(0), jnp.int32(0), jnp.int32(0), dst_start,
               jnp.int32(0))
-    return scratch.replace(
+    out = scratch.replace(
         k=jax.lax.dynamic_update_slice(scratch.k, sk.astype(
             scratch.k.dtype), at_dst),
         v=jax.lax.dynamic_update_slice(scratch.v, sv.astype(
             scratch.v.dtype), at_dst))
+    if pages.k_scale is not None:
+        sks = jax.lax.dynamic_slice(pages.k_scale, at_src[:4],
+                                    (L, 1, KV, psz))
+        svs = jax.lax.dynamic_slice(pages.v_scale, at_src[:4],
+                                    (L, 1, KV, psz))
+        out = out.replace(
+            k_scale=jax.lax.dynamic_update_slice(out.k_scale, sks,
+                                                 at_dst[:4]),
+            v_scale=jax.lax.dynamic_update_slice(out.v_scale, svs,
+                                                 at_dst[:4]))
+    return out
 
 
 class PagedEngine:
@@ -357,8 +418,6 @@ class PagedEngine:
 
         if max_seq % page_size:
             raise ValueError("max_seq must be a multiple of page_size")
-        if cfg.kv_cache_dtype != "bf16":
-            raise ValueError("PagedEngine requires the bf16 KV cache")
         self.params = params
         self.cfg = cfg
         self.page_size = page_size

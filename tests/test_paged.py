@@ -185,6 +185,74 @@ def test_paged_decode_two_sequences():
     assert got[1] == refs[1], (got[1], refs[1])
 
 
+def test_paged_decode_int8_pool_matches_slot_cache():
+    """kv_cache_dtype="int8": the int8 paged pool (code pages + step
+    pages, i8 paged kernel) reproduces the int8 SLOT-cache greedy
+    stream — same quantize-on-write semantics, page indirection only."""
+    cfg8 = dataclasses.replace(TINY_LLAMA, kv_cache_dtype="int8")
+    params = init_llama_params(cfg8, seed=0)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    P, N = len(prompt), 6
+    ids = jnp.asarray([prompt], jnp.int32)
+
+    cache = KVCache.create(cfg8, 1, 64)
+    logits, cache = jax.jit(
+        lambda p, i, c: prefill(p, i, c, cfg8, last_token_only=True)
+    )(params, ids, cache)
+    ref = [int(jnp.argmax(logits[0, -1]))]
+    step = jax.jit(lambda p, t, c, pos: decode_step(p, t, c, pos, cfg8))
+    for i in range(N - 1):
+        lg, cache = step(params, jnp.asarray([[ref[-1]]], jnp.int32),
+                         cache, jnp.asarray([P + i], jnp.int32))
+        ref.append(int(jnp.argmax(lg[0])))
+
+    pages = PagedKVCache.create(cfg8, num_pages=8, page_size=PSZ)
+    assert pages.pages_k.dtype == jnp.int8
+    assert pages.k_scale.dtype == jnp.bfloat16
+    alloc = PageAllocator(8)
+    scratch = KVCache.create(cfg8, 1, 64)
+    logits, scratch = jax.jit(
+        lambda p, i, c: prefill(p, i, c, cfg8, last_token_only=True)
+    )(params, ids, scratch)
+    got = [int(jnp.argmax(logits[0, -1]))]
+    need = -(-(P + N) // PSZ)
+    page_ids = alloc.alloc(need)
+    pages = insert_prefill(pages, scratch, page_ids, P)
+    table = np.zeros((1, 4), np.int32)
+    table[0, :need] = page_ids
+    tbl = jnp.asarray(table)
+    for i in range(N - 1):
+        lg, pages = paged_decode_step(
+            params, jnp.asarray([[got[-1]]], jnp.int32), pages, tbl,
+            jnp.asarray([P + i], jnp.int32), cfg8, max_pages=2)
+        got.append(int(jnp.argmax(lg[0])))
+
+    assert got == ref, (got, ref)
+
+
+def test_paged_engine_int8_close_to_bf16():
+    """PagedEngine over the int8 pool: streams stay close to the bf16
+    paged engine (int8 KV is a numerics knob, not an exact one)."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    cfg8 = dataclasses.replace(TINY_LLAMA, kv_cache_dtype="int8")
+    params = init_llama_params(cfg8, seed=0)
+    prompts = [[3, 1, 4], [2, 7, 1, 8, 2, 8]]
+
+    def run(cfg):
+        eng = PagedEngine(params, cfg, num_pages=16, page_size=PSZ,
+                          slots=2, max_seq=64, prefill_buckets=(8,))
+        uids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        done = eng.run()
+        return [done[u].output_ids for u in uids]
+
+    ref = run(TINY_LLAMA)
+    got = run(cfg8)
+    agree = np.mean([t == r for ts, rs in zip(got, ref)
+                     for t, r in zip(ts, rs)])
+    assert agree >= 0.8, (got, ref)
+
+
 def test_paged_engine_per_request_temperature():
     """A temperature=0 request in a temp>0 PagedEngine stays greedy
     (matches a pure-greedy engine), incl. its FIRST emitted token;
