@@ -37,7 +37,7 @@ _NEG = -1e30
 
 def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
             *, s_blk, scale, n_kv, len_off=0, softcap=None, window=None,
-            win_slot=None):
+            win_slot=None, q_span=1, q_heads=None):
     sq = pl.program_id(1)
     b = len_off + pl.program_id(0) // n_kv
 
@@ -57,15 +57,26 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         # Gemma-2 attn_logit_softcap (applied pre-mask, like the HF ref)
         s = softcap * jnp.tanh(s * (1.0 / softcap))
     span = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + sq * s_blk
-    vis = span < len_ref[b]
+    if q_span > 1:
+        # speculative verify window: the q block stacks ``q_span``
+        # consecutive query POSITIONS x ``q_heads`` heads (row r is
+        # position r // q_heads). Query position p sits at
+        # len-1+p and attends span <= len-1+p — causal INSIDE the
+        # freshly written window.
+        qpos = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                // q_heads)
+        vis = span < len_ref[b] + qpos
+    else:
+        qpos = 0
+        vis = span < len_ref[b]
     if window is not None or win_slot is not None:
-        # decode: the single query sits at position len-1 — sliding
-        # window means attend iff (len-1) - s < window. ``win_slot``
-        # reads the window from the scalar-prefetch vector (traced —
-        # Gemma-2 alternates windowed/global per layer under one scan;
-        # a huge value disables the mask for global layers).
+        # decode: query position p sits at len-1+p — sliding window
+        # means attend iff (len-1+p) - s < window. ``win_slot`` reads
+        # the window from the scalar-prefetch vector (traced — Gemma-2
+        # alternates windowed/global per layer under one scan; a huge
+        # value disables the mask for global layers).
         win = len_ref[win_slot] if win_slot is not None else window
-        vis &= span > len_ref[b] - 1 - win
+        vis &= span > len_ref[b] - 1 + qpos - win
     s = jnp.where(vis, s, _NEG)
 
     m_prev = m_scr[:, 0:1]                          # [G, 1]
@@ -89,7 +100,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
 def _kernel_i8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                m_scr, l_scr, acc_scr, *, s_blk, scale, n_kv, len_off=0,
-               softcap=None, win_slot=None):
+               softcap=None, win_slot=None, q_span=1, q_heads=None):
     """int8-cache variant: per-token dequant steps are folded into
     COLUMN scalings (k rows scale the score columns, v rows scale the
     probability columns) — lane-natural, no transposes, and the int8
@@ -114,9 +125,15 @@ def _kernel_i8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     if softcap is not None:
         s = softcap * jnp.tanh(s * (1.0 / softcap))
     span = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + sq * s_blk
-    vis = span < len_ref[b]
+    if q_span > 1:
+        qpos = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                // q_heads)
+        vis = span < len_ref[b] + qpos
+    else:
+        qpos = 0
+        vis = span < len_ref[b]
     if win_slot is not None:
-        vis &= span > len_ref[b] - 1 - len_ref[win_slot]
+        vis &= span > len_ref[b] - 1 + qpos - len_ref[win_slot]
     s = jnp.where(vis, s, _NEG)
 
     m_prev = m_scr[:, 0:1]

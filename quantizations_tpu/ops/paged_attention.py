@@ -36,9 +36,9 @@ __all__ = ["paged_flash_decode_attention",
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "scale",
-                                             "softcap"))
+                                             "softcap", "q_span"))
 def paged_flash_decode_attention(
-    q: jnp.ndarray,          # [B, KVH, G, D]
+    q: jnp.ndarray,          # [B, KVH, q_span*G, D]
     pages_k: jnp.ndarray,    # [L, P, KVH, page, D]
     pages_v: jnp.ndarray,
     block_table: jnp.ndarray,  # [B, max_pages] int32 page ids
@@ -50,12 +50,16 @@ def paged_flash_decode_attention(
     window: Optional[jnp.ndarray] = None,  # traced effective sliding
     # window (int32 scalar; huge value = global layer — see
     # ops/attention.flash_decode_attention_stacked)
+    q_span: int = 1,   # consecutive query POSITIONS stacked in the q
+    # block (speculative verify window): row t*G+g is position
+    # lengths[b]-1+t, causally masked inside the window
 ) -> jnp.ndarray:
     """Online-softmax decode attention over paged KV. Returns fp32
-    ``[B, KVH, G, D]``. The sequence-position grid walks the block
-    table; page ``j`` of row ``b`` covers positions
+    ``[B, KVH, q_span*G, D]``. The sequence-position grid walks the
+    block table; page ``j`` of row ``b`` covers positions
     ``[j*page, (j+1)*page)``."""
-    B, KVH, G, D = q.shape
+    B, KVH, QG, D = q.shape
+    G = QG // q_span
     L, P, _, page, _ = pages_k.shape
     max_pages = block_table.shape[1]
     scale = scale if scale is not None else D ** -0.5
@@ -64,7 +68,8 @@ def paged_flash_decode_attention(
     kernel = functools.partial(
         _kernel, s_blk=page, scale=scale, n_kv=KVH,
         len_off=1 + B * max_pages, softcap=softcap,
-        win_slot=n_scalars if window is not None else None)
+        win_slot=n_scalars if window is not None else None,
+        q_span=q_span, q_heads=G)
 
     def k_wrap(scalars_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
                acc_scr):
@@ -80,7 +85,7 @@ def paged_flash_decode_attention(
         num_scalar_prefetch=1,
         grid=(B * KVH, max_pages),
         in_specs=[
-            pl.BlockSpec((1, 1, G, D),
+            pl.BlockSpec((1, 1, QG, D),
                          lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
             pl.BlockSpec((1, 1, 1, page, D),
                          lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
@@ -90,11 +95,11 @@ def paged_flash_decode_attention(
                                             i % KVH, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+            (1, 1, QG, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((QG, 128), jnp.float32),
+            pltpu.VMEM((QG, 128), jnp.float32),
+            pltpu.VMEM((QG, D), jnp.float32),
         ],
     )
     parts = [jnp.asarray(layer_idx, jnp.int32).reshape(1),
@@ -106,7 +111,7 @@ def paged_flash_decode_attention(
     return pl.pallas_call(
         k_wrap,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, QG, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -114,9 +119,9 @@ def paged_flash_decode_attention(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "scale",
-                                             "softcap"))
+                                             "softcap", "q_span"))
 def paged_flash_decode_attention_i8(
-    q: jnp.ndarray,          # [B, KVH, G, D]
+    q: jnp.ndarray,          # [B, KVH, q_span*G, D]
     pages_k: jnp.ndarray,    # [L, P, KVH, page, D] int8 codes
     pages_v: jnp.ndarray,
     scales_k: jnp.ndarray,   # [L, P, KVH, page] bf16 dequant steps
@@ -128,13 +133,15 @@ def paged_flash_decode_attention_i8(
     scale: Optional[float] = None,
     softcap: Optional[float] = None,
     window: Optional[jnp.ndarray] = None,  # traced effective window
+    q_span: int = 1,   # stacked query positions (verify window)
 ) -> jnp.ndarray:
     """int8-pool variant of :func:`paged_flash_decode_attention`
     (kv_cache_dtype="int8"): code pages stream at half the bf16 bytes
     plus 1/128 for the step pages; dequant happens in-VMEM as column
     scalings (ops/attention._kernel_i8), the same block-table
     indirection aims every DMA."""
-    B, KVH, G, D = q.shape
+    B, KVH, QG, D = q.shape
+    G = QG // q_span
     L, P, _, page, _ = pages_k.shape
     max_pages = block_table.shape[1]
     scale = scale if scale is not None else D ** -0.5
@@ -143,7 +150,8 @@ def paged_flash_decode_attention_i8(
     kernel = functools.partial(
         _kernel_i8, s_blk=page, scale=scale, n_kv=KVH,
         len_off=1 + B * max_pages, softcap=softcap,
-        win_slot=n_scalars if window is not None else None)
+        win_slot=n_scalars if window is not None else None,
+        q_span=q_span, q_heads=G)
 
     def k_wrap(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                m_scr, l_scr, acc_scr):
@@ -164,16 +172,16 @@ def paged_flash_decode_attention_i8(
         num_scalar_prefetch=1,
         grid=(B * KVH, max_pages),
         in_specs=[
-            pl.BlockSpec((1, 1, G, D),
+            pl.BlockSpec((1, 1, QG, D),
                          lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
             cblk, cblk, sblk, sblk,
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
+            (1, 1, QG, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((QG, 128), jnp.float32),
+            pltpu.VMEM((QG, 128), jnp.float32),
+            pltpu.VMEM((QG, D), jnp.float32),
         ],
     )
     parts = [jnp.asarray(layer_idx, jnp.int32).reshape(1),
@@ -185,7 +193,7 @@ def paged_flash_decode_attention_i8(
     return pl.pallas_call(
         k_wrap,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, QG, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,

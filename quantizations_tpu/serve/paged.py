@@ -47,7 +47,7 @@ from ..models.llama import (
 )
 
 __all__ = ["PagedKVCache", "PageAllocator", "PagedEngine",
-           "paged_decode_step", "insert_prefill"]
+           "paged_decode_step", "paged_verify_step", "insert_prefill"]
 
 
 @struct.dataclass
@@ -132,32 +132,28 @@ class PageAllocator:
         return len(self._free)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_pages"),
-    donate_argnums=(2,),
-)
-def paged_decode_step(
+def _paged_forward(
     params: LlamaParams,
-    token_ids: jnp.ndarray,    # [B, 1]
+    token_ids: jnp.ndarray,    # [B, T]
     pages: PagedKVCache,
     block_table: jnp.ndarray,  # [B, table_width] int32
-    pos: jnp.ndarray,          # [B] int32
+    pos: jnp.ndarray,          # [B] int32: row b's token t sits at
+                               # position pos[b] + t
     cfg: LlamaConfig,
     max_pages: int,            # static: pages covered by attention
 ) -> Tuple[jnp.ndarray, PagedKVCache]:
-    """One decode step over the paged pool: write each row's new kv at
-    (page=table[b, pos//page], offset=pos%page), attend the first
-    ``max_pages`` table entries via the block-table flash kernel.
-    An int8 pool quantizes-on-write (per-token absmax, shared
+    """Shared paged forward (T=1 decode / T=K speculative verify):
+    write row b's token t at (page=table[b, (pos+t)//page],
+    offset=(pos+t)%page), attend the first ``max_pages`` table entries
+    via the block-table flash kernel with ``q_span=T`` causal window
+    masking. An int8 pool quantizes-on-write (per-token absmax, shared
     quantize_kv_i8 semantics) and attends through the i8 paged kernel.
-    Returns (logits [B, vocab], pages)."""
+    Returns (logits [B, T, vocab], pages)."""
     from ..models.llama import quantize_kv_i8
     from ..ops.paged_attention import (paged_flash_decode_attention,
                                        paged_flash_decode_attention_i8)
 
     B, T = token_ids.shape
-    assert T == 1
     psz = pages.page_size
     qcfg = cfg.quant
     D = cfg.head_dim
@@ -166,11 +162,12 @@ def paged_decode_step(
     x = embed_lookup(params.embed, token_ids, qcfg.quant_type)
     if cfg.embed_normalizer:
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
-    positions = pos[:, None]
+    positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
     cos, sin = rope_cos_sin(positions, D, cfg.rope_theta, cfg.rope_scaling)
 
-    page_of = jax.vmap(lambda t, p: t[p // psz])(block_table, pos)  # [B]
-    off = pos % psz
+    page_of = jax.vmap(lambda t, p: t[p // psz])(
+        block_table, positions)    # [B, T]
+    off = positions % psz          # [B, T]
 
     stacked = params.layers
     pk, pv = pages.pages_k, pages.pages_v
@@ -200,7 +197,7 @@ def paged_decode_step(
 
         with jax.named_scope("attn"):
             xa = _norm(x, layer.attn_norm, cfg)
-            x2 = xa.astype(qcfg.compute_dtype).reshape(B_, h)
+            x2 = xa.astype(qcfg.compute_dtype).reshape(B_ * T_, h)
             q = _ql(x2, layer.q, qcfg, i)
             k = _ql(x2, layer.k, qcfg, i)
             v = _ql(x2, layer.v, qcfg, i)
@@ -208,16 +205,16 @@ def paged_decode_step(
                 q = q + layer.q_bias.astype(q.dtype)
                 k = k + layer.k_bias.astype(k.dtype)
                 v = v + layer.v_bias.astype(v.dtype)
-            q = q.reshape(B_, 1, n_q, D)
-            k = k.reshape(B_, 1, n_kv, D)
+            q = q.reshape(B_, T_, n_q, D)
+            k = k.reshape(B_, T_, n_kv, D)
             if layer.q_norm is not None:
                 q = rms_norm(q, layer.q_norm, cfg.rms_norm_eps)
                 k = rms_norm(k, layer.k_norm, cfg.rms_norm_eps)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            v = v.reshape(B_, 1, n_kv, D)
+            v = v.reshape(B_, T_, n_kv, D)
 
-            kn = k.swapaxes(1, 2)                    # [B, KV, 1, D]
+            kn = k.swapaxes(1, 2)                    # [B, KV, T, D]
             vn = v.swapaxes(1, 2)
             if int8_kv:
                 kn, kstep = quantize_kv_i8(kn)
@@ -226,16 +223,20 @@ def paged_decode_step(
                 kn = kn.astype(pk.dtype)
                 vn = vn.astype(pv.dtype)
             for b in range(B_):
-                at = (i, page_of[b], jnp.int32(0), off[b], jnp.int32(0))
-                pk = jax.lax.dynamic_update_slice(
-                    pk, kn[b][None, None], at)
-                pv = jax.lax.dynamic_update_slice(
-                    pv, vn[b][None, None], at)
-                if int8_kv:
-                    pks = jax.lax.dynamic_update_slice(
-                        pks, kstep[b][None, None], at[:4])
-                    pvs = jax.lax.dynamic_update_slice(
-                        pvs, vstep[b][None, None], at[:4])
+                for t in range(T_):
+                    at = (i, page_of[b, t], jnp.int32(0), off[b, t],
+                          jnp.int32(0))
+                    pk = jax.lax.dynamic_update_slice(
+                        pk, kn[b, :, t:t + 1][None, None], at)
+                    pv = jax.lax.dynamic_update_slice(
+                        pv, vn[b, :, t:t + 1][None, None], at)
+                    if int8_kv:
+                        pks = jax.lax.dynamic_update_slice(
+                            pks, kstep[b, :, t:t + 1][None, None],
+                            at[:4])
+                        pvs = jax.lax.dynamic_update_slice(
+                            pvs, vstep[b, :, t:t + 1][None, None],
+                            at[:4])
 
             if cfg.sliding_window is None:
                 win_eff = None
@@ -247,37 +248,44 @@ def paged_decode_step(
                 win_eff = jnp.where(use_win,
                                     jnp.int32(cfg.sliding_window),
                                     jnp.int32(2 ** 30))
+            # q rows packed position-major: row t*G+g = (position
+            # pos+t, grouped head g) — matches the kernel's q_span
+            # row->position rule
+            qs = q.reshape(B_, T_, n_kv, G, D).transpose(0, 2, 1, 3, 4)
+            qs = qs.reshape(B_, n_kv, T_ * G, D)
             if int8_kv:
                 attn = paged_flash_decode_attention_i8(
-                    q[:, 0].reshape(B_, n_kv, G, D), pk, pv, pks, pvs,
+                    qs, pk, pv, pks, pvs,
                     block_table[:, :max_pages], i, pos + 1,
                     interpret=interp,
                     scale=(cfg.query_scale or D) ** -0.5,
                     softcap=cfg.attn_logit_softcap, window=win_eff,
-                ).reshape(B_, n_q * D)
+                    q_span=T_)
             else:
                 attn = paged_flash_decode_attention(
-                    q[:, 0].reshape(B_, n_kv, G, D), pk, pv,
+                    qs, pk, pv,
                     block_table[:, :max_pages], i, pos + 1,
                     interpret=interp,
                     scale=(cfg.query_scale or D) ** -0.5,
                     softcap=cfg.attn_logit_softcap, window=win_eff,
-                ).reshape(B_, n_q * D)
+                    q_span=T_)
+            attn = attn.reshape(B_, n_kv, T_, G, D).transpose(
+                0, 2, 1, 3, 4).reshape(B_ * T_, n_q * D)
 
             o = _ql(attn.astype(qcfg.compute_dtype), layer.o, qcfg, i)
-            ob = o.reshape(B_, 1, h)
+            ob = o.reshape(B_, T_, h)
             if layer.post_attn_norm is not None:
                 ob = _norm(ob, layer.post_attn_norm, cfg)
             x = x + ob.astype(x.dtype)
 
         with jax.named_scope("mlp"):
             xm = _norm(x, layer.mlp_norm, cfg)
-            x2 = xm.astype(qcfg.compute_dtype).reshape(B_, h)
+            x2 = xm.astype(qcfg.compute_dtype).reshape(B_ * T_, h)
             g = _ql(x2, layer.gate, qcfg, i)
             u = _ql(x2, layer.up, qcfg, i)
             act = _act(g, cfg) * u
             d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg, i)
-            db = d.reshape(B_, 1, h)
+            db = d.reshape(B_, T_, h)
             if layer.post_mlp_norm is not None:
                 db = _norm(db, layer.post_mlp_norm, cfg)
             x = x + db.astype(x.dtype)
@@ -288,7 +296,7 @@ def paged_decode_step(
         body, (x, pk, pv, pks, pvs), idx)
 
     xf = _norm(x, params.final_norm, cfg)
-    x2 = xf.astype(qcfg.compute_dtype).reshape(B, -1)
+    x2 = xf.astype(qcfg.compute_dtype).reshape(B * T, -1)
     if isinstance(params.lm_head, QLinear):
         from ..nn.linear import apply_4bit
 
@@ -299,12 +307,77 @@ def paged_decode_step(
     else:
         logits = jnp.dot(x2, params.lm_head.T.astype(x2.dtype),
                          preferred_element_type=jnp.float32)
-    logits = logits.astype(jnp.float32)
+    logits = logits.astype(jnp.float32).reshape(B, T, -1)
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         logits = cap * jnp.tanh(logits / cap)
     return logits, PagedKVCache(pages_k=pk, pages_v=pv,
                                 k_scale=pks, v_scale=pvs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_pages"),
+    donate_argnums=(2,),
+)
+def paged_decode_step(
+    params: LlamaParams,
+    token_ids: jnp.ndarray,    # [B, 1]
+    pages: PagedKVCache,
+    block_table: jnp.ndarray,  # [B, table_width] int32
+    pos: jnp.ndarray,          # [B] int32
+    cfg: LlamaConfig,
+    max_pages: int,            # static: pages covered by attention
+) -> Tuple[jnp.ndarray, PagedKVCache]:
+    """One T=1 decode step over the paged pool (see
+    :func:`_paged_forward`). Returns (logits [B, vocab], pages)."""
+    logits, pages = _paged_forward(params, token_ids, pages,
+                                   block_table, pos, cfg, max_pages)
+    return logits[:, 0], pages
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_pages"),
+    donate_argnums=(2,),
+)
+def paged_verify_step(
+    params: LlamaParams,
+    token_ids: jnp.ndarray,    # [B, K]: pending token + K-1 drafts
+    pages: PagedKVCache,
+    block_table: jnp.ndarray,  # [B, table_width] int32
+    pos: jnp.ndarray,          # [B] int32: first window position
+    cfg: LlamaConfig,
+    max_pages: int,
+) -> Tuple[jnp.ndarray, PagedKVCache]:
+    """Speculative verify window over the paged pool: K tokens per row
+    written at pos..pos+K-1 and attended in ONE forward (the kernel's
+    ``q_span`` masks causally inside the window). Rejected-draft keys
+    above the committed position are garbage that the next window
+    (written at the new, lower-or-equal base) overwrites before any
+    query attends it — the slot engine's invariant, paged. Returns
+    (logits [B, K, vocab], pages)."""
+    return _paged_forward(params, token_ids, pages, block_table, pos,
+                          cfg, max_pages)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_pages"),
+    donate_argnums=(2,),
+)
+def _paged_spec_step(params, feed, pages, block_table, pos, draft,
+                     temps, key, cfg, max_pages):
+    """Verify window + accept/correct in ONE dispatch (eager device
+    round-trips are the engine's cost unit): returns (g [B, K] window
+    tokens, a [B] accepted-draft counts, pages)."""
+    from .speculative import spec_accept_sample_vec, spec_window_tokens
+
+    logits, pages = _paged_forward(params, feed, pages, block_table,
+                                   pos, cfg, max_pages)
+    okk, corr = spec_accept_sample_vec(logits, draft, key, temps)
+    g, a = spec_window_tokens(okk, corr, draft)
+    return g, a, pages
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -620,9 +693,83 @@ class PagedEngine:
                 self.table[i, :] = 0
         return len(act)
 
-    def run(self, max_steps: int = 100000):
+    def step_spec(self, k: int = 8) -> int:
+        """One speculative verify window across the paged pool: each
+        slot's pending token + k-1 host-drafted (prompt-lookup) tokens
+        go through ONE paged verify forward; accepted tokens commit
+        per slot (1..k tokens per dispatch). Greedy slots stream
+        token-identically to the plain paged step (tested). Mirrors
+        the slot Engine's step_spec over block tables."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from .engine import draft_lookup_host
+
+        self._admit()
+        act = [i for i, r in enumerate(self.active) if r is not None]
+        if not act:
+            return 0
+        # too close to the sequence end: one plain step (runs requests
+        # to max_seq - 1 exactly like the non-speculative engine)
+        if any(self.pos[i] + k > self.max_seq - 1 for i in act):
+            return self.step()
+        for i in act:
+            self._ensure_pages(i, int(self.pos[i]) + k)
+        feed = self._np.zeros((self.slots, k), self._np.int32)
+        draft = self._np.zeros((self.slots, k), self._np.int32)
+        for i in act:
+            r = self.active[i]
+            hist = r.prompt_ids + r.output_ids + [int(self._cur[i])]
+            d = draft_lookup_host(hist, k)
+            draft[i] = d
+            feed[i, 0] = self._cur[i]
+            feed[i, 1:] = d[:k - 1]
+        live_pages = int(self._np.max(
+            ((self.pos[act] + k - 1) // self.page_size) + 1))
+        mp = 1
+        while mp < live_pages:
+            mp *= 2
+        mp = min(mp, self.max_pages)
+        self._key, sub = _jax.random.split(self._key)
+        g, a, self.pages = _paged_spec_step(
+            self.params, _jnp.asarray(feed), self.pages,
+            _jnp.asarray(self.table), _jnp.asarray(self.pos),
+            _jnp.asarray(draft),
+            _jnp.asarray(self._slot_temps()), sub, self.cfg,
+            max_pages=mp)
+        g = self._np.asarray(g)
+        a = self._np.asarray(a)
+        for i in act:
+            r = self.active[i]
+            toks = [int(self._cur[i])] + [int(t) for t in
+                                          g[i, :int(a[i])]]
+            done = False
+            for t in toks:
+                r.output_ids.append(t)
+                if self.on_token is not None:
+                    self.on_token(r, t)
+                self.pos[i] += 1
+                full = len(r.output_ids) >= r.max_new_tokens
+                hit_eos = r.eos_id is not None and t == r.eos_id
+                out_of_room = self.pos[i] >= self.max_seq - 1
+                if full or hit_eos or out_of_room:
+                    r.done = done = True
+                    self.finished[r.uid] = r
+                    self.active[i] = None
+                    self.alloc.free(self.owned[i])
+                    self.owned[i] = []
+                    self.table[i, :] = 0
+                    break
+            if not done:
+                self._cur[i] = int(g[i, int(a[i])])
+        return len(act)
+
+    def run(self, max_steps: int = 100000, spec_k: int = 0):
         steps = 0
         while (self.queue or any(self.active)) and steps < max_steps:
-            self.step()
+            if spec_k > 0:
+                self.step_spec(spec_k)
+            else:
+                self.step()
             steps += 1
         return self.finished

@@ -185,6 +185,80 @@ def test_paged_decode_two_sequences():
     assert got[1] == refs[1], (got[1], refs[1])
 
 
+def test_paged_verify_window_matches_sequential_decode():
+    """paged_verify_step's K-query causal window (q_span kernel
+    masking) must produce the same logits as feeding the K tokens one
+    by one through paged_decode_step."""
+    from quantizations_tpu.serve.paged import paged_verify_step
+
+    params = init_llama_params(CFG, seed=0)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    P, K = len(prompt), 4
+    window = [2, 7, 1, 8]
+    ids = jnp.asarray([prompt], jnp.int32)
+
+    def prep():
+        pages = PagedKVCache.create(CFG, num_pages=8, page_size=PSZ)
+        alloc = PageAllocator(8)
+        scratch = KVCache.create(CFG, 1, 64)
+        logits, scratch = jax.jit(
+            lambda p, i, c: prefill(p, i, c, CFG, last_token_only=True)
+        )(params, ids, scratch)
+        need = -(-(P + K) // PSZ)
+        page_ids = alloc.alloc(need)
+        pages = insert_prefill(pages, scratch, page_ids, P)
+        table = np.zeros((1, 4), np.int32)
+        table[0, :need] = page_ids
+        return pages, jnp.asarray(table)
+
+    # sequential: K decode steps
+    pages, tbl = prep()
+    seq_logits = []
+    for t in range(K):
+        lg, pages = paged_decode_step(
+            params, jnp.asarray([[window[t]]], jnp.int32), pages, tbl,
+            jnp.asarray([P + t], jnp.int32), CFG, max_pages=2)
+        seq_logits.append(np.asarray(lg[0]))
+
+    # one verify window
+    pages, tbl = prep()
+    lg, pages = paged_verify_step(
+        params, jnp.asarray([window], jnp.int32), pages, tbl,
+        jnp.asarray([P], jnp.int32), CFG, max_pages=2)
+    win_logits = np.asarray(lg[0])   # [K, vocab]
+
+    for t in range(K):
+        np.testing.assert_allclose(win_logits[t], seq_logits[t],
+                                   rtol=0, atol=3e-2)
+
+
+@pytest.mark.parametrize("kv_dtype", ["bf16", "int8"])
+def test_paged_engine_spec_matches_plain(kv_dtype):
+    """run(spec_k=4): greedy streams token-identical to the plain
+    paged engine (accepted drafts emit early, rejections correct —
+    the slot engine's invariant over block tables), bf16 and int8."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    cfg = dataclasses.replace(TINY_LLAMA, kv_cache_dtype=kv_dtype)
+    params = init_llama_params(cfg, seed=0)
+    # repetitive prompts so prompt-lookup drafts get real acceptances
+    prompts = [[3, 1, 4, 3, 1, 4, 3, 1], [2, 7, 2, 7, 2, 7],
+               [9, 9, 1, 2, 3]]
+    lens = [8, 7, 5]
+
+    def run(spec_k):
+        eng = PagedEngine(params, cfg, num_pages=24, page_size=PSZ,
+                          slots=2, max_seq=64, prefill_buckets=(8,))
+        uids = [eng.submit(p, max_new_tokens=n)
+                for p, n in zip(prompts, lens)]
+        done = eng.run(spec_k=spec_k)
+        return [done[u].output_ids for u in uids]
+
+    ref = run(0)
+    got = run(4)
+    assert got == ref, (got, ref)
+
+
 def test_paged_decode_int8_pool_matches_slot_cache():
     """kv_cache_dtype="int8": the int8 paged pool (code pages + step
     pages, i8 paged kernel) reproduces the int8 SLOT-cache greedy
