@@ -383,20 +383,22 @@ def _paged_spec_step(params, feed, pages, block_table, pos, draft,
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_page(pages: PagedKVCache, scratch: KVCache,
                   src_start: jnp.ndarray, page_id: jnp.ndarray,
-                  n: jnp.ndarray) -> PagedKVCache:
-    """Copy scratch positions [src_start, src_start+page) of slot 0 into
-    pool page ``page_id`` (whole-page copy; positions past ``n`` are
-    garbage that lengths-masking never reads). The scratch max_seq must
-    be a multiple of the page size (dynamic_slice clamping would
-    otherwise shift the final page's contents)."""
+                  n: jnp.ndarray,
+                  row: jnp.ndarray = 0) -> PagedKVCache:
+    """Copy scratch positions [src_start, src_start+page) of slot
+    ``row`` into pool page ``page_id`` (whole-page copy; positions past
+    ``n`` are garbage that lengths-masking never reads). The scratch
+    max_seq must be a multiple of the page size (dynamic_slice clamping
+    would otherwise shift the final page's contents)."""
     psz = pages.page_size
     L = pages.pages_k.shape[0]
     KV = pages.pages_k.shape[2]
     D = pages.pages_k.shape[4]
+    row = jnp.asarray(row, jnp.int32)
     sk = jax.lax.dynamic_slice(
-        scratch.k, (0, 0, 0, src_start, 0), (L, 1, KV, psz, D))
+        scratch.k, (0, row, 0, src_start, 0), (L, 1, KV, psz, D))
     sv = jax.lax.dynamic_slice(
-        scratch.v, (0, 0, 0, src_start, 0), (L, 1, KV, psz, D))
+        scratch.v, (0, row, 0, src_start, 0), (L, 1, KV, psz, D))
     at = (jnp.int32(0), page_id, jnp.int32(0), jnp.int32(0),
           jnp.int32(0))
     pk = jax.lax.dynamic_update_slice(pages.pages_k, sk, at)
@@ -404,9 +406,9 @@ def _scatter_page(pages: PagedKVCache, scratch: KVCache,
     pks, pvs = pages.k_scale, pages.v_scale
     if pks is not None:
         sks = jax.lax.dynamic_slice(
-            scratch.k_scale, (0, 0, 0, src_start), (L, 1, KV, psz))
+            scratch.k_scale, (0, row, 0, src_start), (L, 1, KV, psz))
         svs = jax.lax.dynamic_slice(
-            scratch.v_scale, (0, 0, 0, src_start), (L, 1, KV, psz))
+            scratch.v_scale, (0, row, 0, src_start), (L, 1, KV, psz))
         pks = jax.lax.dynamic_update_slice(pks, sks, at[:4])
         pvs = jax.lax.dynamic_update_slice(pvs, svs, at[:4])
     return PagedKVCache(pages_k=pk, pages_v=pv, k_scale=pks,
@@ -415,26 +417,28 @@ def _scatter_page(pages: PagedKVCache, scratch: KVCache,
 
 def insert_prefill(pages: PagedKVCache, scratch: KVCache,
                    page_ids: List[int], plen: int,
-                   start_page: int = 0) -> PagedKVCache:
-    """Scatter a slot-layout scratch prefill (batch slot 0, positions
-    [0, plen)) into the allocated ``page_ids``. ``start_page`` skips
-    the leading pages (prefix-cache hits whose KV is already in the
-    pool — their scratch range was never prefilled)."""
+                   start_page: int = 0, row: int = 0) -> PagedKVCache:
+    """Scatter a slot-layout scratch prefill (batch slot ``row``,
+    positions [0, plen)) into the allocated ``page_ids``.
+    ``start_page`` skips the leading pages (prefix-cache hits whose KV
+    is already in the pool — their scratch range was never
+    prefilled)."""
     psz = pages.page_size
     need = -(-plen // psz)
     assert len(page_ids) >= need, (len(page_ids), need)
     for j in range(start_page, need):
         pages = _scatter_page(pages, scratch, jnp.int32(j * psz),
-                              jnp.int32(page_ids[j]), jnp.int32(plen))
+                              jnp.int32(page_ids[j]), jnp.int32(plen),
+                              jnp.int32(row))
     return pages
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _gather_page(scratch: KVCache, pages: PagedKVCache,
-                 dst_start: jnp.ndarray,
-                 page_id: jnp.ndarray) -> KVCache:
+                 dst_start: jnp.ndarray, page_id: jnp.ndarray,
+                 row: jnp.ndarray = 0) -> KVCache:
     """Copy pool page ``page_id`` into scratch positions
-    [dst_start, dst_start + page) of slot 0 — the inverse of
+    [dst_start, dst_start + page) of slot ``row`` — the inverse of
     :func:`_scatter_page`, used to seed a prefill scratch with
     prefix-cache hits so the suffix prefill can attend them."""
     psz = pages.page_size
@@ -443,8 +447,8 @@ def _gather_page(scratch: KVCache, pages: PagedKVCache,
               jnp.int32(0))
     sk = jax.lax.dynamic_slice(pages.pages_k, at_src, (L, 1, KV, psz, D))
     sv = jax.lax.dynamic_slice(pages.pages_v, at_src, (L, 1, KV, psz, D))
-    at_dst = (jnp.int32(0), jnp.int32(0), jnp.int32(0), dst_start,
-              jnp.int32(0))
+    at_dst = (jnp.int32(0), jnp.asarray(row, jnp.int32), jnp.int32(0),
+              dst_start, jnp.int32(0))
     out = scratch.replace(
         k=jax.lax.dynamic_update_slice(scratch.k, sk.astype(
             scratch.k.dtype), at_dst),
@@ -482,7 +486,7 @@ class PagedEngine:
                  max_seq: int = 2048, prefill_buckets=(64, 256),
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, seed: int = 0,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, admit_width: int = 4):
         from collections import OrderedDict, deque
 
         import numpy as np
@@ -520,17 +524,36 @@ class PagedEngine:
 
         import jax as _jax
 
+        self._admit_width = max(1, admit_width)
         self._key = _jax.random.PRNGKey(seed)
         self._sample = _jax.jit(functools.partial(
             sample_rows, top_k=top_k, top_p=top_p))
         self._pf = _jax.jit(functools.partial(
             self._prefill_impl, cfg=cfg), donate_argnums=(2,))
+        self._pfb = _jax.jit(functools.partial(
+            self._prefill_batch_impl, cfg=cfg, top_k=top_k,
+            top_p=top_p), donate_argnums=(2,))
 
     @staticmethod
     def _prefill_impl(params, ids, scratch, start, cfg):
         from ..models.llama import prefill
 
         return prefill(params, ids, scratch, cfg, pos=start)
+
+    @staticmethod
+    def _prefill_batch_impl(params, ids, scratch, starts, plens, temps,
+                            key, cfg, top_k, top_p):
+        """One chunk ROUND for several admissions: prefill every
+        scratch row at its own start, sample each row's last valid
+        position with its resolved temperature."""
+        from ..models.llama import prefill
+        from .engine import sample_rows
+
+        logits, scratch = prefill(params, ids, scratch, cfg, pos=starts)
+        logit = jnp.take_along_axis(
+            logits, (plens - 1)[:, None, None], axis=1)[:, 0]
+        tok = sample_rows(logit, temps, key, top_k=top_k, top_p=top_p)
+        return tok, scratch
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
                eos_id: Optional[int] = None,
@@ -581,74 +604,167 @@ class PagedEngine:
             self.table[slot, len(self.owned[slot])] = pg
             self.owned[slot].append(pg)
 
-    def _admit(self) -> None:
-        import jax as _jax
+    def _prefix_lookup(self, r):
+        """(cov, shared pages): longest run of FULL prompt pages already
+        in the pool, capped at plen-1 so at least one suffix token is
+        prefilled (its logits seed the stream)."""
+        psz = self.page_size
+        plen = len(r.prompt_ids)
+        cov, shared = 0, []
+        if self._prefix is not None:
+            for j in range((plen - 1) // psz):
+                k = tuple(r.prompt_ids[:(j + 1) * psz])
+                pg = self._prefix.get(k)
+                if pg is None:
+                    break
+                self._prefix.move_to_end(k)   # LRU touch
+                shared.append(pg)
+                cov = (j + 1) * psz
+        return cov, shared
+
+    def _attach_shared(self, slot, shared, scratch, row=0):
+        """Point the slot at the shared pages and seed scratch row
+        ``row`` with their KV so the suffix prefill attends them."""
         import jax.numpy as _jnp
 
         psz = self.page_size
+        for j, pg in enumerate(shared):
+            self.alloc.retain(pg)
+            self.table[slot, j] = pg
+            self.owned[slot].append(pg)
+            scratch = _gather_page(scratch, self.pages,
+                                   _jnp.int32(j * psz), _jnp.int32(pg),
+                                   _jnp.int32(row))
+        return scratch
+
+    def _finish_admit(self, slot, r, tok, n_shared, scratch, row=0):
+        """Scatter the suffix pages, register prefix pages, activate."""
+        plen = len(r.prompt_ids)
+        psz = self.page_size
+        self._ensure_pages(slot, plen + 1)
+        self.pages = insert_prefill(self.pages, scratch,
+                                    self.owned[slot], plen,
+                                    start_page=n_shared, row=row)
+        if self._prefix is not None:
+            # register this prompt's full pages for future sharing
+            for j in range(plen // psz):
+                k = tuple(r.prompt_ids[:(j + 1) * psz])
+                if k not in self._prefix:
+                    pg = int(self.table[slot, j])
+                    self.alloc.retain(pg)   # cache pin
+                    self._prefix[k] = pg
+        self.active[slot] = r
+        self.pos[slot] = plen
+        self._cur[slot] = tok
+
+    def _admit(self) -> None:
+        """Admit queued requests into free slots. Groups of up to
+        ``admit_width`` prefill BATCHED — one dispatch per chunk round
+        across the group's scratch rows (the slot engine's measured
+        tunnel-RTT win, here with a row-per-request scratch + per-row
+        page scatter). Near the scratch end (garbage rounds write
+        [plen, plen+blen)) falls back to per-request admission."""
+        pairs = []
         for slot in range(self.slots):
             if self.active[slot] is not None or not self.queue:
                 continue
-            r = self.queue.popleft()
-            plen = len(r.prompt_ids)
+            pairs.append((slot, self.queue.popleft()))
+        if not pairs:
+            return
+        W = self._admit_width
+        for g in range(0, len(pairs), W):
+            group = pairs[g:g + W]
+            max_blen = self._buckets[-1]
+            tight = any(len(r.prompt_ids) + max_blen > self.max_seq
+                        for _, r in group)
+            if len(group) == 1 or tight:
+                for slot, r in group:
+                    self._admit_one(slot, r)
+            else:
+                self._admit_group(group)
 
-            # prefix-cache lookup: longest run of FULL prompt pages
-            # already in the pool, capped at plen-1 so at least one
-            # suffix token is prefilled (its logits seed the stream)
-            cov, shared = 0, []
-            if self._prefix is not None:
-                for j in range((plen - 1) // psz):
-                    k = tuple(r.prompt_ids[:(j + 1) * psz])
-                    pg = self._prefix.get(k)
-                    if pg is None:
-                        break
-                    self._prefix.move_to_end(k)   # LRU touch
-                    shared.append(pg)
-                    cov = (j + 1) * psz
+    def _admit_one(self, slot, r) -> None:
+        import jax as _jax
+        import jax.numpy as _jnp
 
-            scratch = KVCache.create(self.cfg, 1, self.max_seq)
-            for j, pg in enumerate(shared):
-                # point the slot at the shared page and seed the
-                # scratch with its KV so the suffix prefill attends it
-                self.alloc.retain(pg)
-                self.table[slot, j] = pg
-                self.owned[slot].append(pg)
-                scratch = _gather_page(scratch, self.pages,
-                                       _jnp.int32(j * psz),
-                                       _jnp.int32(pg))
+        plen = len(r.prompt_ids)
+        cov, shared = self._prefix_lookup(r)
+        scratch = KVCache.create(self.cfg, 1, self.max_seq)
+        scratch = self._attach_shared(slot, shared, scratch)
 
-            for start, take, blen in iter_prefill_chunks(
-                    plen - cov, self._buckets):
-                ids = self._np.zeros((1, blen), self._np.int32)
-                ids[0, :take] = r.prompt_ids[cov + start:
-                                             cov + start + take]
-                logits, scratch = self._pf(
-                    self.params, _jnp.asarray(ids), scratch,
-                    _jnp.int32(cov + start))
-            # next token from the LAST VALID position of the final
-            # (possibly padded) chunk, sampled with the request's
-            # RESOLVED temperature (its first emitted token)
-            temp = (self._temp if r.temperature is None
-                    else r.temperature)
+        for start, take, blen in iter_prefill_chunks(
+                plen - cov, self._buckets):
+            ids = self._np.zeros((1, blen), self._np.int32)
+            ids[0, :take] = r.prompt_ids[cov + start:
+                                         cov + start + take]
+            logits, scratch = self._pf(
+                self.params, _jnp.asarray(ids), scratch,
+                _jnp.int32(cov + start))
+        # next token from the LAST VALID position of the final
+        # (possibly padded) chunk, sampled with the request's
+        # RESOLVED temperature (its first emitted token)
+        temp = (self._temp if r.temperature is None
+                else r.temperature)
+        self._key, sub = _jax.random.split(self._key)
+        tok = int(self._sample(
+            logits[:, take - 1],
+            _jnp.asarray([temp], _jnp.float32), sub)[0])
+        self._finish_admit(slot, r, tok, len(shared), scratch)
+
+    def _admit_group(self, group) -> None:
+        """Batched admission: one prefill dispatch per chunk round
+        across all of ``group``'s scratch rows. Rows whose request ran
+        out of chunks write garbage at [plen, plen+blen) of their OWN
+        scratch row — never scattered past plen, never attended (the
+        slot engine's harmless-garbage invariant, row-local here)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        np = self._np
+        W = self._admit_width
+        scratch = KVCache.create(self.cfg, W, self.max_seq)
+        covs, n_shared, chunks_l = [], [], []
+        for row, (slot, r) in enumerate(group):
+            cov, shared = self._prefix_lookup(r)
+            scratch = self._attach_shared(slot, shared, scratch,
+                                          row=row)
+            covs.append(cov)
+            n_shared.append(len(shared))
+            chunks_l.append(iter_prefill_chunks(
+                len(r.prompt_ids) - cov, self._buckets))
+        temps = np.zeros(W, np.float32)
+        for row, (slot, r) in enumerate(group):
+            temps[row] = (self._temp if r.temperature is None
+                          else r.temperature)
+        toks = np.zeros(W, np.int32)
+        rounds = max(len(c) for c in chunks_l)
+        for j in range(rounds):
+            blen = max(c[j][2] for c in chunks_l if j < len(c))
+            ids = np.zeros((W, blen), np.int32)
+            starts = np.zeros(W, np.int32)
+            plens = np.ones(W, np.int32)
+            for row, (slot, r) in enumerate(group):
+                c = chunks_l[row]
+                if j >= len(c):
+                    starts[row] = len(r.prompt_ids)   # garbage round
+                    continue
+                start, take, _ = c[j]
+                ids[row, :take] = r.prompt_ids[covs[row] + start:
+                                               covs[row] + start + take]
+                starts[row] = covs[row] + start
+                plens[row] = take
             self._key, sub = _jax.random.split(self._key)
-            tok = int(self._sample(
-                logits[:, take - 1],
-                _jnp.asarray([temp], _jnp.float32), sub)[0])
-            self._ensure_pages(slot, plen + 1)
-            self.pages = insert_prefill(self.pages, scratch,
-                                        self.owned[slot], plen,
-                                        start_page=len(shared))
-            if self._prefix is not None:
-                # register this prompt's full pages for future sharing
-                for j in range(plen // psz):
-                    k = tuple(r.prompt_ids[:(j + 1) * psz])
-                    if k not in self._prefix:
-                        pg = int(self.table[slot, j])
-                        self.alloc.retain(pg)   # cache pin
-                        self._prefix[k] = pg
-            self.active[slot] = r
-            self.pos[slot] = plen
-            self._cur[slot] = tok
+            tok, scratch = self._pfb(
+                self.params, _jnp.asarray(ids), scratch,
+                _jnp.asarray(starts), _jnp.asarray(plens),
+                _jnp.asarray(temps), sub)
+            tok = np.asarray(tok)
+            for row, (slot, r) in enumerate(group):
+                if j == len(chunks_l[row]) - 1:
+                    toks[row] = tok[row]
+        for row, (slot, r) in enumerate(group):
+            self._finish_admit(slot, r, int(toks[row]), n_shared[row],
+                               scratch, row=row)
 
     def step(self) -> int:
         import jax.numpy as _jnp
@@ -763,6 +879,39 @@ class PagedEngine:
             if not done:
                 self._cur[i] = int(g[i, int(a[i])])
         return len(act)
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None
+                                       for r in self.active)
+
+    def recover(self) -> int:
+        """Failure recovery (Engine.recover contract over the paged
+        pool): requeue every in-flight request with its prompt extended
+        by the tokens already generated, release ALL pages, reset the
+        allocator/tables/prefix-cache, and zero the pool (a device
+        error leaves its contents untrusted). Greedy re-admission
+        reproduces the exact continuation — the watchdog re-dispatch
+        invariant. Returns #requests requeued."""
+        n = 0
+        for i, r in enumerate(self.active):
+            if r is None:
+                continue
+            r.prompt_ids = r.prompt_ids + r.output_ids
+            self.queue.appendleft(r)
+            self.active[i] = None
+            n += 1
+        for i in range(self.slots):
+            self.owned[i] = []
+        self.table[:, :] = 0
+        self.pos[:] = 0
+        self._cur[:] = 0
+        self.alloc = PageAllocator(self.pages.num_pages)
+        if self._prefix is not None:
+            self._prefix.clear()
+        import jax as _jax
+
+        self.pages = _jax.tree.map(jnp.zeros_like, self.pages)
+        return n
 
     def run(self, max_steps: int = 100000, spec_k: int = 0):
         steps = 0

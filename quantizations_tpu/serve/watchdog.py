@@ -38,6 +38,11 @@ class Watchdog:
     - A dead engine's in-flight requests are recovered via
       ``Engine.recover()`` (prompt extended by generated tokens) and
       its whole queue is re-submitted to the least-loaded live engine.
+
+    The engine interface is duck-typed (``step/recover/has_work/
+    submit-queue/active/finished``): slot ``Engine`` and ``PagedEngine``
+    both qualify, and the pool may mix them (re-dispatch only moves
+    Request objects, never device state).
     """
 
     def __init__(self, engines: List[Engine],

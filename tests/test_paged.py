@@ -353,10 +353,12 @@ def test_paged_engine_per_request_temperature():
     assert all(0 <= t < CFG.vocab_size for t in samp)
 
 
-def test_paged_engine_prefix_cache_shares_pages():
+@pytest.mark.parametrize("slots", [1, 2])
+def test_paged_engine_prefix_cache_shares_pages(slots):
     """With prefix_cache=True, a repeated prompt prefix reuses pool
     pages (same block-table entries, fewer allocations) and the greedy
-    streams stay identical to the uncached engine."""
+    streams stay identical to the uncached engine — through both the
+    per-request (slots=1) and batched (slots=2) admission paths."""
     from quantizations_tpu.serve.paged import PagedEngine
 
     params = init_llama_params(CFG, seed=0)
@@ -367,7 +369,8 @@ def test_paged_engine_prefix_cache_shares_pages():
 
     def run(prefix_cache):
         eng = PagedEngine(params, CFG, num_pages=32, page_size=PSZ,
-                          slots=1, max_seq=64, prefill_buckets=(8, 16),
+                          slots=slots, max_seq=64,
+                          prefill_buckets=(8, 16),
                           prefix_cache=prefix_cache)
         uids = [eng.submit(p, max_new_tokens=4) for p in prompts]
         done = eng.run()
@@ -403,6 +406,82 @@ def test_paged_engine_prefix_cache_evicts_under_pressure():
     done = eng.run()
     assert len(done) == 4
     assert all(len(r.output_ids) == 3 for r in done.values())
+
+
+def test_paged_engine_recover_exact_continuation():
+    """recover(): in-flight requests requeue with prompt+outputs, the
+    pool resets; the re-admitted greedy continuation reproduces the
+    uninterrupted stream exactly."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8]]
+    lens = [8, 7]
+
+    def fresh():
+        eng = PagedEngine(params, CFG, num_pages=24, page_size=PSZ,
+                          slots=2, max_seq=64, prefill_buckets=(8,))
+        uids = [eng.submit(p, max_new_tokens=n)
+                for p, n in zip(prompts, lens)]
+        return eng, uids
+
+    eng, uids = fresh()
+    ref = {u: r.output_ids for u, r in eng.run().items()}
+
+    eng, uids = fresh()
+    for _ in range(3):          # partial progress
+        eng.step()
+    n = eng.recover()
+    assert n == 2
+    assert eng.alloc.available == 23    # every page released
+    done = eng.run()
+    for u in uids:
+        assert done[u].output_ids == ref[u], u
+
+
+def test_watchdog_over_paged_engines():
+    """The multi-engine watchdog drives PagedEngines too (duck-typed
+    step/recover/queue interface): requests on a dying paged engine
+    re-dispatch to the healthy one and finish with the same streams."""
+    from quantizations_tpu.serve.paged import PagedEngine
+    from quantizations_tpu.serve.watchdog import Watchdog
+
+    params = init_llama_params(CFG, seed=0)
+
+    class FailingPagedEngine(PagedEngine):
+        _nsteps = 0
+
+        def step(self):
+            if self._nsteps >= 3:
+                raise RuntimeError("injected device failure")
+            self._nsteps += 1
+            return super().step()
+
+    def mk(cls):
+        return cls(params, CFG, num_pages=24, page_size=PSZ, slots=2,
+                   max_seq=64, prefill_buckets=(8,))
+
+    prompts = [[3, 1, 4], [2, 7, 1, 8], [9, 9, 5], [5, 5, 5, 5]]
+    lens = [6, 6, 5, 5]
+
+    ref_eng = mk(PagedEngine)
+    ref_uid = [ref_eng.submit(p, max_new_tokens=n)
+               for p, n in zip(prompts, lens)]
+    ref = ref_eng.run()
+
+    bad = mk(FailingPagedEngine)
+    good = mk(PagedEngine)
+    for p, n in zip(prompts, lens):
+        bad.submit(p, max_new_tokens=n)
+    wd = Watchdog([bad, good])
+    done = wd.run()
+    assert wd.dead == [True, False]
+    assert wd.failures == [0]
+    assert len(done) == len(prompts)
+    for p, u in zip(prompts, ref_uid):
+        r = next(r for r in done if r.prompt_ids[:len(p)] == p)
+        assert r.done
+        assert r.output_ids == ref[u].output_ids, p
 
 
 def test_paged_engine_matches_slot_engine():
