@@ -32,6 +32,12 @@ def main():
     p.add_argument("--spec-k", type=int, default=0,
                    help=">0: speculative windows (host prompt-lookup "
                         "drafts, one verify dispatch per window)")
+    p.add_argument("--engine", default="slot",
+                   choices=["slot", "paged"],
+                   help="paged: PagedEngine over the page pool (same "
+                        "request mix; measures the serving-e2e paged "
+                        "tax incl. spd/spec amortization)")
+    p.add_argument("--prefix-cache", action="store_true")
     args = p.parse_args()
 
     cfg = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
@@ -39,8 +45,17 @@ def main():
     jax.block_until_ready(params)
 
     serve = ServeConfig(max_seq_len=512)
-    eng = Engine(params, cfg, serve, slots=args.slots,
-                 prefill_buckets=(16, 64))
+    if args.engine == "paged":
+        from quantizations_tpu.serve.paged import PagedEngine
+
+        psz = 128
+        eng = PagedEngine(
+            params, cfg, num_pages=args.slots * (512 // psz) + 8,
+            page_size=psz, slots=args.slots, max_seq=512,
+            prefill_buckets=(16, 64), prefix_cache=args.prefix_cache)
+    else:
+        eng = Engine(params, cfg, serve, slots=args.slots,
+                     prefill_buckets=(16, 64))
     lens = [(13, 48), (40, 96), (7, 32), (60, 64)]
     for i in range(args.requests):
         plen, n = lens[i % len(lens)]
@@ -58,9 +73,10 @@ def main():
     dt = time.perf_counter() - t0
     toks = sum(len(r.output_ids) for r in done.values())
     extra = (f" spec_windows={eng.stats()['spec_windows']}"
-             if args.spec_k else "")
-    print(f"requests={len(done)} tokens={toks} "
-          f"steps={eng._steps} wall={dt:.2f}s "
+             if args.spec_k and hasattr(eng, "stats") else "")
+    steps = getattr(eng, "_steps", "n/a")
+    print(f"engine={args.engine} requests={len(done)} tokens={toks} "
+          f"steps={steps} wall={dt:.2f}s "
           f"aggregate={toks/dt:.1f} tok/s (first step {warm:.1f}s)"
           f"{extra}")
 

@@ -1,7 +1,9 @@
-"""Serving layer: jitted generate loop, sampling, metrics."""
+"""Serving layer: jitted generate loop, sampling, engines, metrics."""
 
 from .engine import Engine, Request
 from .generate import GenerateResult, generate, make_generate_fn, sample_logits
+from .paged import PagedEngine, PagedKVCache
+from .watchdog import Watchdog
 
 __all__ = [
     "generate",
@@ -10,4 +12,7 @@ __all__ = [
     "GenerateResult",
     "Engine",
     "Request",
+    "PagedEngine",
+    "PagedKVCache",
+    "Watchdog",
 ]

@@ -44,6 +44,26 @@ def main() -> None:
     p.add_argument("--pipeline", default="grid",
                    choices=["grid", "manual"],
                    help="decode-band pair-kernel weight streaming")
+    p.add_argument("--engine", default="generate",
+                   choices=["generate", "slot", "paged"],
+                   help="generate = one jitted loop; slot/paged = "
+                        "continuous-batching engines (single device; "
+                        "';'-separate --prompt-ids for several "
+                        "requests)")
+    p.add_argument("--slots", type=int, default=4,
+                   help="engine batch slots")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="engine speculative window (prompt-lookup "
+                        "drafts, one verify dispatch per window)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="engine decode steps per device dispatch")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="paged engine: share full prompt-prefix pages "
+                        "across requests")
+    p.add_argument("--num-pages", type=int, default=0,
+                   help="paged engine pool size (0 = slots*max_seq/"
+                        "page_size + slack)")
+    p.add_argument("--page-size", type=int, default=128)
     args = p.parse_args()
 
     import jax
@@ -89,12 +109,58 @@ def main() -> None:
             tokenizer = None
 
     if args.prompt_ids:
-        ids = [int(t) for t in args.prompt_ids.split(",")]
+        prompts = [[int(t) for t in grp.split(",")]
+                   for grp in args.prompt_ids.split(";") if grp]
     elif tokenizer is not None:
-        ids = tokenizer.encode(args.prompt)
+        prompts = [tokenizer.encode(args.prompt)]
     else:
-        ids = [1, 2, 3, 4, 5]  # demo: raw ids
+        prompts = [[1, 2, 3, 4, 5]]  # demo: raw ids
+    ids = prompts[0]
     prompt = jnp.asarray([ids], jnp.int32)
+
+    if args.engine != "generate":
+        if args.tp > 1:
+            raise SystemExit("--engine slot/paged is single-device")
+        import numpy as np
+
+        if args.engine == "slot":
+            from .engine import Engine
+
+            eng = Engine(params, cfg, serve, slots=args.slots,
+                         temperature=serve.temperature,
+                         top_k=serve.top_k, top_p=serve.top_p)
+        else:
+            from .paged import PagedEngine
+
+            psz = args.page_size
+            npages = args.num_pages or (
+                args.slots * -(-serve.max_seq_len // psz) + 8)
+            eng = PagedEngine(
+                params, cfg, num_pages=npages, page_size=psz,
+                slots=args.slots, max_seq=serve.max_seq_len,
+                temperature=serve.temperature, top_k=serve.top_k,
+                top_p=serve.top_p, prefix_cache=args.prefix_cache)
+        t0 = time.perf_counter()
+        uids = [eng.submit(p_, max_new_tokens=args.max_new_tokens,
+                           eos_id=args.eos_id,
+                           temperature=args.temperature)
+                for p_ in prompts]
+        done = eng.run(spec_k=args.spec_k,
+                       steps_per_dispatch=args.steps_per_dispatch)
+        dt = time.perf_counter() - t0
+        total = sum(len(done[u].output_ids) for u in uids)
+        print(json.dumps({
+            "engine": args.engine,
+            "requests": [{
+                "prompt_ids": p_,
+                "output_ids": done[u].output_ids,
+                "output_text": (tokenizer.decode(done[u].output_ids)
+                                if tokenizer is not None else None),
+            } for p_, u in zip(prompts, uids)],
+            "wall_s": round(dt, 3),
+            "tokens_per_s_incl_compile": round(total / dt, 2),
+        }))
+        return
 
     if args.tp > 1 and args.model:
         from jax.sharding import NamedSharding

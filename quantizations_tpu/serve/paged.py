@@ -380,6 +380,36 @@ def _paged_spec_step(params, feed, pages, block_table, pos, draft,
     return g, a, pages
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_pages", "n", "top_k", "top_p"),
+    donate_argnums=(2,),
+)
+def _paged_multi_step(params, tokens, pages, block_table, pos, temps,
+                      key, cfg, max_pages, n, top_k, top_p):
+    """``n`` decode steps over the paged pool in ONE dispatch (the slot
+    engine's ``_make_multi_step`` over block tables): scan T=1 paged
+    forwards, sampling each row with its own temperature. Emitted[j] is
+    the token vector fed INTO step j; the final carry is the next
+    pending token per slot. Pages for positions pos..pos+n-1 must be
+    pre-allocated in ``block_table``."""
+    from .engine import sample_rows
+
+    def body(carry, k):
+        tok, pages, pos_v = carry
+        logits, pages = _paged_forward(params, tok[:, None], pages,
+                                       block_table, pos_v, cfg,
+                                       max_pages)
+        nxt = sample_rows(logits[:, 0], temps, k, top_k=top_k,
+                          top_p=top_p)
+        return (nxt, pages, pos_v + 1), tok
+
+    keys = jax.random.split(key, n)
+    (tok, pages, _), emitted = jax.lax.scan(body, (tokens, pages, pos),
+                                            keys)
+    return tok, emitted.T, pages   # [B], [B, n], pool
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_page(pages: PagedKVCache, scratch: KVCache,
                   src_start: jnp.ndarray, page_id: jnp.ndarray,
@@ -525,6 +555,9 @@ class PagedEngine:
         import jax as _jax
 
         self._admit_width = max(1, admit_width)
+        self._top_k, self._top_p = top_k, top_p
+        self._steps = 0
+        self._spec_windows = 0
         self._key = _jax.random.PRNGKey(seed)
         self._sample = _jax.jit(functools.partial(
             sample_rows, top_k=top_k, top_p=top_p))
@@ -790,6 +823,7 @@ class PagedEngine:
         self._key, sub = _jax.random.split(self._key)
         nxt = self._np.asarray(self._sample(
             logits, _jnp.asarray(self._slot_temps()), sub))
+        self._steps += 1
         for i in act:
             r = self.active[i]
             r.output_ids.append(int(self._cur[i]))
@@ -807,6 +841,64 @@ class PagedEngine:
                 self.alloc.free(self.owned[i])
                 self.owned[i] = []
                 self.table[i, :] = 0
+        return len(act)
+
+    def step_window(self, n: int) -> int:
+        """Run ``n`` decode steps in ONE device dispatch over the paged
+        pool (the slot engine's tunnel-RTT amortization, paged):
+        admission/retirement happen at window boundaries, so finished
+        slots waste at most ``n - 1`` step-slots of throwaway tokens —
+        written into their own (still-owned) pages, freed at
+        retirement. Near the sequence end falls back to a plain step
+        (runs requests to max_seq - 1 token-identically)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        self._admit()
+        act = [i for i, r in enumerate(self.active) if r is not None]
+        if not act:
+            return 0
+        if any(self.pos[i] + n > self.max_seq - 1 for i in act):
+            return self.step()
+        for i in act:
+            self._ensure_pages(i, int(self.pos[i]) + n)
+        live_pages = int(self._np.max(
+            ((self.pos[act] + n - 1) // self.page_size) + 1))
+        mp = 1
+        while mp < live_pages:
+            mp *= 2
+        mp = min(mp, self.max_pages)
+        self._key, sub = _jax.random.split(self._key)
+        nxt, emitted, self.pages = _paged_multi_step(
+            self.params, _jnp.asarray(self._cur), self.pages,
+            _jnp.asarray(self.table), _jnp.asarray(self.pos),
+            _jnp.asarray(self._slot_temps()), sub, self.cfg,
+            max_pages=mp, n=n, top_k=self._top_k, top_p=self._top_p)
+        nxt = self._np.asarray(nxt)
+        emitted = self._np.asarray(emitted)    # [slots, n]
+        self._steps += n
+        for i in act:
+            r = self.active[i]
+            done = False
+            for j in range(n):
+                t = int(emitted[i, j])
+                r.output_ids.append(t)
+                if self.on_token is not None:
+                    self.on_token(r, t)
+                self.pos[i] += 1
+                full = len(r.output_ids) >= r.max_new_tokens
+                hit_eos = r.eos_id is not None and t == r.eos_id
+                out_of_room = self.pos[i] >= self.max_seq - 1
+                if full or hit_eos or out_of_room:
+                    r.done = done = True
+                    self.finished[r.uid] = r
+                    self.active[i] = None
+                    self.alloc.free(self.owned[i])
+                    self.owned[i] = []
+                    self.table[i, :] = 0
+                    break
+            if not done:
+                self._cur[i] = int(nxt[i])
         return len(act)
 
     def step_spec(self, k: int = 8) -> int:
@@ -855,6 +947,8 @@ class PagedEngine:
             max_pages=mp)
         g = self._np.asarray(g)
         a = self._np.asarray(a)
+        self._steps += 1
+        self._spec_windows += 1
         for i in act:
             r = self.active[i]
             toks = [int(self._cur[i])] + [int(t) for t in
@@ -883,6 +977,31 @@ class PagedEngine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None
                                        for r in self.active)
+
+    def stats(self) -> dict:
+        """Live engine counters (Engine.stats contract) + page-pool
+        occupancy — the paged engine's reason to exist is that memory
+        tracks LIVE tokens, so the pool numbers are the headline."""
+        live = sum(1 for r in self.active if r is not None)
+        return {
+            "steps": self._steps,
+            "spec_windows": self._spec_windows,
+            "active_slots": live,
+            "queued": len(self.queue),
+            "finished": len(self.finished),
+            "emitted_tokens": sum(len(r.output_ids)
+                                  for r in self.finished.values())
+            + sum(len(r.output_ids) for r in self.active
+                  if r is not None),
+            "pages_total": self.pages.num_pages,
+            "pages_free": self.alloc.available,
+            "prefix_cache_pages": (0 if self._prefix is None
+                                   else len(self._prefix)),
+            "live_tokens": int(self.pos[[i for i, r in
+                                         enumerate(self.active)
+                                         if r is not None]].sum())
+            if live else 0,
+        }
 
     def recover(self) -> int:
         """Failure recovery (Engine.recover contract over the paged
@@ -913,11 +1032,14 @@ class PagedEngine:
         self.pages = _jax.tree.map(jnp.zeros_like, self.pages)
         return n
 
-    def run(self, max_steps: int = 100000, spec_k: int = 0):
+    def run(self, max_steps: int = 100000, spec_k: int = 0,
+            steps_per_dispatch: int = 1):
         steps = 0
         while (self.queue or any(self.active)) and steps < max_steps:
             if spec_k > 0:
                 self.step_spec(spec_k)
+            elif steps_per_dispatch > 1:
+                self.step_window(steps_per_dispatch)
             else:
                 self.step()
             steps += 1

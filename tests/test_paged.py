@@ -484,6 +484,51 @@ def test_watchdog_over_paged_engines():
         assert r.output_ids == ref[u].output_ids, p
 
 
+def test_paged_engine_step_window_matches_plain():
+    """run(steps_per_dispatch=n) streams token-identically to the plain
+    paged engine — mid-window finishes (mixed lengths), a fresh request
+    admitted at a window boundary after retirement (page reuse), and
+    the near-max_seq fallback to plain steps all covered."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    prompts = [[3, 1, 4], [2, 7, 1, 8, 2, 8], [9, 9, 1, 2, 3]]
+    lens = [5, 9, 4]
+
+    def mk():
+        return PagedEngine(params, CFG, num_pages=24, page_size=PSZ,
+                           slots=2, max_seq=32, prefill_buckets=(8,))
+
+    eng = mk()
+    uids = [eng.submit(p, max_new_tokens=n)
+            for p, n in zip(prompts, lens)]
+    ref = eng.run()
+
+    eng = mk()
+    uids2 = [eng.submit(p, max_new_tokens=n)
+             for p, n in zip(prompts, lens)]
+    done = eng.run(steps_per_dispatch=4)
+    for u, ru in zip(uids2, uids):
+        assert done[u].output_ids == ref[ru].output_ids, u
+    assert eng.alloc.available == 23
+    st = eng.stats()
+    assert st["finished"] == 3 and st["active_slots"] == 0
+    assert st["emitted_tokens"] == sum(lens)
+    assert st["steps"] > 0 and st["steps"] % 4 == 0
+    assert st["pages_free"] == 23 and st["pages_total"] == 24
+
+    # a prompt long enough that pos + n crosses max_seq - 1 exercises
+    # the plain-step fallback; stream must still match
+    eng = mk()
+    long_p = list(range(1, 26))
+    u_ref = eng.submit(long_p, max_new_tokens=6)
+    ref = eng.run()
+    eng = mk()
+    u = eng.submit(long_p, max_new_tokens=6)
+    done = eng.run(steps_per_dispatch=4)
+    assert done[u].output_ids == ref[u_ref].output_ids
+
+
 def test_paged_engine_matches_slot_engine():
     """PagedEngine produces the same greedy streams as the slot Engine,
     and frees its pages when requests finish."""

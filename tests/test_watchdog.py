@@ -116,6 +116,31 @@ def test_hung_step_detected_by_timeout(params):
     assert r.output_ids == _reference_tokens(params, prompt, 5)
 
 
+def test_mixed_slot_and_paged_pool(params):
+    """A watchdog pool may MIX engine kinds (re-dispatch moves only
+    Request objects): a dying slot engine's requests finish on a
+    healthy PagedEngine with the exact greedy streams."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    serve = ServeConfig(max_seq_len=MAX_SEQ)
+    bad = FailingEngine(params, CFG, serve, slots=2,
+                        prefill_buckets=(8,))
+    good = PagedEngine(params, CFG, num_pages=16, page_size=16,
+                       slots=2, max_seq=MAX_SEQ, prefill_buckets=(8,))
+    prompts = [[3, 1, 4], [2, 7, 1, 8], [9, 9, 5]]
+    lens = [6, 6, 5]
+    for p, n in zip(prompts, lens):
+        bad.submit(p, max_new_tokens=n)
+    wd = Watchdog([bad, good])
+    done = wd.run()
+    assert wd.dead == [True, False]
+    assert len(done) == len(prompts)
+    for p, n in zip(prompts, lens):
+        r = next(r for r in done if r.prompt_ids[:len(p)] == p)
+        assert r.done
+        assert r.output_ids == _reference_tokens(params, p, n), p
+
+
 def test_no_failure_passthrough(params):
     """With healthy engines the watchdog is a plain driver: results
     match Engine.run()."""
