@@ -106,6 +106,16 @@ def cache_pspec() -> KVCache:
                    v=P(None, None, AXIS, None, None))
 
 
+def paged_pool_pspec():
+    """PartitionSpec pytree for a bf16 :class:`PagedKVCache`
+    ``[L, P, KVH, page, D]`` — kv heads sharded like the slot cache
+    (page ids are global, the page axis stays unsharded)."""
+    from ..serve.paged import PagedKVCache
+
+    return PagedKVCache(pages_k=P(None, None, AXIS, None, None),
+                        pages_v=P(None, None, AXIS, None, None))
+
+
 def _ensure_planar(ql: QLinear) -> QLinear:
     """Row-parallel (K-sharded) weights must use the planar layout: the
     SWAR pair layout's word axis is shard-LOCAL (its even/odd halves

@@ -119,16 +119,17 @@ def main() -> None:
     prompt = jnp.asarray([ids], jnp.int32)
 
     if args.engine != "generate":
-        if args.tp > 1:
-            raise SystemExit("--engine slot/paged is single-device")
-        import numpy as np
-
+        if args.tp > 1 and not args.model:
+            raise SystemExit("--engine with --tp needs --model "
+                             "(mesh-placed params)")
+        emesh = mesh if (args.tp > 1 and args.model) else None
         if args.engine == "slot":
             from .engine import Engine
 
             eng = Engine(params, cfg, serve, slots=args.slots,
                          temperature=serve.temperature,
-                         top_k=serve.top_k, top_p=serve.top_p)
+                         top_k=serve.top_k, top_p=serve.top_p,
+                         mesh=emesh)
         else:
             from .paged import PagedEngine
 
@@ -139,7 +140,8 @@ def main() -> None:
                 params, cfg, num_pages=npages, page_size=psz,
                 slots=args.slots, max_seq=serve.max_seq_len,
                 temperature=serve.temperature, top_k=serve.top_k,
-                top_p=serve.top_p, prefix_cache=args.prefix_cache)
+                top_p=serve.top_p, prefix_cache=args.prefix_cache,
+                mesh=emesh)
         t0 = time.perf_counter()
         uids = [eng.submit(p_, max_new_tokens=args.max_new_tokens,
                            eos_id=args.eos_id,

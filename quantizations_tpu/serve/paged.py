@@ -40,6 +40,7 @@ from ..models.llama import (
     _act,
     _norm,
     _ql,
+    _ql_psum,
     apply_rope,
     embed_lookup,
     rms_norm,
@@ -141,6 +142,7 @@ def _paged_forward(
                                # position pos[b] + t
     cfg: LlamaConfig,
     max_pages: int,            # static: pages covered by attention
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, PagedKVCache]:
     """Shared paged forward (T=1 decode / T=K speculative verify):
     write row b's token t at (page=table[b, (pos+t)//page],
@@ -148,7 +150,9 @@ def _paged_forward(
     via the block-table flash kernel with ``q_span=T`` causal window
     masking. An int8 pool quantizes-on-write (per-token absmax, shared
     quantize_kv_i8 semantics) and attends through the i8 paged kernel.
-    Returns (logits [B, T, vocab], pages)."""
+    ``axis_name`` runs the Megatron TP pattern per shard (shard_map
+    caller): kv-head-sharded pages, psum after o/down, vocab-sharded
+    head gathered. Returns (logits [B, T, vocab], pages)."""
     from ..models.llama import quantize_kv_i8
     from ..ops.paged_attention import (paged_flash_decode_attention,
                                        paged_flash_decode_attention_i8)
@@ -272,7 +276,8 @@ def _paged_forward(
             attn = attn.reshape(B_, n_kv, T_, G, D).transpose(
                 0, 2, 1, 3, 4).reshape(B_ * T_, n_q * D)
 
-            o = _ql(attn.astype(qcfg.compute_dtype), layer.o, qcfg, i)
+            o = _ql_psum(attn.astype(qcfg.compute_dtype), layer.o,
+                         qcfg, i, axis_name, cfg.tp_overlap_chunks)
             ob = o.reshape(B_, T_, h)
             if layer.post_attn_norm is not None:
                 ob = _norm(ob, layer.post_attn_norm, cfg)
@@ -284,7 +289,8 @@ def _paged_forward(
             g = _ql(x2, layer.gate, qcfg, i)
             u = _ql(x2, layer.up, qcfg, i)
             act = _act(g, cfg) * u
-            d = _ql(act.astype(qcfg.compute_dtype), layer.down, qcfg, i)
+            d = _ql_psum(act.astype(qcfg.compute_dtype), layer.down,
+                         qcfg, i, axis_name, cfg.tp_overlap_chunks)
             db = d.reshape(B_, T_, h)
             if layer.post_mlp_norm is not None:
                 db = _norm(db, layer.post_mlp_norm, cfg)
@@ -311,6 +317,10 @@ def _paged_forward(
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         logits = cap * jnp.tanh(logits / cap)
+    if axis_name is not None:
+        # lm_head is vocab-sharded (column-parallel): gather the shards
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1,
+                                    tiled=True)
     return logits, PagedKVCache(pages_k=pk, pages_v=pv,
                                 k_scale=pks, v_scale=pvs)
 
@@ -361,32 +371,31 @@ def paged_verify_step(
                           cfg, max_pages)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_pages"),
-    donate_argnums=(2,),
-)
-def _paged_spec_step(params, feed, pages, block_table, pos, draft,
-                     temps, key, cfg, max_pages):
+def _paged_spec_impl(params, feed, pages, block_table, pos, draft,
+                     temps, key, cfg, max_pages, axis_name=None):
     """Verify window + accept/correct in ONE dispatch (eager device
     round-trips are the engine's cost unit): returns (g [B, K] window
     tokens, a [B] accepted-draft counts, pages)."""
     from .speculative import spec_accept_sample_vec, spec_window_tokens
 
     logits, pages = _paged_forward(params, feed, pages, block_table,
-                                   pos, cfg, max_pages)
+                                   pos, cfg, max_pages,
+                                   axis_name=axis_name)
     okk, corr = spec_accept_sample_vec(logits, draft, key, temps)
     g, a = spec_window_tokens(okk, corr, draft)
     return g, a, pages
 
 
-@functools.partial(
+_paged_spec_step = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_pages", "n", "top_k", "top_p"),
+    static_argnames=("cfg", "max_pages"),
     donate_argnums=(2,),
-)
-def _paged_multi_step(params, tokens, pages, block_table, pos, temps,
-                      key, cfg, max_pages, n, top_k, top_p):
+)(_paged_spec_impl)
+
+
+def _paged_multi_impl(params, tokens, pages, block_table, pos, temps,
+                      key, cfg, max_pages, n, top_k, top_p,
+                      axis_name=None):
     """``n`` decode steps over the paged pool in ONE dispatch (the slot
     engine's ``_make_multi_step`` over block tables): scan T=1 paged
     forwards, sampling each row with its own temperature. Emitted[j] is
@@ -399,7 +408,7 @@ def _paged_multi_step(params, tokens, pages, block_table, pos, temps,
         tok, pages, pos_v = carry
         logits, pages = _paged_forward(params, tok[:, None], pages,
                                        block_table, pos_v, cfg,
-                                       max_pages)
+                                       max_pages, axis_name=axis_name)
         nxt = sample_rows(logits[:, 0], temps, k, top_k=top_k,
                           top_p=top_p)
         return (nxt, pages, pos_v + 1), tok
@@ -408,6 +417,13 @@ def _paged_multi_step(params, tokens, pages, block_table, pos, temps,
     (tok, pages, _), emitted = jax.lax.scan(body, (tokens, pages, pos),
                                             keys)
     return tok, emitted.T, pages   # [B], [B, n], pool
+
+
+_paged_multi_step = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_pages", "n", "top_k", "top_p"),
+    donate_argnums=(2,),
+)(_paged_multi_impl)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -516,7 +532,12 @@ class PagedEngine:
                  max_seq: int = 2048, prefill_buckets=(64, 256),
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, seed: int = 0,
-                 prefix_cache: bool = False, admit_width: int = 4):
+                 prefix_cache: bool = False, admit_width: int = 4,
+                 mesh=None):
+        """``mesh``: a tp mesh (parallel.make_mesh) — params must
+        already be placed with ``shard_llama_params``; the pool shards
+        its kv heads over the mesh and every step/prefill runs under
+        shard_map with the TP collectives (bf16 pool only)."""
         from collections import OrderedDict, deque
 
         import numpy as np
@@ -530,8 +551,28 @@ class PagedEngine:
         self.page_size = page_size
         self.max_seq = max_seq
         self.slots = slots
+        self.mesh = mesh
         self.max_pages = max_seq // page_size
         self.pages = PagedKVCache.create(cfg, num_pages, page_size)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..parallel.shard import (AXIS, cache_pspec,
+                                          llama_param_pspecs,
+                                          paged_pool_pspec, validate_tp)
+
+            if self.pages.k_scale is not None:
+                raise ValueError("TP paged pool requires a bf16 KV "
+                                 "cache (kv_cache_dtype='bf16')")
+            validate_tp(cfg, mesh.shape[AXIS])
+            self._axis = AXIS
+            self._pspecs = llama_param_pspecs(cfg)
+            self._cspec = cache_pspec()
+            self._ppspec = paged_pool_pspec()
+            self.pages = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                self.pages, self._ppspec)
+        self._mesh_fns: dict = {}
         self.alloc = PageAllocator(num_pages)
         self.table = np.zeros((slots, self.max_pages), np.int32)
         self.owned: List[List[int]] = [[] for _ in range(slots)]
@@ -561,28 +602,52 @@ class PagedEngine:
         self._key = _jax.random.PRNGKey(seed)
         self._sample = _jax.jit(functools.partial(
             sample_rows, top_k=top_k, top_p=top_p))
-        self._pf = _jax.jit(functools.partial(
-            self._prefill_impl, cfg=cfg), donate_argnums=(2,))
-        self._pfb = _jax.jit(functools.partial(
-            self._prefill_batch_impl, cfg=cfg, top_k=top_k,
-            top_p=top_p), donate_argnums=(2,))
+        if mesh is None:
+            self._pf = _jax.jit(functools.partial(
+                self._prefill_impl, cfg=cfg), donate_argnums=(2,))
+            self._pfb = _jax.jit(functools.partial(
+                self._prefill_batch_impl, cfg=cfg, top_k=top_k,
+                top_p=top_p), donate_argnums=(2,))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            self._pf = _jax.jit(_jax.shard_map(
+                functools.partial(self._prefill_impl, cfg=cfg,
+                                  axis_name=self._axis),
+                mesh=mesh,
+                in_specs=(self._pspecs, P(None, None), self._cspec,
+                          P()),
+                out_specs=(P(None, None, None), self._cspec),
+                check_vma=False), donate_argnums=(2,))
+            self._pfb = _jax.jit(_jax.shard_map(
+                functools.partial(self._prefill_batch_impl, cfg=cfg,
+                                  top_k=top_k, top_p=top_p,
+                                  axis_name=self._axis),
+                mesh=mesh,
+                in_specs=(self._pspecs, P(None, None), self._cspec,
+                          P(None), P(None), P(None), P(None)),
+                out_specs=(P(None), self._cspec),
+                check_vma=False), donate_argnums=(2,))
 
     @staticmethod
-    def _prefill_impl(params, ids, scratch, start, cfg):
+    def _prefill_impl(params, ids, scratch, start, cfg,
+                      axis_name=None):
         from ..models.llama import prefill
 
-        return prefill(params, ids, scratch, cfg, pos=start)
+        return prefill(params, ids, scratch, cfg, pos=start,
+                       axis_name=axis_name)
 
     @staticmethod
     def _prefill_batch_impl(params, ids, scratch, starts, plens, temps,
-                            key, cfg, top_k, top_p):
+                            key, cfg, top_k, top_p, axis_name=None):
         """One chunk ROUND for several admissions: prefill every
         scratch row at its own start, sample each row's last valid
         position with its resolved temperature."""
         from ..models.llama import prefill
         from .engine import sample_rows
 
-        logits, scratch = prefill(params, ids, scratch, cfg, pos=starts)
+        logits, scratch = prefill(params, ids, scratch, cfg,
+                                  pos=starts, axis_name=axis_name)
         logit = jnp.take_along_axis(
             logits, (plens - 1)[:, None, None], axis=1)[:, 0]
         tok = sample_rows(logit, temps, key, top_k=top_k, top_p=top_p)
@@ -608,6 +673,101 @@ class PagedEngine:
             [0.0 if r is None else (self._temp if r.temperature is None
                                     else r.temperature)
              for r in self.active], self._np.float32)
+
+    # -- dispatch builders (single-device jits / tp shard_maps) ----------
+
+    def _mk_scratch(self, rows: int) -> KVCache:
+        s = KVCache.create(self.cfg, rows, self.max_seq)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            s = jax.tree.map(
+                lambda x, sp: jax.device_put(
+                    x, NamedSharding(self.mesh, sp)), s, self._cspec)
+        return s
+
+    def _step_fn(self, mp: int):
+        """(params, tok [B,1], pages, table, pos) -> (logits, pages)."""
+        if self.mesh is None:
+            return functools.partial(paged_decode_step, cfg=self.cfg,
+                                     max_pages=mp)
+        key = ("step", mp)
+        fn = self._mesh_fns.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            cfg, axis = self.cfg, self._axis
+
+            def raw(p, tok, pages, table, pos):
+                logits, pages = _paged_forward(
+                    p, tok, pages, table, pos, cfg, mp, axis_name=axis)
+                return logits[:, 0], pages
+
+            fn = jax.jit(jax.shard_map(
+                raw, mesh=self.mesh,
+                in_specs=(self._pspecs, P(None, None), self._ppspec,
+                          P(None, None), P(None)),
+                out_specs=(P(None, None), self._ppspec),
+                check_vma=False), donate_argnums=(2,))
+            self._mesh_fns[key] = fn
+        return fn
+
+    def _multi_fn(self, mp: int, n: int):
+        """(params, tokens [B], pages, table, pos, temps, key) ->
+        (next [B], emitted [B, n], pages)."""
+        if self.mesh is None:
+            return functools.partial(
+                _paged_multi_step, cfg=self.cfg, max_pages=mp, n=n,
+                top_k=self._top_k, top_p=self._top_p)
+        key = ("multi", mp, n)
+        fn = self._mesh_fns.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            cfg, axis = self.cfg, self._axis
+            tk, tp_ = self._top_k, self._top_p
+
+            def raw(p, tokens, pages, table, pos, temps, k):
+                return _paged_multi_impl(p, tokens, pages, table, pos,
+                                         temps, k, cfg, mp, n, tk, tp_,
+                                         axis_name=axis)
+
+            fn = jax.jit(jax.shard_map(
+                raw, mesh=self.mesh,
+                in_specs=(self._pspecs, P(None), self._ppspec,
+                          P(None, None), P(None), P(None), P(None)),
+                out_specs=(P(None), P(None, None), self._ppspec),
+                check_vma=False), donate_argnums=(2,))
+            self._mesh_fns[key] = fn
+        return fn
+
+    def _spec_fn(self, mp: int):
+        """(params, feed, pages, table, pos, draft, temps, key) ->
+        (g [B, K], a [B], pages)."""
+        if self.mesh is None:
+            return functools.partial(_paged_spec_step, cfg=self.cfg,
+                                     max_pages=mp)
+        key = ("spec", mp)
+        fn = self._mesh_fns.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            cfg, axis = self.cfg, self._axis
+
+            def raw(p, feed, pages, table, pos, draft, temps, kk):
+                return _paged_spec_impl(p, feed, pages, table, pos,
+                                        draft, temps, kk, cfg, mp,
+                                        axis_name=axis)
+
+            fn = jax.jit(jax.shard_map(
+                raw, mesh=self.mesh,
+                in_specs=(self._pspecs, P(None, None), self._ppspec,
+                          P(None, None), P(None), P(None, None),
+                          P(None), P(None)),
+                out_specs=(P(None, None), P(None), self._ppspec),
+                check_vma=False), donate_argnums=(2,))
+            self._mesh_fns[key] = fn
+        return fn
 
     def _alloc_pages(self, n: int) -> List[int]:
         """Allocate, evicting prefix-cache pages (LRU, unshared only)
@@ -722,7 +882,7 @@ class PagedEngine:
 
         plen = len(r.prompt_ids)
         cov, shared = self._prefix_lookup(r)
-        scratch = KVCache.create(self.cfg, 1, self.max_seq)
+        scratch = self._mk_scratch(1)
         scratch = self._attach_shared(slot, shared, scratch)
 
         for start, take, blen in iter_prefill_chunks(
@@ -755,7 +915,7 @@ class PagedEngine:
 
         np = self._np
         W = self._admit_width
-        scratch = KVCache.create(self.cfg, W, self.max_seq)
+        scratch = self._mk_scratch(W)
         covs, n_shared, chunks_l = [], [], []
         for row, (slot, r) in enumerate(group):
             cov, shared = self._prefix_lookup(r)
@@ -814,10 +974,9 @@ class PagedEngine:
         while mp < live_pages:
             mp *= 2
         mp = min(mp, self.max_pages)
-        logits, self.pages = paged_decode_step(
+        logits, self.pages = self._step_fn(mp)(
             self.params, _jnp.asarray(self._cur)[:, None], self.pages,
-            _jnp.asarray(self.table), _jnp.asarray(self.pos), self.cfg,
-            max_pages=mp)
+            _jnp.asarray(self.table), _jnp.asarray(self.pos))
         import jax as _jax
 
         self._key, sub = _jax.random.split(self._key)
@@ -869,11 +1028,10 @@ class PagedEngine:
             mp *= 2
         mp = min(mp, self.max_pages)
         self._key, sub = _jax.random.split(self._key)
-        nxt, emitted, self.pages = _paged_multi_step(
+        nxt, emitted, self.pages = self._multi_fn(mp, n)(
             self.params, _jnp.asarray(self._cur), self.pages,
             _jnp.asarray(self.table), _jnp.asarray(self.pos),
-            _jnp.asarray(self._slot_temps()), sub, self.cfg,
-            max_pages=mp, n=n, top_k=self._top_k, top_p=self._top_p)
+            _jnp.asarray(self._slot_temps()), sub)
         nxt = self._np.asarray(nxt)
         emitted = self._np.asarray(emitted)    # [slots, n]
         self._steps += n
@@ -939,12 +1097,11 @@ class PagedEngine:
             mp *= 2
         mp = min(mp, self.max_pages)
         self._key, sub = _jax.random.split(self._key)
-        g, a, self.pages = _paged_spec_step(
+        g, a, self.pages = self._spec_fn(mp)(
             self.params, _jnp.asarray(feed), self.pages,
             _jnp.asarray(self.table), _jnp.asarray(self.pos),
             _jnp.asarray(draft),
-            _jnp.asarray(self._slot_temps()), sub, self.cfg,
-            max_pages=mp)
+            _jnp.asarray(self._slot_temps()), sub)
         g = self._np.asarray(g)
         a = self._np.asarray(a)
         self._steps += 1

@@ -529,6 +529,43 @@ def test_paged_engine_step_window_matches_plain():
     assert done[u].output_ids == ref[u_ref].output_ids
 
 
+def test_paged_engine_tp_matches_single_device():
+    """PagedEngine over a tp mesh (kv-head-sharded pool, shard_map
+    steps with the Megatron psum/all-gather pattern) streams
+    token-identically to the single-device paged engine through the
+    plain, multi-step, and speculative paths (batched admission runs
+    in all of them)."""
+    from quantizations_tpu.parallel import make_mesh, shard_llama_params
+    from quantizations_tpu.parallel.shard import validate_tp
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    tp = 2
+    if len(jax.devices()) < tp:
+        pytest.skip("needs 2 devices")
+    validate_tp(CFG, tp)
+    mesh = make_mesh((tp,), ("tp",))
+    params = init_llama_params(CFG, seed=0)
+    sharded = shard_llama_params(params, mesh, CFG)
+
+    prompts = [[3, 1, 4], [2, 7, 1, 8, 2, 8], [9, 9, 1, 2, 3]]
+    lens = [5, 7, 4]
+
+    def run(p, mesh_, spd=1, spec_k=0):
+        eng = PagedEngine(p, CFG, num_pages=24, page_size=PSZ,
+                          slots=2, max_seq=64, prefill_buckets=(8,),
+                          mesh=mesh_)
+        uids = [eng.submit(pr, max_new_tokens=n)
+                for pr, n in zip(prompts, lens)]
+        done = eng.run(spec_k=spec_k, steps_per_dispatch=spd)
+        assert eng.alloc.available == 23
+        return [done[u].output_ids for u in uids]
+
+    ref = run(params, None)
+    assert run(sharded, mesh) == ref
+    assert run(sharded, mesh, spd=3) == ref
+    assert run(sharded, mesh, spec_k=4) == ref
+
+
 def test_paged_engine_matches_slot_engine():
     """PagedEngine produces the same greedy streams as the slot Engine,
     and frees its pages when requests finish."""
