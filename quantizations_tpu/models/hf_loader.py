@@ -318,7 +318,10 @@ def _iter_qlinears(params: LlamaParams) -> Iterator[Tuple[str, Any]]:
     yield "layers.mlp_norm", params.layers.mlp_norm
     for attr in ("q", "k", "v", "o", "gate", "up", "down"):
         yield f"layers.{attr}", getattr(params.layers, attr)
-    for attr in ("q_bias", "k_bias", "v_bias"):
+    # optional family leaves: qkv biases (Qwen2), sandwich norms
+    # (Gemma-2), per-head qk norms (Qwen3)
+    for attr in ("q_bias", "k_bias", "v_bias", "post_attn_norm",
+                 "post_mlp_norm", "q_norm", "k_norm"):
         leaf = getattr(params.layers, attr)
         if leaf is not None:
             yield f"layers.{attr}", leaf
@@ -373,6 +376,10 @@ def load_quantized(path: str, cfg: LlamaConfig) -> LlamaParams:
         q_bias=get_opt("layers.q_bias"),
         k_bias=get_opt("layers.k_bias"),
         v_bias=get_opt("layers.v_bias"),
+        post_attn_norm=get_opt("layers.post_attn_norm"),
+        post_mlp_norm=get_opt("layers.post_mlp_norm"),
+        q_norm=get_opt("layers.q_norm"),
+        k_norm=get_opt("layers.k_norm"),
     )
     return LlamaParams(
         embed=get("embed"), layers=layers,

@@ -248,13 +248,16 @@ def matmul_4bit_pallas_stacked(
 # The layout is LOCAL to an array: a row-parallel (K-sharded) weight
 # must be converted per shard (convert after sharding, or keep planar).
 #
-# NF4 note: three pair-domain decodes were raced for arbitrary
-# codebooks and ALL lose to the planar gather+tree mix kernel on v5e —
-# the SWAR xor-select tree (pair_patterns_tree: 24.9 vs 30.2 tok/s
-# e2e), and a dual per-half int32-pattern gather (263.5us vs 247.4us
-# at [14336,4096], benchmarks/nf4_pair_probe.py). FP4 is special: its
-# bit-pattern arithmetic needs no table. NF4 therefore defaults to the
-# planar layout.
+# NF4 note: pure pair-domain decodes were raced for arbitrary
+# codebooks and lose on their own — the SWAR xor-select tree
+# (pair_patterns_tree: 24.9 vs 30.2 tok/s e2e) and a dual per-half
+# int32-pattern gather (263.5us vs 247.4us planar at [14336,4096],
+# benchmarks/nf4_pair_probe.py). The winner (nf4_mechanism_probe.py,
+# round 2) is the gather+TREE DUAL-ISSUE MIX in the pair layout
+# (pair_patterns_mix: VPU tree and vreg-gather planes interleave,
+# 199.5us vs 247.4 planar) — NF4 now defaults to the pair layout too.
+# FP4 remains special: its bit-pattern arithmetic needs no table at
+# all (fp4_pair_patterns_all).
 
 
 def pair_tokens_ok(tokens: int, tile_t: int = 256) -> bool:

@@ -109,6 +109,37 @@ def test_quantized_roundtrip(hf_dir, tmp_path):
         np.asarray(params.embed, dtype=np.float32))
 
 
+def test_quantized_roundtrip_family_leaves(tmp_path):
+    """Gemma-2 sandwich norms / Qwen3 qk norms / Qwen2 biases survive
+    save_quantized -> load_quantized (previously _iter_qlinears listed
+    only the base leaves, silently dropping them — the reloaded model
+    skipped the norms entirely)."""
+    import dataclasses
+    import functools
+
+    from quantizations_tpu.models.llama import (TINY_LLAMA,
+                                                init_llama_params)
+
+    cfg = dataclasses.replace(TINY_LLAMA, post_norms=True,
+                              qk_norm=True, attention_bias=True)
+    params = init_llama_params(cfg, seed=0)
+    path = str(tmp_path / "q.safetensors")
+    save_quantized(params, path)
+    loaded = load_quantized(path, cfg)
+    for attr in ("post_attn_norm", "post_mlp_norm", "q_norm", "k_norm",
+                 "q_bias", "k_bias", "v_bias"):
+        got = getattr(loaded.layers, attr)
+        assert got is not None, attr
+        np.testing.assert_array_equal(
+            np.asarray(got, dtype=np.float32),
+            np.asarray(getattr(params.layers, attr), dtype=np.float32))
+    pf = jax.jit(functools.partial(prefill, cfg=cfg))
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    lo, _ = pf(loaded, ids, KVCache.create(cfg, 1, 16))
+    po, _ = pf(params, ids, KVCache.create(cfg, 1, 16))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(po))
+
+
 def test_load_onto_mesh(hf_dir):
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
