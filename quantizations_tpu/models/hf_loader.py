@@ -37,9 +37,11 @@ from .llama import (
 
 __all__ = [
     "config_from_hf",
+    "config_to_hf",
     "load_hf_llama",
     "save_quantized",
     "load_quantized",
+    "save_bnb_checkpoint",
 ]
 
 
@@ -190,8 +192,10 @@ def load_hf_llama(
             packed, state = parse_bnb_flat(read, read.names, prefix)
             lay = layout
             if lay == "auto":
-                lay = ("pair" if state.quant_type == "fp4"
-                       and state.shape[0] % 2 == 0 else "planar")
+                # both codebooks default to the pair layout (NF4 via
+                # the gather+tree dual-issue mix — same rule as
+                # quantize_linear's auto)
+                lay = "pair" if state.shape[0] % 2 == 0 else "planar"
             wp, scales = qlinear_arrays_from_bnb(packed, state, layout=lay)
             ql = QLinear(wp=wp, scales=scales.astype(q.scales_dtype))
         else:
@@ -385,3 +389,180 @@ def load_quantized(path: str, cfg: LlamaConfig) -> LlamaParams:
         embed=get("embed"), layers=layers,
         final_norm=get("final_norm"), lm_head=get("lm_head"),
     )
+
+
+# --------------------------------------------------------------------------
+# bnb-format checkpoint EXPORT (the inverse of the load path above):
+# write an HF-style directory whose quantized linears use the bnb
+# flat-key serialization, consumable by HF+bitsandsbytes on GPU and by
+# load_hf_llama here (which detects the keys and skips re-quantization).
+# --------------------------------------------------------------------------
+
+def config_to_hf(cfg: LlamaConfig, compress_statistics: bool = True,
+                 ) -> Dict[str, Any]:
+    """Inverse of :func:`config_from_hf`: an HF ``config.json`` dict
+    that reconstructs ``cfg``'s family knobs (architecture name chosen
+    so the loader's family detection fires)."""
+    if cfg.qk_norm:
+        arch, mt = "Qwen3ForCausalLM", "qwen3"
+    elif cfg.post_norms:
+        arch, mt = "Gemma2ForCausalLM", "gemma2"
+    elif cfg.attention_bias:
+        arch, mt = "Qwen2ForCausalLM", "qwen2"
+    elif cfg.sliding_window is not None:
+        arch, mt = "MistralForCausalLM", "mistral"
+    else:
+        arch, mt = "LlamaForCausalLM", "llama"
+    hf: Dict[str, Any] = {
+        "architectures": [arch],
+        "model_type": mt,
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "attention_bias": cfg.attention_bias,
+        "torch_dtype": "bfloat16",
+        "quantization_config": {
+            "quant_method": "bitsandbytes",
+            "load_in_4bit": True,
+            "bnb_4bit_quant_type": cfg.quant.quant_type,
+            "bnb_4bit_use_double_quant": compress_statistics,
+            "bnb_4bit_compute_dtype": "bfloat16",
+        },
+    }
+    if cfg.sliding_window is not None:
+        hf["sliding_window"] = cfg.sliding_window
+        hf["use_sliding_window"] = True
+    if cfg.rope_scaling is not None:
+        f, lo, hi, om = cfg.rope_scaling
+        hf["rope_scaling"] = {
+            "rope_type": "llama3", "factor": f, "low_freq_factor": lo,
+            "high_freq_factor": hi,
+            "original_max_position_embeddings": om,
+        }
+    if cfg.post_norms:   # Gemma-2 family block
+        hf["attn_logit_softcapping"] = cfg.attn_logit_softcap
+        hf["final_logit_softcapping"] = cfg.final_logit_softcap
+        hf["query_pre_attn_scalar"] = cfg.query_scale
+        first = ("sliding_attention" if cfg.sliding_layers == "even"
+                 else "full_attention")
+        other = ("full_attention" if first == "sliding_attention"
+                 else "sliding_attention")
+        hf["layer_types"] = [first if i % 2 == 0 else other
+                             for i in range(cfg.num_hidden_layers)]
+    return hf
+
+
+def _bnb_payload(ql: QLinear, quant_type: str, compress: bool):
+    """Runtime QLinear (pair/planar int32 words + RESOLVED fp32
+    scales) -> (bnb packed uint8 [n/2, 1], QuantState) — the exact
+    inverse of ``qlinear_arrays_from_bnb`` (double quantization
+    re-encoded here, once)."""
+    from ..ops.qmatmul import pair_to_planar
+    from ..quant.codebooks import get_4bit_code
+    from ..quant.functional import quantize_blockwise
+    from ..quant.state import QuantState
+
+    wp = ql.wp
+    if ql.layout == "pair":
+        wp = pair_to_planar(wp)
+    M, K8 = wp.shape
+    K = K8 * 8
+    # little-endian int32 word view == the bnb flat byte stream
+    # (inverse of ops/gemv.pack_i32_rows)
+    b = np.ascontiguousarray(np.asarray(wp, np.int32)).view(np.uint8)
+    packed = b.reshape(M * K // 2, 1)
+    absmax = jnp.asarray(
+        np.asarray(ql.scales, np.float32).reshape(-1))
+    code = jnp.asarray(get_4bit_code(quant_type))
+    if compress:
+        offset = jnp.mean(absmax)
+        qabsmax, state2 = quantize_blockwise(absmax - offset,
+                                             blocksize=256)
+        state = QuantState(
+            absmax=qabsmax, code=code, offset=offset, state2=state2,
+            blocksize=64, quant_type=quant_type, dtype=jnp.bfloat16,
+            shape=(M, K))
+    else:
+        state = QuantState(
+            absmax=absmax, code=code, blocksize=64,
+            quant_type=quant_type, dtype=jnp.bfloat16, shape=(M, K))
+    return packed, state
+
+
+def save_bnb_checkpoint(params: LlamaParams, cfg: LlamaConfig,
+                        out_dir: str,
+                        compress_statistics: bool = True) -> None:
+    """Export quantized params as an HF directory in the bnb flat-key
+    format (reference core.py:29-42 ``valid_qs_keys``): quantized
+    linears keep their packed codes verbatim (byte-identical to what a
+    bnb consumer stores), statistics are re-double-quantized when
+    ``compress_statistics`` (bnb's default, slightly lossy on the
+    scales) or written as fp32 absmax when not (exact round-trip).
+    Embedding / lm_head / norms are written dense (fp32 — HF+bnb keeps
+    them unquantized). ``load_hf_llama(out_dir)`` reloads the packed
+    bytes drop-in."""
+    from safetensors.numpy import save_file
+
+    from ..quant.bnb_io import bnb_flat_tensors
+
+    qt = cfg.quant.quant_type
+    tensors: Dict[str, np.ndarray] = {}
+
+    def dense(x) -> np.ndarray:
+        if isinstance(x, QLinear):
+            from ..evals.parity import _dense_from_qlinear
+
+            x = _dense_from_qlinear(x, qt)
+        return np.asarray(jnp.asarray(x, jnp.float32))
+
+    def put_q(prefix: str, ql: QLinear) -> None:
+        packed, state = _bnb_payload(ql, qt, compress_statistics)
+        tensors.update(bnb_flat_tensors(prefix, packed, state))
+
+    lay = params.layers
+    for i in range(cfg.num_hidden_layers):
+        li = jax.tree.map(lambda a: a[i], lay)
+        p = f"model.layers.{i}."
+        put_q(p + "self_attn.q_proj", li.q)
+        put_q(p + "self_attn.k_proj", li.k)
+        put_q(p + "self_attn.v_proj", li.v)
+        put_q(p + "self_attn.o_proj", li.o)
+        put_q(p + "mlp.gate_proj", li.gate)
+        put_q(p + "mlp.up_proj", li.up)
+        put_q(p + "mlp.down_proj", li.down)
+        tensors[p + "input_layernorm.weight"] = dense(li.attn_norm)
+        if cfg.post_norms:
+            tensors[p + "post_attention_layernorm.weight"] = dense(
+                li.post_attn_norm)
+            tensors[p + "pre_feedforward_layernorm.weight"] = dense(
+                li.mlp_norm)
+            tensors[p + "post_feedforward_layernorm.weight"] = dense(
+                li.post_mlp_norm)
+        else:
+            tensors[p + "post_attention_layernorm.weight"] = dense(
+                li.mlp_norm)
+        if cfg.attention_bias:
+            tensors[p + "self_attn.q_proj.bias"] = dense(li.q_bias)
+            tensors[p + "self_attn.k_proj.bias"] = dense(li.k_bias)
+            tensors[p + "self_attn.v_proj.bias"] = dense(li.v_bias)
+        if cfg.qk_norm:
+            tensors[p + "self_attn.q_norm.weight"] = dense(li.q_norm)
+            tensors[p + "self_attn.k_norm.weight"] = dense(li.k_norm)
+
+    tensors["model.embed_tokens.weight"] = dense(params.embed)
+    tensors["model.norm.weight"] = dense(params.final_norm)
+    if not cfg.tie_word_embeddings:
+        tensors["lm_head.weight"] = dense(params.lm_head)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config_to_hf(cfg, compress_statistics), f, indent=1)
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))

@@ -218,3 +218,91 @@ def test_load_hf_llama_from_bnb_checkpoint(tmp_path):
     lb, _ = jax.jit(lambda p, t: prefill(p, t, KVCache.create(cfg_b, 1, 16),
                                          cfg_b))(params_b, ids)
     np.testing.assert_array_equal(np.asarray(ld), np.asarray(lb))
+
+
+@pytest.mark.parametrize("quant_type", ["fp4", "nf4"])
+def test_save_bnb_checkpoint_roundtrip(tmp_path, quant_type):
+    """Model-level bnb EXPORT -> load_hf_llama round trip: packed words
+    bit-identical, scales exact without double quantization (and prefill
+    logits identical), within the nested-codebook step with it."""
+    import dataclasses
+    import functools
+
+    from quantizations_tpu.config import QuantConfig
+    from quantizations_tpu.models.hf_loader import (
+        load_hf_llama, save_bnb_checkpoint)
+    from quantizations_tpu.models.llama import (
+        KVCache, TINY_LLAMA, init_llama_params, prefill)
+
+    cfg = dataclasses.replace(
+        TINY_LLAMA, tie_word_embeddings=False,
+        quant=QuantConfig(quant_type=quant_type,
+                          quantize_embedding=False,
+                          quantize_lm_head=False))
+    params = init_llama_params(cfg, seed=0)
+    ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+
+    def logits(c, p):
+        lo, _ = jax.jit(functools.partial(prefill, cfg=c))(
+            p, ids, KVCache.create(c, 1, 16))
+        return np.asarray(lo)
+
+    d = str(tmp_path / "exact")
+    save_bnb_checkpoint(params, cfg, d, compress_statistics=False)
+    cfg2, loaded = load_hf_llama(d, quant=cfg.quant)
+    np.testing.assert_array_equal(np.asarray(loaded.layers.q.wp),
+                                  np.asarray(params.layers.q.wp))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.layers.down.scales, dtype=np.float32),
+        np.asarray(params.layers.down.scales, dtype=np.float32))
+    np.testing.assert_array_equal(logits(cfg2, loaded),
+                                  logits(cfg, params))
+
+    d2 = str(tmp_path / "nested")
+    save_bnb_checkpoint(params, cfg, d2, compress_statistics=True)
+    cfg3, loaded3 = load_hf_llama(d2, quant=cfg.quant)
+    np.testing.assert_array_equal(np.asarray(loaded3.layers.q.wp),
+                                  np.asarray(params.layers.q.wp))
+    s0 = np.asarray(params.layers.q.scales, dtype=np.float32)
+    s3 = np.asarray(loaded3.layers.q.scales, dtype=np.float32)
+    # double quantization is lossy on the statistics: bounded by the
+    # dynamic 8-bit codebook step over the absmax range
+    assert np.max(np.abs(s3 - s0)) <= 0.05 * np.max(np.abs(s0)) + 1e-6
+
+
+def test_config_to_hf_roundtrip(tmp_path):
+    """config_to_hf emits a config.json that config_from_hf maps back
+    to the same family knobs (all five model families)."""
+    import dataclasses
+
+    from quantizations_tpu.models.hf_loader import (
+        config_from_hf, config_to_hf)
+    from quantizations_tpu.models.llama import TINY_LLAMA
+
+    families = {
+        "llama": dict(),
+        "qwen2": dict(attention_bias=True),
+        "mistral": dict(sliding_window=8),
+        "gemma2": dict(post_norms=True, norm_plus_one=True,
+                       embed_normalizer=True,
+                       hidden_activation="gelu_tanh",
+                       attn_logit_softcap=50.0,
+                       final_logit_softcap=30.0, query_scale=16,
+                       sliding_window=8, sliding_layers="even"),
+        "qwen3": dict(qk_norm=True),
+    }
+    for name, kw in families.items():
+        cfg = dataclasses.replace(TINY_LLAMA, **kw)
+        d = os.path.join(tmp_path, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(config_to_hf(cfg), f)
+        cfg2 = config_from_hf(d, quant=cfg.quant)
+        for fld in ("vocab_size", "hidden_size", "num_key_value_heads",
+                    "head_dim", "attention_bias", "sliding_window",
+                    "sliding_layers", "post_norms", "norm_plus_one",
+                    "embed_normalizer", "hidden_activation", "qk_norm",
+                    "attn_logit_softcap", "final_logit_softcap",
+                    "query_scale", "tie_word_embeddings",
+                    "rope_scaling"):
+            assert getattr(cfg2, fld) == getattr(cfg, fld), (name, fld)
