@@ -31,7 +31,10 @@ def main() -> None:
     p.add_argument("--format", default="bnb",
                    choices=["bnb", "native"])
     p.add_argument("--quant-type", default="fp4",
-                   choices=["fp4", "nf4"])
+                   choices=["fp4", "nf4"],
+                   help="codebook for quantizing a DENSE source; a "
+                        "pre-quantized bnb source dictates its own "
+                        "stored type (this flag is then ignored)")
     p.add_argument("--no-double-quant", action="store_true",
                    help="store fp32 absmax instead of bnb's nested "
                         "8-bit statistics (exact round-trip, +1.5%% "
@@ -62,7 +65,8 @@ def main() -> None:
     t2 = time.perf_counter()
     print(json.dumps({
         "format": args.format,
-        "quant_type": args.quant_type,
+        # the EFFECTIVE type: a bnb source overrides --quant-type
+        "quant_type": cfg.quant.quant_type,
         "out": out,
         "bytes": os.path.getsize(out),
         "load_quantize_s": round(t1 - t0, 2),

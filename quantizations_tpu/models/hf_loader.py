@@ -47,9 +47,24 @@ __all__ = [
 
 def config_from_hf(model_dir: str,
                    quant: Optional[QuantConfig] = None) -> LlamaConfig:
-    """Build :class:`LlamaConfig` from an HF ``config.json``."""
+    """Build :class:`LlamaConfig` from an HF ``config.json``.
+
+    A pre-quantized bnb checkpoint dictates its own quant type — the
+    stored codes are FP4 or NF4 bytes and decoding them with the other
+    codebook silently corrupts every weight. When the HF config carries
+    ``quantization_config.bnb_4bit_quant_type`` it overrides the
+    requested ``quant.quant_type`` (reference core.py:29-42: the stored
+    ``quant_state`` is authoritative for bnb consumers too).
+    """
+    import dataclasses
+
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
+    stored_qt = (hf.get("quantization_config") or {}).get(
+        "bnb_4bit_quant_type")
+    if stored_qt:
+        quant = dataclasses.replace(quant or QuantConfig(),
+                                    quant_type=stored_qt)
     rs = hf.get("rope_scaling") or None
     rope_scaling = None
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
@@ -161,9 +176,22 @@ def load_hf_llama(
     is given each quantized tensor is placed into its TP sharding
     immediately — the dense model never materializes anywhere.
     """
+    read = _tensor_reader(model_dir)
+    # pre-quantized bnb tensors dictate the quant type even when
+    # config.json lacks a quantization_config stanza (synthesized /
+    # hand-assembled checkpoints): the flat quant_state key embeds it
+    stored = {"nf4" if n.endswith("bitsandbytes__nf4") else "fp4"
+              for n in read.names
+              if ".weight.quant_state.bitsandbytes__" in n}
+    if len(stored) > 1:
+        raise ValueError(f"mixed bnb quant types in checkpoint: {stored}")
+    if stored:
+        import dataclasses
+
+        quant = dataclasses.replace(quant or QuantConfig(),
+                                    quant_type=stored.pop())
     cfg = config_from_hf(model_dir, quant)
     q = cfg.quant
-    read = _tensor_reader(model_dir)
 
     specs = None
     if mesh is not None:
@@ -190,6 +218,10 @@ def load_hf_llama(
             # re-quantizing — drop-in parity with the reference's bnb
             # consumers (reference core.py:29-42 key schema)
             packed, state = parse_bnb_flat(read, read.names, prefix)
+            if state.quant_type != q.quant_type:
+                raise ValueError(
+                    f"{prefix}: stored bnb codes are {state.quant_type} "
+                    f"but the model is configured {q.quant_type}")
             lay = layout
             if lay == "auto":
                 # both codebooks default to the pair layout (NF4 via

@@ -115,8 +115,6 @@ def main() -> None:
         prompts = [tokenizer.encode(args.prompt)]
     else:
         prompts = [[1, 2, 3, 4, 5]]  # demo: raw ids
-    ids = prompts[0]
-    prompt = jnp.asarray([ids], jnp.int32)
 
     if args.engine != "generate":
         if args.tp > 1 and not args.model:
@@ -171,45 +169,70 @@ def main() -> None:
         from ..parallel.shard import cache_pspec
 
         gen = make_sharded_generate_fn(cfg, serve, mesh)
-        cache = jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-            KVCache.create(cfg, 1, serve.max_seq_len), cache_pspec())
+
+        def mk_cache():
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                KVCache.create(cfg, 1, serve.max_seq_len), cache_pspec())
     else:
         from .generate import make_generate_fn
 
         gen = make_generate_fn(cfg, serve)
-        cache = KVCache.create(cfg, 1, serve.max_seq_len)
+
+        def mk_cache():
+            return KVCache.create(cfg, 1, serve.max_seq_len)
 
     import numpy as np
 
-    key = jax.random.PRNGKey(serve.seed)
-    t0 = time.perf_counter()
-    verify_steps = None
+    spec = None
     if args.speculative:
         if args.tp > 1:
             raise SystemExit("--speculative is single-device")
         from .speculative import make_speculative_generate_fn
 
         spec = make_speculative_generate_fn(cfg, serve)
-        toks, steps, _ = spec(params, prompt, cache, key)
-        verify_steps = int(steps)
+
+    # every ';'-separated prompt group runs (sequentially — the plain
+    # generate path is batch-1; use --engine slot/paged for concurrency)
+    key = jax.random.PRNGKey(serve.seed)
+    recs = []
+    t0 = time.perf_counter()
+    for ids in prompts:
+        prompt = jnp.asarray([ids], jnp.int32)
+        cache = mk_cache()   # fresh per prompt (gen donates its cache)
+        key, sub = jax.random.split(key)
+        tp0 = time.perf_counter()
+        verify_steps = None
+        if spec is not None:
+            toks, steps, _ = spec(params, prompt, cache, sub)
+            verify_steps = int(steps)
+        else:
+            toks, _ = gen(params, prompt, cache, sub)
+        out = np.asarray(toks)[0].tolist()
+        dt = time.perf_counter() - tp0
+        rec = {
+            "prompt_ids": ids,
+            "output_ids": out,
+            "output_text": (tokenizer.decode(out)
+                            if tokenizer is not None else None),
+            "wall_s": round(dt, 3),
+            "tokens_per_s_incl_compile": round(len(out) / dt, 2),
+        }
+        if verify_steps is not None:
+            rec["speculative_verify_steps"] = verify_steps
+            rec["tokens_per_verify_step"] = round(
+                len(out) / verify_steps, 2)
+        recs.append(rec)
+    if len(recs) == 1:
+        print(json.dumps(recs[0]))
     else:
-        toks, _ = gen(params, prompt, cache, key)
-    toks = np.asarray(toks)
-    dt = time.perf_counter() - t0
-    out = toks[0].tolist()
-    text = tokenizer.decode(out) if tokenizer is not None else None
-    rec = {
-        "prompt_ids": ids,
-        "output_ids": out,
-        "output_text": text,
-        "wall_s": round(dt, 3),
-        "tokens_per_s_incl_compile": round(len(out) / dt, 2),
-    }
-    if verify_steps is not None:
-        rec["speculative_verify_steps"] = verify_steps
-        rec["tokens_per_verify_step"] = round(len(out) / verify_steps, 2)
-    print(json.dumps(rec))
+        total = sum(len(r["output_ids"]) for r in recs)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "requests": recs,
+            "wall_s": round(dt, 3),
+            "tokens_per_s_incl_compile": round(total / dt, 2),
+        }))
 
 
 if __name__ == "__main__":

@@ -99,11 +99,23 @@ def sample_rows(logits: jnp.ndarray, temps: jnp.ndarray,
     return jnp.where(temps == 0.0, greedy, sampled)
 
 
-def iter_prefill_chunks(plen: int, buckets) -> list:
+def iter_prefill_chunks(plen: int, buckets, max_len: int = 0,
+                        base: int = 0) -> list:
     """(start, take, bucket_len) triples covering a prompt of ``plen``
     tokens with bucket-shaped prefill chunks (shared by the slot Engine
     and the PagedEngine so the padding/bucketing semantics can't
-    drift)."""
+    drift).
+
+    ``max_len``/``base``: the prefill writes ``bucket_len`` positions at
+    ``base + start`` of a cache of length ``max_len``; when the final
+    padded chunk would overrun, ``dynamic_update_slice`` clamp-shifts
+    the write and silently scatters KV to WRONG positions. With
+    ``max_len`` set, the final chunk is instead shifted back so the
+    window ends exactly at ``max_len``, re-feeding already-prefilled
+    tokens (a deterministic recompute of identical KV — the window
+    attends the valid cache prefix below it) and growing ``take`` so
+    the last real token stays at window offset ``take - 1``.
+    """
     buckets = tuple(sorted(buckets))
     out = []
     start = 0
@@ -112,6 +124,49 @@ def iter_prefill_chunks(plen: int, buckets) -> list:
         blen = next(b for b in buckets if take <= b)
         out.append((start, take, blen))
         start += take
+    if max_len and out:
+        start, take, blen = out[-1]
+        if base + start + blen > max_len:
+            if blen > max_len or base + plen > max_len:
+                raise ValueError(
+                    f"prefill bucket {blen} cannot fit: base {base} + "
+                    f"plen {plen} vs cache length {max_len}")
+            start = max_len - blen - base   # may reach below ``base``
+            out[-1] = (start, plen - start, blen)
+    return out
+
+
+def run_chunk_rounds(entries, n_rows, default_starts, dispatch) -> dict:
+    """Drive batched chunk-round prefills (shared by the slot Engine and
+    the PagedEngine — the round assembly carries the harmless-garbage
+    invariants and must not drift between them).
+
+    ``entries``: (row, prompt_ids, cov, chunks) per admission, chunks
+    from :func:`iter_prefill_chunks` over ``len(prompt_ids) - cov``.
+    Rows that exhaust their chunks early become garbage rounds writing
+    at ``len(prompt_ids)`` (past their valid prefix — never attended,
+    never scattered). ``dispatch(ids, starts, plens) -> tok[row]`` runs
+    one round. Returns {row: sampled token of the final real round}.
+    """
+    rounds = max(len(c) for _, _, _, c in entries)
+    out: dict = {}
+    for j in range(rounds):
+        blen = max(c[j][2] for _, _, _, c in entries if j < len(c))
+        ids = np.zeros((n_rows, blen), np.int32)
+        starts = np.asarray(default_starts, np.int32).copy()
+        plens = np.ones(n_rows, np.int32)
+        for row, prompt, cov, c in entries:
+            if j >= len(c):
+                starts[row] = len(prompt)   # garbage round
+                continue
+            start, take, _ = c[j]
+            ids[row, :take] = prompt[cov + start:cov + start + take]
+            starts[row] = cov + start
+            plens[row] = take
+        tok = dispatch(ids, starts, plens)
+        for row, _, _, c in entries:
+            if j == len(c) - 1:
+                out[row] = int(tok[row])
     return out
 
 
@@ -144,8 +199,13 @@ class Engine:
         self.cfg = cfg
         self.serve = serve
         self.slots = slots
-        self.buckets = tuple(sorted(prefill_buckets))
         self.max_seq = serve.max_seq_len
+        # buckets above max_seq can never be written without clamping;
+        # drop them (a small demo max_seq with the default buckets must
+        # not trace an update wider than the cache)
+        self.buckets = (tuple(b for b in sorted(prefill_buckets)
+                              if b <= self.max_seq)
+                        or (self.max_seq,))
         self.mesh = mesh
 
         self._temp = temperature
@@ -670,8 +730,8 @@ class Engine:
                 raise ValueError(
                     f"prompt length {plen} >= max_seq {self.max_seq}")
             admits.append((slot, r,
-                           iter_prefill_chunks(plen, self.buckets)))
-        rounds = max(len(c) for _, _, c in admits)
+                           iter_prefill_chunks(plen, self.buckets,
+                                               max_len=self.max_seq)))
         max_blen = max(bl for _, _, c in admits for _, _, bl in c)
         live = [i for i in range(self.slots)
                 if self.active[i] is not None]
@@ -687,29 +747,20 @@ class Engine:
             [next((self._resolved_temp(r) for s, r, _ in admits
                    if s == i), self._resolved_temp(self.active[i]))
              for i in range(self.slots)], np.float32)
-        for j in range(rounds):
-            blen = max(c[j][2] for _, _, c in admits if j < len(c))
-            ids = np.zeros((self.slots, blen), np.int32)
-            starts = np.asarray(self.pos, np.int32).copy()
-            plens = np.ones(self.slots, np.int32)
-            for slot, r, chunks in admits:
-                if j >= len(chunks):
-                    # this request finished its chunks in an earlier
-                    # round: behaves like a live row from here on
-                    starts[slot] = len(r.prompt_ids)
-                    continue
-                start, take, _ = chunks[j]
-                ids[slot, :take] = r.prompt_ids[start:start + take]
-                starts[slot] = start
-                plens[slot] = take
+
+        def dispatch(ids, starts, plens):
             self._key, sub = jax.random.split(self._key)
             tok, self.cache = self._prefill_batch_fn(
                 jnp.asarray(ids), self.cache, jnp.asarray(starts),
                 jnp.asarray(plens), jnp.asarray(temps), sub)
-            tok = np.asarray(tok)
-            for slot, r, chunks in admits:
-                if j == len(chunks) - 1:
-                    self._cur_tok[slot] = int(tok[slot])
+            return np.asarray(tok)
+
+        toks = run_chunk_rounds(
+            [(slot, r.prompt_ids, 0, chunks)
+             for slot, r, chunks in admits],
+            self.slots, self.pos, dispatch)
+        for slot, tok in toks.items():
+            self._cur_tok[slot] = tok
         for slot, r, chunks in admits:
             self.active[slot] = r
             self.pos[slot] = len(r.prompt_ids)

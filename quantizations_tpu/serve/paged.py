@@ -91,6 +91,16 @@ class PagedKVCache:
         return self.pages_k.shape[1]
 
 
+class _AdmitOOM(Exception):
+    """Pool exhausted while finishing a batched admission; ``row`` is
+    the first group row that could not be completed (rows before it
+    were fully admitted)."""
+
+    def __init__(self, row: int):
+        super().__init__(f"pool exhausted at admission row {row}")
+        self.row = row
+
+
 class PageAllocator:
     """Host-side refcounted page free list. Page 0 is reserved as the
     junk page (unused block-table entries point at it — masked by
@@ -583,7 +593,9 @@ class PagedEngine:
         self.finished = {}
         self.on_token = None   # optional callable(Request, token_id)
         self._uid = 0
-        self._buckets = tuple(sorted(prefill_buckets))
+        # buckets above max_seq can never be written without clamping
+        self._buckets = (tuple(b for b in sorted(prefill_buckets)
+                               if b <= max_seq) or (max_seq,))
         self._Request = Request
         self._np = np
         self._temp = temperature
@@ -856,7 +868,13 @@ class PagedEngine:
         across the group's scratch rows (the slot engine's measured
         tunnel-RTT win, here with a row-per-request scratch + per-row
         page scatter). Near the scratch end (garbage rounds write
-        [plen, plen+blen)) falls back to per-request admission."""
+        [plen, plen+blen)) falls back to per-request admission.
+
+        If the page pool runs dry mid-admission the failed (and any
+        not-yet-attempted) requests are rolled back to the queue FRONT
+        with their partial page allocations released; they retry as
+        live sequences retire. Raises MemoryError only when nothing is
+        active anywhere (the request could never be satisfied)."""
         pairs = []
         for slot in range(self.slots):
             if self.active[slot] is not None or not self.queue:
@@ -865,16 +883,47 @@ class PagedEngine:
         if not pairs:
             return
         W = self._admit_width
+        failed = []   # (slot, request) rolled back, queue order
         for g in range(0, len(pairs), W):
             group = pairs[g:g + W]
+            if failed:                  # pool already dry: don't try
+                failed.extend(group)
+                continue
             max_blen = self._buckets[-1]
             tight = any(len(r.prompt_ids) + max_blen > self.max_seq
                         for _, r in group)
             if len(group) == 1 or tight:
                 for slot, r in group:
-                    self._admit_one(slot, r)
+                    if failed:
+                        failed.append((slot, r))
+                        continue
+                    try:
+                        self._admit_one(slot, r)
+                    except MemoryError:
+                        self._rollback(slot)
+                        failed.append((slot, r))
             else:
-                self._admit_group(group)
+                try:
+                    self._admit_group(group)
+                except _AdmitOOM as e:
+                    for slot, r in group[e.row:]:
+                        self._rollback(slot)
+                        failed.append((slot, r))
+        if failed:
+            self.queue.extendleft(r for _, r in reversed(failed))
+            if not any(r is not None for r in self.active):
+                raise MemoryError(
+                    "paged KV pool too small for any queued request "
+                    f"(free pages {self.alloc.available})")
+
+    def _rollback(self, slot: int) -> None:
+        """Undo a partial admission: release every page the slot holds
+        (shared-page retains AND fresh allocations — the allocator
+        refcounts make one ``free`` per ``owned`` entry exact) and
+        clear its block-table row."""
+        self.alloc.free(self.owned[slot])
+        self.owned[slot] = []
+        self.table[slot, :] = 0
 
     def _admit_one(self, slot, r) -> None:
         import jax as _jax
@@ -886,7 +935,8 @@ class PagedEngine:
         scratch = self._attach_shared(slot, shared, scratch)
 
         for start, take, blen in iter_prefill_chunks(
-                plen - cov, self._buckets):
+                plen - cov, self._buckets, max_len=self.max_seq,
+                base=cov):
             ids = self._np.zeros((1, blen), self._np.int32)
             ids[0, :take] = r.prompt_ids[cov + start:
                                          cov + start + take]
@@ -906,58 +956,51 @@ class PagedEngine:
 
     def _admit_group(self, group) -> None:
         """Batched admission: one prefill dispatch per chunk round
-        across all of ``group``'s scratch rows. Rows whose request ran
+        across all of ``group``'s scratch rows, assembled by the shared
+        :func:`engine.run_chunk_rounds` driver (rows whose request ran
         out of chunks write garbage at [plen, plen+blen) of their OWN
-        scratch row — never scattered past plen, never attended (the
-        slot engine's harmless-garbage invariant, row-local here)."""
+        scratch row — never scattered past plen, never attended)."""
         import jax as _jax
         import jax.numpy as _jnp
 
         np = self._np
+        from .engine import run_chunk_rounds
+
         W = self._admit_width
         scratch = self._mk_scratch(W)
-        covs, n_shared, chunks_l = [], [], []
+        covs, n_shared, entries = [], [], []
         for row, (slot, r) in enumerate(group):
             cov, shared = self._prefix_lookup(r)
             scratch = self._attach_shared(slot, shared, scratch,
                                           row=row)
             covs.append(cov)
             n_shared.append(len(shared))
-            chunks_l.append(iter_prefill_chunks(
-                len(r.prompt_ids) - cov, self._buckets))
+            entries.append((row, r.prompt_ids, cov, iter_prefill_chunks(
+                len(r.prompt_ids) - cov, self._buckets,
+                max_len=self.max_seq, base=cov)))
         temps = np.zeros(W, np.float32)
         for row, (slot, r) in enumerate(group):
             temps[row] = (self._temp if r.temperature is None
                           else r.temperature)
-        toks = np.zeros(W, np.int32)
-        rounds = max(len(c) for c in chunks_l)
-        for j in range(rounds):
-            blen = max(c[j][2] for c in chunks_l if j < len(c))
-            ids = np.zeros((W, blen), np.int32)
-            starts = np.zeros(W, np.int32)
-            plens = np.ones(W, np.int32)
-            for row, (slot, r) in enumerate(group):
-                c = chunks_l[row]
-                if j >= len(c):
-                    starts[row] = len(r.prompt_ids)   # garbage round
-                    continue
-                start, take, _ = c[j]
-                ids[row, :take] = r.prompt_ids[covs[row] + start:
-                                               covs[row] + start + take]
-                starts[row] = covs[row] + start
-                plens[row] = take
+
+        state = {"scratch": scratch}
+
+        def dispatch(ids, starts, plens):
             self._key, sub = _jax.random.split(self._key)
-            tok, scratch = self._pfb(
-                self.params, _jnp.asarray(ids), scratch,
+            tok, state["scratch"] = self._pfb(
+                self.params, _jnp.asarray(ids), state["scratch"],
                 _jnp.asarray(starts), _jnp.asarray(plens),
                 _jnp.asarray(temps), sub)
-            tok = np.asarray(tok)
-            for row, (slot, r) in enumerate(group):
-                if j == len(chunks_l[row]) - 1:
-                    toks[row] = tok[row]
+            return np.asarray(tok)
+
+        toks = run_chunk_rounds(entries, W, np.zeros(W, np.int32),
+                                dispatch)
         for row, (slot, r) in enumerate(group):
-            self._finish_admit(slot, r, int(toks[row]), n_shared[row],
-                               scratch, row=row)
+            try:
+                self._finish_admit(slot, r, toks[row], n_shared[row],
+                                   state["scratch"], row=row)
+            except MemoryError:
+                raise _AdmitOOM(row) from None
 
     def step(self) -> int:
         import jax.numpy as _jnp

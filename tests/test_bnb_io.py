@@ -306,3 +306,43 @@ def test_config_to_hf_roundtrip(tmp_path):
                     "query_scale", "tie_word_embeddings",
                     "rope_scaling"):
             assert getattr(cfg2, fld) == getattr(cfg, fld), (name, fld)
+
+
+def test_load_bnb_adopts_stored_quant_type(tmp_path):
+    """A pre-quantized bnb checkpoint dictates its own quant type: a
+    default (fp4-configured) load of an NF4 export adopts nf4 instead
+    of silently decoding NF4 codes with the FP4 codebook (both via the
+    config.json quantization_config stanza and the flat tensor keys)."""
+    import dataclasses
+    import functools
+
+    from quantizations_tpu.config import QuantConfig
+    from quantizations_tpu.models.hf_loader import (
+        load_hf_llama, save_bnb_checkpoint)
+    from quantizations_tpu.models.llama import (
+        KVCache, TINY_LLAMA, init_llama_params, prefill)
+
+    cfg = dataclasses.replace(
+        TINY_LLAMA, tie_word_embeddings=False,
+        quant=QuantConfig(quant_type="nf4", quantize_embedding=False,
+                          quantize_lm_head=False))
+    params = init_llama_params(cfg, seed=0)
+    d = str(tmp_path / "nf4")
+    save_bnb_checkpoint(params, cfg, d, compress_statistics=False)
+
+    # a default load adopts the stored type (head/embed knobs default)
+    cfg_def, _ = load_hf_llama(d, quant=None)
+    assert cfg_def.quant.quant_type == "nf4"
+
+    # an explicit fp4 request is overridden too; with matching
+    # head/embed knobs the logits are bit-identical to the source
+    cfg2, loaded = load_hf_llama(d, quant=QuantConfig(
+        quant_type="fp4", quantize_embedding=False,
+        quantize_lm_head=False))
+    assert cfg2.quant.quant_type == "nf4"
+    ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    lo, _ = jax.jit(functools.partial(prefill, cfg=cfg2))(
+        loaded, ids, KVCache.create(cfg2, 1, 16))
+    lo0, _ = jax.jit(functools.partial(prefill, cfg=cfg))(
+        params, ids, KVCache.create(cfg, 1, 16))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo0))

@@ -225,3 +225,55 @@ def test_engine_stats(params):
     st = eng.stats()
     assert st["finished"] == 2 and st["emitted_tokens"] == 8
     assert st["active_slots"] == 0 and st["queued"] == 0
+
+
+def test_iter_prefill_chunks_shift_near_cache_end():
+    """With max_len set, the final padded chunk is shifted back so its
+    write window ends at the cache edge (re-feeding already-prefilled
+    tokens) instead of letting dynamic_update_slice clamp-scatter KV to
+    wrong positions."""
+    from quantizations_tpu.serve.engine import iter_prefill_chunks
+
+    # plain: no max_len -> unshifted
+    assert iter_prefill_chunks(44, (8, 32)) == [(0, 32, 32), (32, 12, 32)]
+    # 48-long cache: final window [32, 64) would overrun -> [16, 48)
+    assert iter_prefill_chunks(44, (8, 32), max_len=48) == [
+        (0, 32, 32), (16, 28, 32)]
+    # exact fit is untouched
+    assert iter_prefill_chunks(40, (8,), max_len=48) == [
+        (i * 8, 8, 8) for i in range(5)]
+    # base (prefix-cache cov) counts toward the window position;
+    # the shifted start may reach below base (suffix coords < 0)
+    got = iter_prefill_chunks(6, (16,), max_len=24, base=16)
+    assert got == [(-8, 14, 16)]
+    # a bucket longer than the cache can never fit
+    with pytest.raises(ValueError):
+        iter_prefill_chunks(12, (64,), max_len=48)
+
+
+def test_near_end_admission_shifted_final_chunk(params):
+    """A prompt whose final padded chunk would overrun max_seq streams
+    exactly like the unchunked generate loop (the scratch admission
+    path re-feeds the overlap instead of clamp-corrupting KV)."""
+    rng = np.random.default_rng(7)
+    prompt = [int(t) for t in rng.integers(1, CFG.vocab_size, 44)]
+    n = 3
+    ref = _reference_tokens(params, prompt, n)
+
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=n)
+    eng = Engine(params, CFG, serve, slots=2, prefill_buckets=(8, 32))
+    uid = eng.submit(prompt, max_new_tokens=n)
+    done = eng.run()
+    assert done[uid].output_ids == ref
+
+
+def test_buckets_clamped_to_max_seq(params):
+    """Default buckets wider than a small max_seq are dropped instead
+    of tracing cache updates wider than the cache."""
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=2)
+    eng = Engine(params, CFG, serve, slots=1,
+                 prefill_buckets=(16, 64, 256))
+    assert eng.buckets == (16,)
+    uid = eng.submit([3, 1, 4, 1, 5], max_new_tokens=2)
+    ref = _reference_tokens(params, [3, 1, 4, 1, 5], 2)
+    assert eng.run()[uid].output_ids == ref

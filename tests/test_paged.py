@@ -592,3 +592,74 @@ def test_paged_engine_matches_slot_engine():
         assert done[u].output_ids == ref[ru].output_ids, u
     # all pages returned to the allocator
     assert eng.alloc.available == 23
+
+
+def test_paged_near_end_admission_shifted_chunk():
+    """A prompt whose final padded prefill chunk would overrun max_seq
+    streams identically to a no-shift reference (the shifted window
+    re-feeds the overlap; a clamped write would scatter KV to wrong
+    pages)."""
+    from quantizations_tpu.config import ServeConfig
+    from quantizations_tpu.serve.engine import Engine
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    rng = np.random.default_rng(11)
+    prompt = [int(t) for t in rng.integers(1, CFG.vocab_size, 44)]
+    n = 3
+
+    ref_eng = Engine(params, CFG, ServeConfig(max_seq_len=48),
+                     slots=1, prefill_buckets=(8,))   # never shifts
+    ru = ref_eng.submit(prompt, max_new_tokens=n)
+    ref = ref_eng.run()[ru].output_ids
+
+    eng = PagedEngine(params, CFG, num_pages=8, page_size=PSZ,
+                      slots=1, max_seq=48, prefill_buckets=(8, 32))
+    uid = eng.submit(prompt, max_new_tokens=n)
+    assert eng.run()[uid].output_ids == ref
+
+
+def test_paged_pool_oom_rolls_back_and_retries():
+    """When the page pool runs dry mid-admission the failed request is
+    rolled back (pages released, table row cleared) and re-queued; it
+    admits after a live sequence retires, with streams identical to a
+    roomy pool."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    rng = np.random.default_rng(5)
+    p1 = [int(t) for t in rng.integers(1, CFG.vocab_size, 20)]
+    p2 = [int(t) for t in rng.integers(1, CFG.vocab_size, 20)]
+    n = 6
+
+    roomy = PagedEngine(params, CFG, num_pages=16, page_size=PSZ,
+                        slots=2, max_seq=32, prefill_buckets=(8,))
+    r1 = roomy.submit(p1, max_new_tokens=n)
+    r2 = roomy.submit(p2, max_new_tokens=n)
+    ref = roomy.run()
+
+    # pages 1..2 usable: exactly ONE 2-page sequence fits at a time
+    tight = PagedEngine(params, CFG, num_pages=3, page_size=PSZ,
+                        slots=2, max_seq=32, prefill_buckets=(8,),
+                        admit_width=2)
+    u1 = tight.submit(p1, max_new_tokens=n)
+    u2 = tight.submit(p2, max_new_tokens=n)
+    done = tight.run()
+    assert done[u1].output_ids == ref[r1].output_ids
+    assert done[u2].output_ids == ref[r2].output_ids
+    assert tight.alloc.available == 2          # no leaked pages
+    assert not any(tight.owned[s] for s in range(2))
+
+
+def test_paged_pool_oom_unsatisfiable_raises():
+    """A request that can never fit (empty engine, pool smaller than
+    the prompt) raises MemoryError instead of looping forever."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(CFG, seed=0)
+    eng = PagedEngine(params, CFG, num_pages=2, page_size=PSZ,
+                      slots=1, max_seq=32, prefill_buckets=(8,))
+    eng.submit(list(range(1, 21)), max_new_tokens=4)   # needs 2 pages
+    with pytest.raises(MemoryError):
+        eng.run()
+    assert eng.alloc.available == 1            # rollback kept the pool
