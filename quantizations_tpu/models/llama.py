@@ -689,6 +689,30 @@ def quantize_kv_i8(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.clip(codes, -127, 127).astype(jnp.int8), step
 
 
+def layer_window(cfg: "LlamaConfig", i):
+    """(use_win, win_eff) for GLOBAL layer index ``i`` (traced under a
+    scan or static): the single source of the Gemma-2 window
+    alternation, shared by the main scan body, the PP stage bodies, the
+    SP ring trunk and the paged forward so the per-family rule can't
+    drift between them.
+
+    ``use_win``: None when no per-layer toggle applies (window on every
+    layer, or no window at all), else a traced bool — ``sliding_layers
+    == "even"`` slides layers 0, 2, ... (the transformers Gemma-2
+    convention). ``win_eff``: traced effective window for the
+    flash/paged kernels (``2**30`` sentinel = effectively global), or
+    None when the config has no window."""
+    if cfg.sliding_window is None:
+        return None, None
+    if cfg.sliding_layers == "all":
+        return None, jnp.int32(cfg.sliding_window)
+    use_win = ((i % 2) == 0 if cfg.sliding_layers == "even"
+               else (i % 2) == 1)
+    win_eff = jnp.where(use_win, jnp.int32(cfg.sliding_window),
+                        jnp.int32(2 ** 30))
+    return use_win, win_eff
+
+
 def _layer_forward(
     x: jnp.ndarray,              # [B, T, hidden]
     layer: LlamaLayer,           # single layer (no L axis)
@@ -923,20 +947,9 @@ def _forward(
             q_norm=(None if stacked.q_norm is None else stacked.q_norm[i]),
             k_norm=(None if stacked.k_norm is None else stacked.k_norm[i]),
         )
-        if cfg.sliding_window is not None and cfg.sliding_layers != "all":
-            # Gemma-2 alternation: only every other layer slides
-            use_win = ((i % 2) == 0 if cfg.sliding_layers == "even"
-                       else (i % 2) == 1)
-            mask_i = jnp.where(use_win, mask, mask_full)
-            # effective window for the flash kernel: huge = global layer
-            win_eff = jnp.where(use_win, jnp.int32(cfg.sliding_window),
-                                jnp.int32(2 ** 30))
-        elif cfg.sliding_window is not None:
-            mask_i = mask
-            win_eff = jnp.int32(cfg.sliding_window)
-        else:
-            mask_i = mask
-            win_eff = None
+        use_win, win_eff = layer_window(cfg, i)
+        mask_i = (mask if use_win is None
+                  else jnp.where(use_win, mask, mask_full))
         out = _layer_forward(
             x, layer, ck, cv, pos, cos, sin, mask_i, cfg,
             axis_name=axis_name, idx=i, attend_len=attend_len,

@@ -41,6 +41,7 @@ from ..models.llama import (
     QLinear,
     _layer_forward,
     _norm,
+    layer_window,
     rope_cos_sin,
 )
 from ..serve.generate import sample_logits
@@ -134,19 +135,11 @@ def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
             q_norm=(None if stacked.q_norm is None else stacked.q_norm[i]),
             k_norm=(None if stacked.k_norm is None else stacked.k_norm[i]),
         )
-        if cfg.sliding_window is not None and cfg.sliding_layers != "all":
-            gi = (jnp.int32(0) if stage is None else stage) * L_local + i
-            use_win = ((gi % 2) == 0 if cfg.sliding_layers == "even"
-                       else (gi % 2) == 1)
-            mask_i = jnp.where(use_win, mask, mask_full)
-            win_eff = jnp.where(use_win, jnp.int32(cfg.sliding_window),
-                                jnp.int32(2 ** 30))
-        elif cfg.sliding_window is not None:
-            mask_i = mask
-            win_eff = jnp.int32(cfg.sliding_window)
-        else:
-            mask_i = mask
-            win_eff = None
+        # alternation follows the GLOBAL layer index across stages
+        gi = (jnp.int32(0) if stage is None else stage) * L_local + i
+        use_win, win_eff = layer_window(cfg, gi)
+        mask_i = (mask if use_win is None
+                  else jnp.where(use_win, mask, mask_full))
         x, ck, cv = _layer_forward(
             x, layer, ck, cv, pos, cos, sin, mask_i, cfg,
             axis_name=tp_axis, idx=jnp.int32(i), attend_len=attend_len,

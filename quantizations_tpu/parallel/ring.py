@@ -139,7 +139,7 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
     pure function of the global position difference)."""
     from ..models.llama import (KVCache, QLinear, _act, _norm, _ql,
                                 _ql_psum, apply_rope, embed_lookup,
-                                rms_norm, rope_cos_sin)
+                                layer_window, rms_norm, rope_cos_sin)
 
     if cfg.kv_cache_dtype != "bf16":
         raise ValueError("sequence-parallel prefill requires the bf16 "
@@ -188,11 +188,7 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             v = v.reshape(B, C, n_kv, D)
-            if cfg.sliding_window is None or cfg.sliding_layers == "all":
-                use_win = None
-            else:
-                use_win = ((i % 2) == 0 if cfg.sliding_layers == "even"
-                           else (i % 2) == 1)
+            use_win, _ = layer_window(cfg, i)
             attn = ring_attention(
                 q.reshape(B, C, n_kv, n_q // n_kv, D), k, v,
                 axis_name, n, sliding_window=cfg.sliding_window,

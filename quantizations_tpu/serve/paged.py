@@ -143,6 +143,47 @@ class PageAllocator:
         return len(self._free)
 
 
+def _write_row_window(buf, vals, i, p0, p1, off0, psz):
+    """Write one row's T-token contiguous KV window into its (at most
+    two) pages with 2 reads + 2 writes, independent of T.
+
+    ``buf``: stacked page buffer, [L, pages, KV, psz, D] (or the 4D
+    scale planes [L, pages, KV, psz]); ``vals``: [KV, T, ...] tokens at
+    positions ``off0 + t`` of page ``p0``, spilling into ``p1``. The
+    page-0 write is anchored at ``min(off0, psz - T)`` with the
+    existing tail re-read and preserved below the window; the page-1
+    write lands the spill at offset 0 and preserves the existing head —
+    when the window does not cross a boundary it is redirected to the
+    reserved junk page 0 (never attended, by the allocator contract).
+    Replaces a T-long chain of single-token updates on the speculative
+    verify path (2*B*T dependent HBM updates per layer -> 2*B)."""
+    T = vals.shape[1]
+    u = jnp.arange(T, dtype=jnp.int32)
+    mshape = (1, T) + (1,) * (vals.ndim - 2)
+    sizes = (1, 1) + vals.shape[:1] + (T,) + tuple(vals.shape[2:])
+    zeros = (jnp.int32(0),) * (vals.ndim - 2)
+
+    # page-0 side
+    w0 = jnp.minimum(off0, psz - T)
+    shift = off0 - w0                      # 0 unless the window crosses
+    at0 = (i, p0, jnp.int32(0), w0) + zeros
+    tail = jax.lax.dynamic_slice(buf, at0, sizes)[0, 0]
+    slab0 = jnp.where((u >= shift).reshape(mshape),
+                      jnp.roll(vals, shift, axis=1).astype(buf.dtype),
+                      tail)
+    buf = jax.lax.dynamic_update_slice(buf, slab0[None, None], at0)
+
+    # page-1 side (spill, or junk page 0 when nothing crosses)
+    spill = off0 + T - psz
+    p1e = jnp.where(spill > 0, p1, jnp.int32(0))
+    at1 = (i, p1e, jnp.int32(0), jnp.int32(0)) + zeros
+    head = jax.lax.dynamic_slice(buf, at1, sizes)[0, 0]
+    slab1 = jnp.where((u < spill).reshape(mshape),
+                      jnp.roll(vals, spill, axis=1).astype(buf.dtype),
+                      head)
+    return jax.lax.dynamic_update_slice(buf, slab1[None, None], at1)
+
+
 def _paged_forward(
     params: LlamaParams,
     token_ids: jnp.ndarray,    # [B, T]
@@ -163,7 +204,7 @@ def _paged_forward(
     ``axis_name`` runs the Megatron TP pattern per shard (shard_map
     caller): kv-head-sharded pages, psum after o/down, vocab-sharded
     head gathered. Returns (logits [B, T, vocab], pages)."""
-    from ..models.llama import quantize_kv_i8
+    from ..models.llama import layer_window, quantize_kv_i8
     from ..ops.paged_attention import (paged_flash_decode_attention,
                                        paged_flash_decode_attention_i8)
 
@@ -236,32 +277,36 @@ def _paged_forward(
             else:
                 kn = kn.astype(pk.dtype)
                 vn = vn.astype(pv.dtype)
-            for b in range(B_):
-                for t in range(T_):
-                    at = (i, page_of[b, t], jnp.int32(0), off[b, t],
+            if T_ == 1:
+                # plain decode: one tiny in-place update per row/plane
+                for b in range(B_):
+                    at = (i, page_of[b, 0], jnp.int32(0), off[b, 0],
                           jnp.int32(0))
                     pk = jax.lax.dynamic_update_slice(
-                        pk, kn[b, :, t:t + 1][None, None], at)
+                        pk, kn[b, :, 0:1][None, None], at)
                     pv = jax.lax.dynamic_update_slice(
-                        pv, vn[b, :, t:t + 1][None, None], at)
+                        pv, vn[b, :, 0:1][None, None], at)
                     if int8_kv:
                         pks = jax.lax.dynamic_update_slice(
-                            pks, kstep[b, :, t:t + 1][None, None],
-                            at[:4])
+                            pks, kstep[b, :, 0:1][None, None], at[:4])
                         pvs = jax.lax.dynamic_update_slice(
-                            pvs, vstep[b, :, t:t + 1][None, None],
-                            at[:4])
-
-            if cfg.sliding_window is None:
-                win_eff = None
-            elif cfg.sliding_layers == "all":
-                win_eff = jnp.int32(cfg.sliding_window)
+                            pvs, vstep[b, :, 0:1][None, None], at[:4])
             else:
-                use_win = ((i % 2) == 0 if cfg.sliding_layers == "even"
-                           else (i % 2) == 1)
-                win_eff = jnp.where(use_win,
-                                    jnp.int32(cfg.sliding_window),
-                                    jnp.int32(2 ** 30))
+                # verify window (T <= page_size): per-row two-page slab
+                # writes instead of a T-long dependent update chain
+                assert T_ <= psz, "verify window larger than a page"
+                for b in range(B_):
+                    p0, p1 = page_of[b, 0], page_of[b, T_ - 1]
+                    o0 = off[b, 0]
+                    pk = _write_row_window(pk, kn[b], i, p0, p1, o0, psz)
+                    pv = _write_row_window(pv, vn[b], i, p0, p1, o0, psz)
+                    if int8_kv:
+                        pks = _write_row_window(pks, kstep[b], i, p0,
+                                                p1, o0, psz)
+                        pvs = _write_row_window(pvs, vstep[b], i, p0,
+                                                p1, o0, psz)
+
+            _, win_eff = layer_window(cfg, i)
             # q rows packed position-major: row t*G+g = (position
             # pos+t, grouped head g) — matches the kernel's q_span
             # row->position rule

@@ -663,3 +663,41 @@ def test_paged_pool_oom_unsatisfiable_raises():
     with pytest.raises(MemoryError):
         eng.run()
     assert eng.alloc.available == 1            # rollback kept the pool
+
+
+@pytest.mark.parametrize("knobs", [
+    # Mistral: every layer slides; window < live context when verifying
+    dict(sliding_window=6),
+    # Gemma-2: alternating window + softcaps + query scale — the
+    # traced-window q_span interaction differs per layer
+    dict(sliding_window=6, sliding_layers="even", post_norms=True,
+         norm_plus_one=True, hidden_activation="gelu_tanh",
+         embed_normalizer=True, attn_logit_softcap=50.0,
+         final_logit_softcap=30.0, query_scale=24),
+])
+def test_paged_engine_spec_matches_plain_windowed(knobs):
+    """run(spec_k): token-identical to the plain paged engine on
+    SLIDING-WINDOW configs — pins the q_span x window mask term
+    (row t*G+g attends span <= len-1+t AND span > len-1+t-win) in the
+    stacked verify kernels, which no q_span=1 test exercises."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    cfg = dataclasses.replace(TINY_LLAMA, **knobs)
+    params = init_llama_params(cfg, seed=0)
+    # repetitive prompts -> real draft acceptances; lengths push the
+    # live context well past the 6-token window during verification
+    prompts = [[3, 1, 4, 3, 1, 4, 3, 1], [2, 7, 2, 7, 2, 7, 2, 7],
+               [9, 9, 1, 2, 3, 9, 9, 1]]
+    lens = [10, 9, 8]
+
+    def run(spec_k):
+        eng = PagedEngine(params, cfg, num_pages=24, page_size=PSZ,
+                          slots=2, max_seq=64, prefill_buckets=(8,))
+        uids = [eng.submit(p, max_new_tokens=n)
+                for p, n in zip(prompts, lens)]
+        done = eng.run(spec_k=spec_k)
+        return [done[u].output_ids for u in uids]
+
+    ref = run(0)
+    got = run(4)
+    assert got == ref, (got, ref)
