@@ -701,3 +701,39 @@ def test_paged_engine_spec_matches_plain_windowed(knobs):
     ref = run(0)
     got = run(4)
     assert got == ref, (got, ref)
+
+
+def test_paged_oom_rollback_with_prefix_cache():
+    """Pool exhaustion while admitting a request that already RETAINED
+    shared prefix pages rolls the retains back (refcounts exact, the
+    cache pin survives) and the request later admits through the
+    prefix cache with a token-identical stream."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    rng = np.random.default_rng(3)
+    pa = [int(t) for t in rng.integers(1, CFG.vocab_size, 20)]
+    pb = pa[:16] + [int(t) for t in rng.integers(1, CFG.vocab_size, 17)]
+    params = init_llama_params(CFG, seed=0)
+
+    roomy = PagedEngine(params, CFG, num_pages=16, page_size=PSZ,
+                        slots=2, max_seq=48, prefill_buckets=(8,))
+    ra = roomy.submit(pa, max_new_tokens=6)
+    rb = roomy.submit(pb, max_new_tokens=4)
+    ref = roomy.run()
+
+    # usable pages 1..3: A takes 2 (one also pinned by the prefix
+    # cache); B needs 1 shared + 2 fresh with only 1 free -> OOM
+    eng = PagedEngine(params, CFG, num_pages=4, page_size=PSZ,
+                      slots=2, max_seq=48, prefill_buckets=(8,),
+                      prefix_cache=True)
+    ua = eng.submit(pa, max_new_tokens=6)
+    eng.step()                       # admits A only
+    shared_pg = int(eng.table[0, 0])
+    assert eng.alloc.refs(shared_pg) == 2     # A + cache pin
+    ub = eng.submit(pb, max_new_tokens=4)
+    eng.step()                       # B's admission OOMs, rolls back
+    assert eng.active[1] is None and len(eng.queue) == 1
+    assert eng.alloc.refs(shared_pg) == 2     # retain unwound
+    done = eng.run()                 # A retires, B admits via prefix
+    assert done[ua].output_ids == ref[ra].output_ids
+    assert done[ub].output_ids == ref[rb].output_ids
