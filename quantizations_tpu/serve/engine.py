@@ -136,6 +136,13 @@ def iter_prefill_chunks(plen: int, buckets, max_len: int = 0,
     return out
 
 
+def clamp_buckets(buckets, max_seq: int) -> tuple:
+    """Prefill buckets wider than the cache can never be written
+    without clamping; drop them (shared by both engines)."""
+    return (tuple(b for b in sorted(buckets) if b <= max_seq)
+            or (max_seq,))
+
+
 def run_chunk_rounds(entries, n_rows, default_starts, dispatch) -> dict:
     """Drive batched chunk-round prefills (shared by the slot Engine and
     the PagedEngine — the round assembly carries the harmless-garbage
@@ -200,12 +207,7 @@ class Engine:
         self.serve = serve
         self.slots = slots
         self.max_seq = serve.max_seq_len
-        # buckets above max_seq can never be written without clamping;
-        # drop them (a small demo max_seq with the default buckets must
-        # not trace an update wider than the cache)
-        self.buckets = (tuple(b for b in sorted(prefill_buckets)
-                              if b <= self.max_seq)
-                        or (self.max_seq,))
+        self.buckets = clamp_buckets(prefill_buckets, self.max_seq)
         self.mesh = mesh
 
         self._temp = temperature

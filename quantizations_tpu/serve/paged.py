@@ -638,9 +638,9 @@ class PagedEngine:
         self.finished = {}
         self.on_token = None   # optional callable(Request, token_id)
         self._uid = 0
-        # buckets above max_seq can never be written without clamping
-        self._buckets = (tuple(b for b in sorted(prefill_buckets)
-                               if b <= max_seq) or (max_seq,))
+        from .engine import clamp_buckets
+
+        self._buckets = clamp_buckets(prefill_buckets, max_seq)
         self._Request = Request
         self._np = np
         self._temp = temperature
@@ -724,12 +724,16 @@ class PagedEngine:
             temperature=temperature))
         return self._uid
 
+    def _rtemp(self, r) -> float:
+        """A request's resolved temperature (engine default if unset)."""
+        if r is None:
+            return 0.0
+        return self._temp if r.temperature is None else r.temperature
+
     def _slot_temps(self):
         """[slots] resolved temperatures (0 for empty slots)."""
-        return self._np.asarray(
-            [0.0 if r is None else (self._temp if r.temperature is None
-                                    else r.temperature)
-             for r in self.active], self._np.float32)
+        return self._np.asarray([self._rtemp(r) for r in self.active],
+                                self._np.float32)
 
     # -- dispatch builders (single-device jits / tp shard_maps) ----------
 
@@ -991,8 +995,7 @@ class PagedEngine:
         # next token from the LAST VALID position of the final
         # (possibly padded) chunk, sampled with the request's
         # RESOLVED temperature (its first emitted token)
-        temp = (self._temp if r.temperature is None
-                else r.temperature)
+        temp = self._rtemp(r)
         self._key, sub = _jax.random.split(self._key)
         tok = int(self._sample(
             logits[:, take - 1],
@@ -1013,20 +1016,18 @@ class PagedEngine:
 
         W = self._admit_width
         scratch = self._mk_scratch(W)
-        covs, n_shared, entries = [], [], []
+        n_shared, entries = [], []
         for row, (slot, r) in enumerate(group):
             cov, shared = self._prefix_lookup(r)
             scratch = self._attach_shared(slot, shared, scratch,
                                           row=row)
-            covs.append(cov)
             n_shared.append(len(shared))
             entries.append((row, r.prompt_ids, cov, iter_prefill_chunks(
                 len(r.prompt_ids) - cov, self._buckets,
                 max_len=self.max_seq, base=cov)))
         temps = np.zeros(W, np.float32)
         for row, (slot, r) in enumerate(group):
-            temps[row] = (self._temp if r.temperature is None
-                          else r.temperature)
+            temps[row] = self._rtemp(r)
 
         state = {"scratch": scratch}
 
