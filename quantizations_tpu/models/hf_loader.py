@@ -60,9 +60,14 @@ def config_from_hf(model_dir: str,
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    stored_qt = (hf.get("quantization_config") or {}).get(
-        "bnb_4bit_quant_type")
-    if stored_qt:
+    qc = hf.get("quantization_config") or {}
+    stored_qt = qc.get("bnb_4bit_quant_type")
+    # only a genuine bnb 4-bit stanza is authoritative: HF serializes
+    # bnb_4bit_quant_type even for 8-bit configs, and stale stanzas on
+    # de-quantized/merged checkpoints must not override an explicit
+    # request (load_hf_llama's tensor sniff remains the backstop)
+    if (stored_qt and qc.get("quant_method") == "bitsandbytes"
+            and qc.get("load_in_4bit", False)):
         quant = dataclasses.replace(quant or QuantConfig(),
                                     quant_type=stored_qt)
     rs = hf.get("rope_scaling") or None

@@ -479,6 +479,12 @@ class Engine:
     def submit(self, prompt_ids, max_new_tokens: int = 32,
                eos_id: Optional[int] = None,
                temperature: Optional[float] = None) -> int:
+        # validate HERE: a rejection mid-_admit would strand requests
+        # popped in the same admission round
+        if len(prompt_ids) >= self.max_seq:
+            raise ValueError(
+                f"prompt length {len(prompt_ids)} >= max_seq "
+                f"{self.max_seq}")
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
@@ -726,13 +732,10 @@ class Engine:
         for slot in free:
             if not self.queue:
                 break
-            r = self.queue.popleft()
-            plen = len(r.prompt_ids)
-            if plen >= self.max_seq:
-                raise ValueError(
-                    f"prompt length {plen} >= max_seq {self.max_seq}")
+            r = self.queue.popleft()      # length validated at submit
             admits.append((slot, r,
-                           iter_prefill_chunks(plen, self.buckets,
+                           iter_prefill_chunks(len(r.prompt_ids),
+                                               self.buckets,
                                                max_len=self.max_seq)))
         max_blen = max(bl for _, _, c in admits for _, _, bl in c)
         live = [i for i in range(self.slots)

@@ -109,6 +109,7 @@ class PageAllocator:
     only when its last holder frees it."""
 
     def __init__(self, num_pages: int):
+        self.num_usable = num_pages - 1   # page 0 is the junk page
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
         self._refs: dict = {}
 
@@ -294,7 +295,9 @@ def _paged_forward(
             else:
                 # verify window (T <= page_size): per-row two-page slab
                 # writes instead of a T-long dependent update chain
-                assert T_ <= psz, "verify window larger than a page"
+                if T_ > psz:   # not assert: -O must not strip this
+                    raise ValueError(
+                        f"verify window {T_} exceeds page_size {psz}")
                 for b in range(B_):
                     p0, p1 = page_of[b, 0], page_of[b, T_ - 1]
                     o0 = off[b, 0]
@@ -717,6 +720,15 @@ class PagedEngine:
             raise ValueError(
                 f"request needs {len(prompt_ids)} + {max_new_tokens} "
                 f"positions but max_seq is {self.max_seq}")
+        # an impossible request must be rejected HERE: admitted, it
+        # would head-of-line block the queue forever (the OOM rollback
+        # requeues it at the front every step)
+        need = -(-(len(prompt_ids) + max_new_tokens) // self.page_size)
+        usable = self.alloc.num_usable
+        if need > usable:
+            raise ValueError(
+                f"request needs {need} pages to complete but the pool "
+                f"only has {usable} usable pages")
         self._uid += 1
         self.queue.append(self._Request(
             uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
@@ -941,7 +953,9 @@ class PagedEngine:
             max_blen = self._buckets[-1]
             tight = any(len(r.prompt_ids) + max_blen > self.max_seq
                         for _, r in group)
-            if len(group) == 1 or tight:
+            short = any(self._pages_short(r, self._prefix_lookup(r)[1])
+                        for _, r in group)
+            if len(group) == 1 or tight or short:
                 for slot, r in group:
                     if failed:
                         failed.append((slot, r))
@@ -965,6 +979,22 @@ class PagedEngine:
                     "paged KV pool too small for any queued request "
                     f"(free pages {self.alloc.available})")
 
+    def _pages_short(self, r, shared) -> bool:
+        """True when the pool cannot currently cover this admission
+        (fresh pages needed beyond free + evictable prefix pins) —
+        checked BEFORE any prefill dispatch so a doomed admission costs
+        no device work (it would otherwise pay the full chunked prefill
+        every step until pages free)."""
+        need = (-(-(len(r.prompt_ids) + 1) // self.page_size)
+                - len(shared))
+        evictable = 0
+        if self._prefix:
+            sh = set(shared)
+            evictable = sum(1 for pg in self._prefix.values()
+                            if self.alloc.refs(pg) == 1
+                            and pg not in sh)
+        return need > self.alloc.available + evictable
+
     def _rollback(self, slot: int) -> None:
         """Undo a partial admission: release every page the slot holds
         (shared-page retains AND fresh allocations — the allocator
@@ -980,6 +1010,9 @@ class PagedEngine:
 
         plen = len(r.prompt_ids)
         cov, shared = self._prefix_lookup(r)
+        if self._pages_short(r, shared):
+            raise MemoryError(
+                f"pool cannot cover admission of uid {r.uid}")
         scratch = self._mk_scratch(1)
         scratch = self._attach_shared(slot, shared, scratch)
 
@@ -1160,6 +1193,10 @@ class PagedEngine:
 
         from .engine import draft_lookup_host
 
+        if k > self.page_size:
+            raise ValueError(
+                f"spec_k {k} exceeds page_size {self.page_size} (the "
+                "verify window's slab write spans at most two pages)")
         self._admit()
         act = [i for i, r in enumerate(self.active) if r is not None]
         if not act:

@@ -262,3 +262,45 @@ def test_mistral_style_sliding_window_config(tmp_path):
         "sliding_window": 32768, "use_sliding_window": True}))
     cfg = config_from_hf(str(d))
     assert cfg.sliding_window == 32768
+
+
+def test_quantization_config_adoption_rules(tmp_path):
+    """config_from_hf adopts bnb_4bit_quant_type only from a GENUINE
+    bnb 4-bit stanza (quant_method + load_in_4bit): HF serializes
+    bnb_4bit_quant_type even for 8-bit configs, and stale stanzas on
+    dense/merged checkpoints must not override an explicit request."""
+    from quantizations_tpu.config import QuantConfig
+    from quantizations_tpu.models.hf_loader import config_from_hf
+
+    base = {
+        "architectures": ["LlamaForCausalLM"], "vocab_size": 64,
+        "hidden_size": 32, "intermediate_size": 64,
+        "num_hidden_layers": 1, "num_attention_heads": 2,
+        "num_key_value_heads": 2, "head_dim": 16,
+    }
+
+    def mk(name, qc):
+        d = tmp_path / name
+        d.mkdir()
+        cfg = dict(base)
+        if qc is not None:
+            cfg["quantization_config"] = qc
+        (d / "config.json").write_text(json.dumps(cfg))
+        return str(d)
+
+    genuine = mk("genuine", {"quant_method": "bitsandbytes",
+                             "load_in_4bit": True,
+                             "bnb_4bit_quant_type": "nf4"})
+    assert config_from_hf(genuine).quant.quant_type == "nf4"
+    assert config_from_hf(
+        genuine, QuantConfig(quant_type="fp4")).quant.quant_type == "nf4"
+
+    eightbit = mk("eightbit", {"quant_method": "bitsandbytes",
+                               "load_in_8bit": True,
+                               "bnb_4bit_quant_type": "fp4"})
+    assert config_from_hf(
+        eightbit, QuantConfig(quant_type="nf4")).quant.quant_type == "nf4"
+
+    stale = mk("stale", {"bnb_4bit_quant_type": "fp4"})
+    assert config_from_hf(
+        stale, QuantConfig(quant_type="nf4")).quant.quant_type == "nf4"

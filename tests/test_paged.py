@@ -651,18 +651,37 @@ def test_paged_pool_oom_rolls_back_and_retries():
     assert not any(tight.owned[s] for s in range(2))
 
 
-def test_paged_pool_oom_unsatisfiable_raises():
-    """A request that can never fit (empty engine, pool smaller than
-    the prompt) raises MemoryError instead of looping forever."""
+def test_paged_impossible_request_rejected_at_submit():
+    """A request that can never complete (needs more pages than the
+    pool has) is rejected at submit — admitted, it would head-of-line
+    block the queue forever via the OOM rollback."""
     from quantizations_tpu.serve.paged import PagedEngine
 
     params = init_llama_params(CFG, seed=0)
     eng = PagedEngine(params, CFG, num_pages=2, page_size=PSZ,
                       slots=1, max_seq=32, prefill_buckets=(8,))
-    eng.submit(list(range(1, 21)), max_new_tokens=4)   # needs 2 pages
-    with pytest.raises(MemoryError):
-        eng.run()
-    assert eng.alloc.available == 1            # rollback kept the pool
+    with pytest.raises(ValueError, match="usable pages"):
+        eng.submit(list(range(1, 21)), max_new_tokens=4)  # 2 pages > 1
+    # a fitting request on the same engine still serves
+    uid = eng.submit([3, 1, 4, 1, 5], max_new_tokens=3)   # 1 page
+    done = eng.run()
+    assert len(done[uid].output_ids) == 3
+    assert eng.alloc.available == 1
+
+
+def test_slot_submit_rejects_oversized_prompt():
+    """Engine.submit validates prompt length so a bad request can never
+    strand co-admitted requests mid-_admit."""
+    from quantizations_tpu.config import ServeConfig
+    from quantizations_tpu.serve.engine import Engine
+
+    params = init_llama_params(CFG, seed=0)
+    eng = Engine(params, CFG, ServeConfig(max_seq_len=32), slots=2,
+                 prefill_buckets=(8,))
+    with pytest.raises(ValueError, match="max_seq"):
+        eng.submit(list(range(1, 34)), max_new_tokens=2)
+    uid = eng.submit([3, 1, 4], max_new_tokens=3)
+    assert len(eng.run()[uid].output_ids) == 3
 
 
 @pytest.mark.parametrize("knobs", [
