@@ -15,11 +15,98 @@ result — 37.5 TPS on an RTX A6000 (reference README.md:26).
 
 import argparse
 import json
+import os
 import statistics
+import subprocess
 import sys
 import time
 
 REFERENCE_QUANT_TPS = 37.5   # reference README.md:26 (FP4, A6000)
+
+# The real benchmark body runs in a child process (QT_BENCH_INNER=1):
+# a TPU-backend outage mid-run poisons the in-process JAX client, so
+# retries must start from a fresh interpreter. The parent polls the
+# backend, launches attempts, and guarantees ONE parseable JSON line
+# on stdout even when the backend never comes back (VERDICT r2 #2).
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp, numpy as np;"
+    "np.asarray(jax.jit(lambda a: a * 2 + 7)(jnp.ones((8, 93))));"
+    "print('QT_BACKEND_OK')"
+)
+
+
+def _backend_ready(timeout_s: float = 120.0) -> bool:
+    if os.environ.get("QT_BENCH_FORCE_DOWN"):   # test hook
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "QT_BACKEND_OK" in r.stdout
+    except Exception:
+        return False
+
+
+def _wait_for_backend(deadline: float) -> bool:
+    """Poll the backend (fresh subprocess each try) until `deadline`."""
+    while True:
+        if _backend_ready():
+            return True
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
+        print(f"# backend down, retrying ({remaining:.0f}s left)",
+              file=sys.stderr, flush=True)
+        time.sleep(min(60.0, max(1.0, remaining)))
+
+
+def _supervise(argv) -> int:
+    """Parent-side retry loop. Prints exactly one JSON line."""
+    sup = argparse.ArgumentParser(add_help=False)
+    sup.add_argument("--backend-wait", type=float, default=900.0,
+                     help="max seconds to poll for a live backend "
+                          "(across all retry attempts)")
+    sup.add_argument("--inner-timeout", type=float, default=2400.0,
+                     help="per-attempt timeout for the bench body")
+    sup_args, rest = sup.parse_known_args(argv)
+
+    deadline = time.time() + sup_args.backend_wait
+    started = time.time()
+    attempts = 0
+    last_err = ""
+    env = dict(os.environ, QT_BENCH_INNER="1")
+    while True:
+        if not _wait_for_backend(deadline):
+            break
+        attempts += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *rest],
+                capture_output=True, text=True, env=env,
+                timeout=sup_args.inner_timeout)
+        except subprocess.TimeoutExpired:
+            last_err = "inner bench timed out"
+            if time.time() >= deadline:
+                break
+            continue
+        sys.stderr.write(r.stderr)
+        line = next((ln for ln in reversed(r.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line is not None:
+            print(line, flush=True)
+            return 0
+        last_err = (r.stdout + r.stderr)[-2000:]
+        if time.time() >= deadline:
+            break
+        # transient backend death mid-run: loop back to the poll
+    print(json.dumps({
+        "metric": "decode_tps_llama3", "value": 0.0, "unit": "tokens/s",
+        "vs_baseline": 0.0, "backend_down": True,
+        "attempts": attempts, "waited_s": round(time.time() - started, 1),
+        "last_error_tail": last_err[-500:],
+    }), flush=True)
+    return 0
 
 
 def main() -> None:
@@ -196,4 +283,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("QT_BENCH_INNER"):
+        sys.exit(main())
+    sys.exit(_supervise(sys.argv[1:]))
