@@ -43,6 +43,8 @@ class Request:
     max_new_tokens: int
     eos_id: Optional[int] = None
     temperature: Optional[float] = None   # None = engine default
+    top_k: Optional[int] = None           # None = engine default
+    top_p: Optional[float] = None         # None = engine default
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -74,29 +76,75 @@ def draft_lookup_host(hist: List[int], k: int) -> List[int]:
 
 
 def sample_rows(logits: jnp.ndarray, temps: jnp.ndarray,
-                key: jnp.ndarray, *, top_k: int = 0,
-                top_p: float = 1.0) -> jnp.ndarray:
+                key: jnp.ndarray, *, top_k=0,
+                top_p=1.0) -> jnp.ndarray:
     """Per-row temperature sampling: rows with ``temps == 0`` take the
     greedy argmax, others a categorical draw over the
-    temperature-scaled (and top-k/top-p truncated) logits. ``top_k`` /
-    ``top_p`` are static under jit (per-engine, not per-request).
-    Shared by the slot Engine (decode/prefill/spec paths) and the
-    PagedEngine so the sampling semantics can't drift."""
+    temperature-scaled (and top-k/top-p truncated) logits.
+
+    ``top_k`` / ``top_p`` may each be a python scalar (static under
+    jit — the truncation code is only emitted when enabled) or a
+    per-row traced array ([rows] int / float; ``top_k == 0`` and
+    ``top_p >= 1`` mean "no truncation" per row). The traced form pays
+    one vocab sort per call, but only at RUNTIME when some row actually
+    truncates — a ``lax.cond`` skips the sort when every row is at the
+    defaults, so greedy/temperature-only serving keeps its fast path
+    inside a single compiled program. Shared by the slot Engine
+    (decode/prefill/spec paths) and the PagedEngine so the sampling
+    semantics can't drift."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lt = logits / jnp.maximum(temps, 1e-6)[:, None]
-    if top_k > 0:
-        kth = jnp.sort(lt, axis=-1)[:, -top_k][:, None]
-        lt = jnp.where(lt < kth, -jnp.inf, lt)
-    if top_p < 1.0:
-        srt = jnp.sort(lt, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(srt, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        keep = (cum - probs) < jnp.float32(top_p)
-        thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
-                      keepdims=True)
-        lt = jnp.where(lt < thr, -jnp.inf, lt)
+    if isinstance(top_k, jnp.ndarray) or isinstance(top_p, jnp.ndarray):
+        V = lt.shape[-1]
+        rows = lt.shape[0]
+        ks = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (rows,))
+        ps = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (rows,))
+
+        def _trunc(x):
+            # one descending sort serves both truncations: the top-k
+            # mask applied to the sorted copy IS the sorted masked
+            # array (masked entries are exactly the tail)
+            srt = jnp.sort(x, axis=-1)[:, ::-1]
+            kk = jnp.where(ks <= 0, V, ks)
+            kth = jnp.take_along_axis(
+                srt, jnp.clip(kk - 1, 0, V - 1)[:, None], axis=-1)
+            x = jnp.where(x < kth, -jnp.inf, x)
+            probs = jax.nn.softmax(
+                jnp.where(srt < kth, -jnp.inf, srt), axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = (cum - probs) < ps[:, None]
+            thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                          keepdims=True)
+            return jnp.where(x < thr, -jnp.inf, x)
+
+        lt = jax.lax.cond(
+            jnp.any(ks > 0) | jnp.any(ps < 1.0), _trunc,
+            lambda x: x, lt)
+    else:
+        if top_k > 0:
+            kth = jnp.sort(lt, axis=-1)[:, -top_k][:, None]
+            lt = jnp.where(lt < kth, -jnp.inf, lt)
+        if top_p < 1.0:
+            srt = jnp.sort(lt, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(srt, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = (cum - probs) < jnp.float32(top_p)
+            thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                          keepdims=True)
+            lt = jnp.where(lt < thr, -jnp.inf, lt)
     sampled = jax.random.categorical(key, lt, axis=-1).astype(jnp.int32)
     return jnp.where(temps == 0.0, greedy, sampled)
+
+
+def sample_rows_samp(logits: jnp.ndarray, samp: jnp.ndarray,
+                     key: jnp.ndarray) -> jnp.ndarray:
+    """:func:`sample_rows` over a packed per-row sampling matrix
+    ``samp`` [rows, 3] = (temperature, top_k, top_p) — the traced
+    per-request form both engines dispatch with (one array argument
+    keeps every step/prefill/spec signature unchanged)."""
+    return sample_rows(logits, samp[:, 0], key,
+                       top_k=samp[:, 1].astype(jnp.int32),
+                       top_p=samp[:, 2])
 
 
 def iter_prefill_chunks(plen: int, buckets, max_len: int = 0,
@@ -211,6 +259,7 @@ class Engine:
         self.mesh = mesh
 
         self._temp = temperature
+        self._top_k, self._top_p = top_k, top_p
         self.on_token = None   # optional callable(Request, token_id)
         self.pos = np.zeros(slots, np.int32)         # next write offset
         self.active: List[Optional[Request]] = [None] * slots
@@ -234,24 +283,25 @@ class Engine:
         # them into jaxpr constants). One compiled variant per attention
         # bucket: the step only attends the valid cache prefix (at 8k
         # max_seq a full-cache read would be ~1 GB/token).
-        # Sampling is per-slot: a temperature VECTOR selects greedy
-        # (temp 0) or categorical per request; top_k stays engine-global
-        # (it must be static under jit).
-        # Per-slot sampling with a traced temperature VECTOR: greedy
-        # (temp 0) or categorical per request; top_k/top_p stay
-        # engine-global (static under jit). Shared by the decode step
-        # AND the prefill closure so a request's resolved temperature
-        # governs its FIRST emitted token too.
-        def _sample(logits, temps, key):
-            return sample_rows(logits, temps, key, top_k=top_k,
-                               top_p=top_p)
+        # Per-slot sampling with a traced [slots, 3] matrix of
+        # (temperature, top_k, top_p): greedy (temp 0) or categorical
+        # per request, with PER-REQUEST truncation — the engine-level
+        # top_k/top_p are only defaults for requests that leave theirs
+        # unset. The truncation sort runs under a lax.cond, so
+        # all-default batches keep the sort-free fast path at runtime.
+        # Shared by the decode step AND the prefill closure so a
+        # request's resolved sampling params govern its FIRST emitted
+        # token too. (Speculative accept windows remain
+        # temperature-only: exact accept/correct math is defined
+        # against the untruncated target distribution — see step_spec.)
+        _sample = sample_rows_samp
 
         def _make_step(attend_len):
-            def _step(p, tokens, cache, pos_vec, temps, key):
+            def _step(p, tokens, cache, pos_vec, samp, key):
                 logits, cache = decode_step(
                     p, tokens[:, None], cache, pos_vec, cfg,
                     axis_name=axis, attend_len=attend_len)
-                nxt = _sample(logits, temps, key)
+                nxt = _sample(logits, samp, key)
                 return nxt, cache
 
             return _step
@@ -266,10 +316,10 @@ class Engine:
         def _make_multi_step(attend_len, n):
             one = _make_step(attend_len)
 
-            def _multi(p, tokens, cache, pos_vec, temps, key):
+            def _multi(p, tokens, cache, pos_vec, samp, key):
                 def body(carry, k):
                     tok, cache, pos = carry
-                    nxt, cache = one(p, tok, cache, pos, temps, k)
+                    nxt, cache = one(p, tok, cache, pos, samp, k)
                     return (nxt, cache, pos + 1), tok
 
                 keys = jax.random.split(key, n)
@@ -291,12 +341,12 @@ class Engine:
             from .speculative import (spec_accept_sample_vec,
                                       spec_window_tokens)
 
-            def _spec(p, feed, cache, pos_vec, draft, temps, key):
+            def _spec(p, feed, cache, pos_vec, draft, samp, key):
                 logits, cache = prefill(
                     p, feed, cache, cfg, axis_name=axis, pos=pos_vec,
                     attend_len=attend_len)
                 okk, corr = spec_accept_sample_vec(logits, draft, key,
-                                                   temps)
+                                                   samp[:, 0])
                 g, a = spec_window_tokens(okk, corr, draft)
                 return g, a, cache
 
@@ -311,17 +361,18 @@ class Engine:
         # garbage keys, but the NEXT chunk (or decode) overwrites
         # position p before any query can attend it, so they are never
         # read.
-        def _pf(p, ids, scratch, start, plen, temp, key):
+        def _pf(p, ids, scratch, start, plen, samp, key):
             # ids [1, blen] left-aligned; positions 0..plen-1 valid.
-            # ``temp`` [1] is the request's RESOLVED temperature (traced
-            # — baking the engine default here would make a temp-0
-            # request's first token stochastic).
+            # ``samp`` [1, 3] is the request's RESOLVED
+            # (temperature, top_k, top_p) (traced — baking the engine
+            # default here would make a temp-0 request's first token
+            # stochastic).
             logits, scratch = prefill(p, ids, scratch, cfg,
                                       axis_name=axis, pos=start)
             # logits of the LAST VALID token in this chunk
             logit = jnp.take_along_axis(
                 logits, jnp.reshape(plen - 1, (1, 1, 1)), axis=1)[:, 0]
-            tok = _sample(logit, temp, key)
+            tok = _sample(logit, samp, key)
             return tok, scratch
 
         # Batched admission: prefill chunks for EVERY admitted request
@@ -335,12 +386,12 @@ class Engine:
         # ~45 ms tunnel round trip per prefill chunk per request —
         # admission dominated the engine at many queued requests; this
         # batches it to one round trip per chunk ROUND.
-        def _pf_batch(p, ids, cache, starts, plens, temps, key):
+        def _pf_batch(p, ids, cache, starts, plens, samp, key):
             logits, cache = prefill(p, ids, cache, cfg,
                                     axis_name=axis, pos=starts)
             logit = jnp.take_along_axis(
                 logits, (plens - 1)[:, None, None], axis=1)[:, 0]
-            tok = _sample(logit, temps, key)
+            tok = _sample(logit, samp, key)
             return tok, cache
 
         def _fresh_scratch():
@@ -390,8 +441,8 @@ class Engine:
             def build_step(attend_len):
                 return jax.jit(jax.shard_map(
                     _make_step(attend_len), mesh=mesh,
-                    in_specs=(pspecs, P(None), cspec, P(None), P(None),
-                              P(None)),
+                    in_specs=(pspecs, P(None), cspec, P(None),
+                              P(None, None), P(None)),
                     out_specs=(P(None), cspec),
                     check_vma=False,
                 ), donate_argnums=(2,))
@@ -399,8 +450,8 @@ class Engine:
             def build_multi_step(attend_len, n):
                 return jax.jit(jax.shard_map(
                     _make_multi_step(attend_len, n), mesh=mesh,
-                    in_specs=(pspecs, P(None), cspec, P(None), P(None),
-                              P(None)),
+                    in_specs=(pspecs, P(None), cspec, P(None),
+                              P(None, None), P(None)),
                     out_specs=(P(None), P(None, None), cspec),
                     check_vma=False,
                 ), donate_argnums=(2,))
@@ -409,7 +460,7 @@ class Engine:
                 return jax.jit(jax.shard_map(
                     _make_spec_step(attend_len, k), mesh=mesh,
                     in_specs=(pspecs, P(None, None), cspec, P(None),
-                              P(None, None), P(None), P(None)),
+                              P(None, None), P(None, None), P(None)),
                     out_specs=(P(None, None), P(None), cspec),
                     check_vma=False,
                 ), donate_argnums=(2,))
@@ -417,14 +468,14 @@ class Engine:
             pf = jax.jit(jax.shard_map(
                 _pf, mesh=mesh,
                 in_specs=(pspecs, P(None, None), cspec, P(), P(),
-                          P(None), P(None)),
+                          P(None, None), P(None)),
                 out_specs=(P(None), cspec),
                 check_vma=False,
             ), donate_argnums=(2,))
             pfb = jax.jit(jax.shard_map(
                 _pf_batch, mesh=mesh,
                 in_specs=(pspecs, P(None, None), cspec, P(None), P(None),
-                          P(None), P(None)),
+                          P(None, None), P(None)),
                 out_specs=(P(None), cspec),
                 check_vma=False,
             ), donate_argnums=(2,))
@@ -478,7 +529,9 @@ class Engine:
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
                eos_id: Optional[int] = None,
-               temperature: Optional[float] = None) -> int:
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
         # validate HERE: a rejection mid-_admit would strand requests
         # popped in the same admission round
         if len(prompt_ids) >= self.max_seq:
@@ -489,7 +542,7 @@ class Engine:
         self.queue.append(Request(
             uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
             max_new_tokens=max_new_tokens, eos_id=eos_id,
-            temperature=temperature))
+            temperature=temperature, top_k=top_k, top_p=top_p))
         return self._uid
 
     def has_work(self) -> bool:
@@ -505,13 +558,10 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         tokens = jnp.asarray(self._cur_tok)
         pos_vec = jnp.asarray(self.pos)
-        temps = np.asarray(
-            [0.0 if r is None else (self._temp if r.temperature is None
-                                    else r.temperature)
-             for r in self.active], np.float32)
+        samp = self._slot_samp()
         step_fn = self._step_for(self._attend_bucket())
         nxt, self.cache = step_fn(tokens, self.cache, pos_vec,
-                                  jnp.asarray(temps), sub)
+                                  jnp.asarray(samp), sub)
         nxt = np.asarray(nxt)
         self._steps += 1
         for i in act:
@@ -549,14 +599,11 @@ class Engine:
         if not act:
             return 0
         self._key, sub = jax.random.split(self._key)
-        temps = np.asarray(
-            [0.0 if r is None else (self._temp if r.temperature is None
-                                    else r.temperature)
-             for r in self.active], np.float32)
+        samp = self._slot_samp()
         fn = self._multi_for(self._attend_bucket(extra=n), n)
         nxt, emitted, self.cache = fn(
             jnp.asarray(self._cur_tok), self.cache,
-            jnp.asarray(self.pos), jnp.asarray(temps), sub)
+            jnp.asarray(self.pos), jnp.asarray(samp), sub)
         nxt = np.asarray(nxt)
         emitted = np.asarray(emitted)          # [slots, n]
         self._steps += n
@@ -616,15 +663,12 @@ class Engine:
             draft[i] = d
             feed[i, 0] = self._cur_tok[i]
             feed[i, 1:] = d[:k - 1]
-        temps = np.asarray(
-            [0.0 if r is None else (self._temp if r.temperature is None
-                                    else r.temperature)
-             for r in self.active], np.float32)
+        samp = self._slot_samp()
         self._key, sub = jax.random.split(self._key)
         fn = self._spec_for(self._attend_bucket(extra=k), k)
         g, a, self.cache = fn(
             jnp.asarray(feed), self.cache, jnp.asarray(self.pos),
-            jnp.asarray(draft), jnp.asarray(temps), sub)
+            jnp.asarray(draft), jnp.asarray(samp), sub)
         g = np.asarray(g)
         a = np.asarray(a)
         self._steps += 1
@@ -712,6 +756,25 @@ class Engine:
             return self._temp
         return r.temperature
 
+    def _resolved_samp(self, r: Optional[Request]):
+        """(temperature, top_k, top_p) with engine defaults filled in
+        (top_k rides a float32 row — exact for any real vocab size)."""
+        if r is None:
+            return (self._temp, float(self._top_k), self._top_p)
+        return (self._temp if r.temperature is None else r.temperature,
+                float(self._top_k if r.top_k is None else r.top_k),
+                self._top_p if r.top_p is None else r.top_p)
+
+    def _slot_samp(self) -> np.ndarray:
+        """[slots, 3] resolved (temperature, top_k, top_p) rows
+        (greedy/no-truncation for empty slots)."""
+        out = np.zeros((self.slots, 3), np.float32)
+        out[:, 2] = 1.0
+        for i, r in enumerate(self.active):
+            if r is not None:
+                out[i] = self._resolved_samp(r)
+        return out
+
     def _admit(self) -> None:
         """Admit queued requests into every free slot.
 
@@ -748,16 +811,18 @@ class Engine:
             self._admit_scratch(admits)
             return
 
-        temps = np.asarray(
-            [next((self._resolved_temp(r) for s, r, _ in admits
-                   if s == i), self._resolved_temp(self.active[i]))
-             for i in range(self.slots)], np.float32)
+        samp = np.zeros((self.slots, 3), np.float32)
+        samp[:, 2] = 1.0
+        for i in range(self.slots):
+            r = next((r for sl, r, _ in admits if sl == i),
+                     self.active[i])
+            samp[i] = self._resolved_samp(r)
 
         def dispatch(ids, starts, plens):
             self._key, sub = jax.random.split(self._key)
             tok, self.cache = self._prefill_batch_fn(
                 jnp.asarray(ids), self.cache, jnp.asarray(starts),
-                jnp.asarray(plens), jnp.asarray(temps), sub)
+                jnp.asarray(plens), jnp.asarray(samp), sub)
             return np.asarray(tok)
 
         toks = run_chunk_rounds(
@@ -776,14 +841,13 @@ class Engine:
         for slot, r, chunks in admits:
             self._key, sub = jax.random.split(self._key)
             scratch = self._fresh_scratch()
-            rtemp = self._resolved_temp(r)
+            rsamp = np.asarray([self._resolved_samp(r)], np.float32)
             for start, take, blen in chunks:
                 ids = np.zeros((1, blen), np.int32)
                 ids[0, :take] = r.prompt_ids[start:start + take]
                 tok, scratch = self._prefill_fn(
                     jnp.asarray(ids), scratch, jnp.int32(start),
-                    jnp.int32(take), jnp.asarray([rtemp], jnp.float32),
-                    sub)
+                    jnp.int32(take), jnp.asarray(rsamp), sub)
             self.cache = self._insert_fn(self.cache, scratch,
                                          jnp.int32(slot))
             self.active[slot] = r

@@ -430,16 +430,19 @@ def paged_verify_step(
 
 
 def _paged_spec_impl(params, feed, pages, block_table, pos, draft,
-                     temps, key, cfg, max_pages, axis_name=None):
+                     samp, key, cfg, max_pages, axis_name=None):
     """Verify window + accept/correct in ONE dispatch (eager device
     round-trips are the engine's cost unit): returns (g [B, K] window
-    tokens, a [B] accepted-draft counts, pages)."""
+    tokens, a [B] accepted-draft counts, pages). ``samp`` is the
+    [B, 3] (temperature, top_k, top_p) matrix; the accept/correct rule
+    is temperature-only (exact speculative sampling is defined against
+    the untruncated target distribution)."""
     from .speculative import spec_accept_sample_vec, spec_window_tokens
 
     logits, pages = _paged_forward(params, feed, pages, block_table,
                                    pos, cfg, max_pages,
                                    axis_name=axis_name)
-    okk, corr = spec_accept_sample_vec(logits, draft, key, temps)
+    okk, corr = spec_accept_sample_vec(logits, draft, key, samp[:, 0])
     g, a = spec_window_tokens(okk, corr, draft)
     return g, a, pages
 
@@ -451,24 +454,23 @@ _paged_spec_step = functools.partial(
 )(_paged_spec_impl)
 
 
-def _paged_multi_impl(params, tokens, pages, block_table, pos, temps,
-                      key, cfg, max_pages, n, top_k, top_p,
-                      axis_name=None):
+def _paged_multi_impl(params, tokens, pages, block_table, pos, samp,
+                      key, cfg, max_pages, n, axis_name=None):
     """``n`` decode steps over the paged pool in ONE dispatch (the slot
     engine's ``_make_multi_step`` over block tables): scan T=1 paged
-    forwards, sampling each row with its own temperature. Emitted[j] is
+    forwards, sampling each row with its own resolved
+    (temperature, top_k, top_p) row of ``samp`` [B, 3]. Emitted[j] is
     the token vector fed INTO step j; the final carry is the next
     pending token per slot. Pages for positions pos..pos+n-1 must be
     pre-allocated in ``block_table``."""
-    from .engine import sample_rows
+    from .engine import sample_rows_samp
 
     def body(carry, k):
         tok, pages, pos_v = carry
         logits, pages = _paged_forward(params, tok[:, None], pages,
                                        block_table, pos_v, cfg,
                                        max_pages, axis_name=axis_name)
-        nxt = sample_rows(logits[:, 0], temps, k, top_k=top_k,
-                          top_p=top_p)
+        nxt = sample_rows_samp(logits[:, 0], samp, k)
         return (nxt, pages, pos_v + 1), tok
 
     keys = jax.random.split(key, n)
@@ -479,7 +481,7 @@ def _paged_multi_impl(params, tokens, pages, block_table, pos, temps,
 
 _paged_multi_step = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_pages", "n", "top_k", "top_p"),
+    static_argnames=("cfg", "max_pages", "n"),
     donate_argnums=(2,),
 )(_paged_multi_impl)
 
@@ -575,10 +577,11 @@ class PagedEngine:
     """Continuous batching over the paged pool: slots hold sequence
     STATE only (the block table rows); KV memory is allocated
     page-by-page as sequences grow and freed on completion. Sampling is
-    per-request: a temperature vector selects greedy (temp 0) or
-    categorical per slot via the shared :func:`engine.sample_rows`
-    (top_k/top_p stay engine-global — static under jit), covering the
-    first emitted token (admission) too.
+    per-request: a [slots, 3] (temperature, top_k, top_p) matrix drives
+    the shared :func:`engine.sample_rows` — greedy (temp 0),
+    categorical, and per-request truncation, covering the first emitted
+    token (admission) too; the engine-level top_k/top_p are defaults
+    for requests that leave theirs unset.
 
     Admission prefills through the dense chunked path into a scratch
     slot cache, scatters it into freshly allocated pages, then decode
@@ -600,7 +603,7 @@ class PagedEngine:
 
         import numpy as np
 
-        from .engine import Request, sample_rows
+        from .engine import Request, sample_rows_samp
 
         if max_seq % page_size:
             raise ValueError("max_seq must be a multiple of page_size")
@@ -660,14 +663,13 @@ class PagedEngine:
         self._steps = 0
         self._spec_windows = 0
         self._key = _jax.random.PRNGKey(seed)
-        self._sample = _jax.jit(functools.partial(
-            sample_rows, top_k=top_k, top_p=top_p))
+        self._sample = _jax.jit(sample_rows_samp)
         if mesh is None:
             self._pf = _jax.jit(functools.partial(
                 self._prefill_impl, cfg=cfg), donate_argnums=(2,))
             self._pfb = _jax.jit(functools.partial(
-                self._prefill_batch_impl, cfg=cfg, top_k=top_k,
-                top_p=top_p), donate_argnums=(2,))
+                self._prefill_batch_impl, cfg=cfg),
+                donate_argnums=(2,))
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -681,11 +683,10 @@ class PagedEngine:
                 check_vma=False), donate_argnums=(2,))
             self._pfb = _jax.jit(_jax.shard_map(
                 functools.partial(self._prefill_batch_impl, cfg=cfg,
-                                  top_k=top_k, top_p=top_p,
                                   axis_name=self._axis),
                 mesh=mesh,
                 in_specs=(self._pspecs, P(None, None), self._cspec,
-                          P(None), P(None), P(None), P(None)),
+                          P(None), P(None), P(None, None), P(None)),
                 out_specs=(P(None), self._cspec),
                 check_vma=False), donate_argnums=(2,))
 
@@ -698,24 +699,26 @@ class PagedEngine:
                        axis_name=axis_name)
 
     @staticmethod
-    def _prefill_batch_impl(params, ids, scratch, starts, plens, temps,
-                            key, cfg, top_k, top_p, axis_name=None):
+    def _prefill_batch_impl(params, ids, scratch, starts, plens, samp,
+                            key, cfg, axis_name=None):
         """One chunk ROUND for several admissions: prefill every
         scratch row at its own start, sample each row's last valid
-        position with its resolved temperature."""
+        position with its resolved (temperature, top_k, top_p) row."""
         from ..models.llama import prefill
-        from .engine import sample_rows
+        from .engine import sample_rows_samp
 
         logits, scratch = prefill(params, ids, scratch, cfg,
                                   pos=starts, axis_name=axis_name)
         logit = jnp.take_along_axis(
             logits, (plens - 1)[:, None, None], axis=1)[:, 0]
-        tok = sample_rows(logit, temps, key, top_k=top_k, top_p=top_p)
+        tok = sample_rows_samp(logit, samp, key)
         return tok, scratch
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
                eos_id: Optional[int] = None,
-               temperature: Optional[float] = None) -> int:
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
         if len(prompt_ids) + max_new_tokens >= self.max_seq:
             raise ValueError(
                 f"request needs {len(prompt_ids)} + {max_new_tokens} "
@@ -733,7 +736,7 @@ class PagedEngine:
         self.queue.append(self._Request(
             uid=self._uid, prompt_ids=list(map(int, prompt_ids)),
             max_new_tokens=max_new_tokens, eos_id=eos_id,
-            temperature=temperature))
+            temperature=temperature, top_k=top_k, top_p=top_p))
         return self._uid
 
     def _rtemp(self, r) -> float:
@@ -742,9 +745,19 @@ class PagedEngine:
             return 0.0
         return self._temp if r.temperature is None else r.temperature
 
-    def _slot_temps(self):
-        """[slots] resolved temperatures (0 for empty slots)."""
-        return self._np.asarray([self._rtemp(r) for r in self.active],
+    def _rsamp(self, r):
+        """Resolved (temperature, top_k, top_p) against the engine
+        defaults (top_k rides a float32 row — exact for any real
+        vocab)."""
+        if r is None:
+            return (0.0, 0.0, 1.0)
+        return (self._rtemp(r),
+                float(self._top_k if r.top_k is None else r.top_k),
+                self._top_p if r.top_p is None else r.top_p)
+
+    def _slot_samp(self):
+        """[slots, 3] resolved sampling rows (greedy for empty)."""
+        return self._np.asarray([self._rsamp(r) for r in self.active],
                                 self._np.float32)
 
     # -- dispatch builders (single-device jits / tp shard_maps) ----------
@@ -786,36 +799,35 @@ class PagedEngine:
         return fn
 
     def _multi_fn(self, mp: int, n: int):
-        """(params, tokens [B], pages, table, pos, temps, key) ->
+        """(params, tokens [B], pages, table, pos, samp, key) ->
         (next [B], emitted [B, n], pages)."""
         if self.mesh is None:
             return functools.partial(
-                _paged_multi_step, cfg=self.cfg, max_pages=mp, n=n,
-                top_k=self._top_k, top_p=self._top_p)
+                _paged_multi_step, cfg=self.cfg, max_pages=mp, n=n)
         key = ("multi", mp, n)
         fn = self._mesh_fns.get(key)
         if fn is None:
             from jax.sharding import PartitionSpec as P
 
             cfg, axis = self.cfg, self._axis
-            tk, tp_ = self._top_k, self._top_p
 
-            def raw(p, tokens, pages, table, pos, temps, k):
+            def raw(p, tokens, pages, table, pos, samp, k):
                 return _paged_multi_impl(p, tokens, pages, table, pos,
-                                         temps, k, cfg, mp, n, tk, tp_,
+                                         samp, k, cfg, mp, n,
                                          axis_name=axis)
 
             fn = jax.jit(jax.shard_map(
                 raw, mesh=self.mesh,
                 in_specs=(self._pspecs, P(None), self._ppspec,
-                          P(None, None), P(None), P(None), P(None)),
+                          P(None, None), P(None), P(None, None),
+                          P(None)),
                 out_specs=(P(None), P(None, None), self._ppspec),
                 check_vma=False), donate_argnums=(2,))
             self._mesh_fns[key] = fn
         return fn
 
     def _spec_fn(self, mp: int):
-        """(params, feed, pages, table, pos, draft, temps, key) ->
+        """(params, feed, pages, table, pos, draft, samp, key) ->
         (g [B, K], a [B], pages)."""
         if self.mesh is None:
             return functools.partial(_paged_spec_step, cfg=self.cfg,
@@ -827,16 +839,16 @@ class PagedEngine:
 
             cfg, axis = self.cfg, self._axis
 
-            def raw(p, feed, pages, table, pos, draft, temps, kk):
+            def raw(p, feed, pages, table, pos, draft, samp, kk):
                 return _paged_spec_impl(p, feed, pages, table, pos,
-                                        draft, temps, kk, cfg, mp,
+                                        draft, samp, kk, cfg, mp,
                                         axis_name=axis)
 
             fn = jax.jit(jax.shard_map(
                 raw, mesh=self.mesh,
                 in_specs=(self._pspecs, P(None, None), self._ppspec,
                           P(None, None), P(None), P(None, None),
-                          P(None), P(None)),
+                          P(None, None), P(None)),
                 out_specs=(P(None, None), P(None), self._ppspec),
                 check_vma=False), donate_argnums=(2,))
             self._mesh_fns[key] = fn
@@ -1028,11 +1040,10 @@ class PagedEngine:
         # next token from the LAST VALID position of the final
         # (possibly padded) chunk, sampled with the request's
         # RESOLVED temperature (its first emitted token)
-        temp = self._rtemp(r)
+        rsamp = self._np.asarray([self._rsamp(r)], self._np.float32)
         self._key, sub = _jax.random.split(self._key)
         tok = int(self._sample(
-            logits[:, take - 1],
-            _jnp.asarray([temp], _jnp.float32), sub)[0])
+            logits[:, take - 1], _jnp.asarray(rsamp), sub)[0])
         self._finish_admit(slot, r, tok, len(shared), scratch)
 
     def _admit_group(self, group) -> None:
@@ -1058,9 +1069,10 @@ class PagedEngine:
             entries.append((row, r.prompt_ids, cov, iter_prefill_chunks(
                 len(r.prompt_ids) - cov, self._buckets,
                 max_len=self.max_seq, base=cov)))
-        temps = np.zeros(W, np.float32)
+        samp = np.zeros((W, 3), np.float32)
+        samp[:, 2] = 1.0
         for row, (slot, r) in enumerate(group):
-            temps[row] = self._rtemp(r)
+            samp[row] = self._rsamp(r)
 
         state = {"scratch": scratch}
 
@@ -1069,7 +1081,7 @@ class PagedEngine:
             tok, state["scratch"] = self._pfb(
                 self.params, _jnp.asarray(ids), state["scratch"],
                 _jnp.asarray(starts), _jnp.asarray(plens),
-                _jnp.asarray(temps), sub)
+                _jnp.asarray(samp), sub)
             return np.asarray(tok)
 
         toks = run_chunk_rounds(entries, W, np.zeros(W, np.int32),
@@ -1103,7 +1115,7 @@ class PagedEngine:
 
         self._key, sub = _jax.random.split(self._key)
         nxt = self._np.asarray(self._sample(
-            logits, _jnp.asarray(self._slot_temps()), sub))
+            logits, _jnp.asarray(self._slot_samp()), sub))
         self._steps += 1
         for i in act:
             r = self.active[i]
@@ -1153,7 +1165,7 @@ class PagedEngine:
         nxt, emitted, self.pages = self._multi_fn(mp, n)(
             self.params, _jnp.asarray(self._cur), self.pages,
             _jnp.asarray(self.table), _jnp.asarray(self.pos),
-            _jnp.asarray(self._slot_temps()), sub)
+            _jnp.asarray(self._slot_samp()), sub)
         nxt = self._np.asarray(nxt)
         emitted = self._np.asarray(emitted)    # [slots, n]
         self._steps += n
@@ -1227,7 +1239,7 @@ class PagedEngine:
             self.params, _jnp.asarray(feed), self.pages,
             _jnp.asarray(self.table), _jnp.asarray(self.pos),
             _jnp.asarray(draft),
-            _jnp.asarray(self._slot_temps()), sub)
+            _jnp.asarray(self._slot_samp()), sub)
         g = self._np.asarray(g)
         a = self._np.asarray(a)
         self._steps += 1
