@@ -103,9 +103,12 @@ def make_dp_tp_generate_fn(cfg, serve, mesh: Mesh):
 
     validate_tp(cfg, mesh.shape[AXIS])
     pspecs = llama_param_pspecs(cfg)
-    cs = cache_pspec()
+    cs = cache_pspec(cfg)
+    sc = (P(None, "dp", AXIS, None)
+          if cs.k_scale is not None else None)
     cspec = type(cs)(k=P(None, "dp", AXIS, None, None),
-                     v=P(None, "dp", AXIS, None, None))
+                     v=P(None, "dp", AXIS, None, None),
+                     k_scale=sc, v_scale=sc)
 
     def body(params, prompt_ids, cache, key):
         # decorrelate dp replicas: a replicated key (in_specs P(None))

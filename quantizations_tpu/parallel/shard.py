@@ -61,8 +61,6 @@ def validate_tp(cfg: LlamaConfig, tp: int) -> None:
     bad = [msg for ok, msg in checks if not ok]
     if bad:
         raise ValueError(f"config does not shard over tp={tp}: {bad}")
-    if cfg.kv_cache_dtype != "bf16":
-        raise ValueError("tensor parallelism requires the bf16 KV cache")
 
 
 def _col(lead_l: bool) -> QLinear:
@@ -100,20 +98,32 @@ def llama_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
     )
 
 
-def cache_pspec() -> KVCache:
-    # [L, B, KV, S, D] — shard kv heads.
-    return KVCache(k=P(None, None, AXIS, None, None),
-                   v=P(None, None, AXIS, None, None))
+def cache_pspec(cfg: LlamaConfig = None) -> KVCache:
+    """[L, B, KV, S, D] — shard kv heads. With an int8 ``cfg`` the
+    per-token dequant-step planes [L, B, KV, S] shard on the SAME kv
+    axis (codes and their scales always live on the same shard — the
+    dequant is shard-local, no collective touches the cache)."""
+    kv = P(None, None, AXIS, None, None)
+    if cfg is not None and cfg.kv_cache_dtype == "int8":
+        sc = P(None, None, AXIS, None)
+        return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc)
+    return KVCache(k=kv, v=kv)
 
 
-def paged_pool_pspec():
-    """PartitionSpec pytree for a bf16 :class:`PagedKVCache`
+def paged_pool_pspec(cfg: LlamaConfig = None):
+    """PartitionSpec pytree for a :class:`PagedKVCache`
     ``[L, P, KVH, page, D]`` — kv heads sharded like the slot cache
-    (page ids are global, the page axis stays unsharded)."""
+    (page ids are global, the page axis stays unsharded). Int8 pools
+    shard their dequant-step pages [L, P, KVH, page] on the same kv
+    axis."""
     from ..serve.paged import PagedKVCache
 
-    return PagedKVCache(pages_k=P(None, None, AXIS, None, None),
-                        pages_v=P(None, None, AXIS, None, None))
+    kv = P(None, None, AXIS, None, None)
+    if cfg is not None and cfg.kv_cache_dtype == "int8":
+        sc = P(None, None, AXIS, None)
+        return PagedKVCache(pages_k=kv, pages_v=kv,
+                            k_scale=sc, v_scale=sc)
+    return PagedKVCache(pages_k=kv, pages_v=kv)
 
 
 def _ensure_planar(ql: QLinear) -> QLinear:
@@ -156,7 +166,7 @@ def make_sharded_generate_fn(
     """
     validate_tp(cfg, mesh.shape[AXIS])
     pspecs = llama_param_pspecs(cfg)
-    cspec = cache_pspec()
+    cspec = cache_pspec(cfg)
 
     body = functools.partial(
         _generate_impl,

@@ -173,7 +173,8 @@ def main() -> None:
         def mk_cache():
             return jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-                KVCache.create(cfg, 1, serve.max_seq_len), cache_pspec())
+                KVCache.create(cfg, 1, serve.max_seq_len),
+                cache_pspec(cfg))
     else:
         from .generate import make_generate_fn
 

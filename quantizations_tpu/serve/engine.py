@@ -406,7 +406,7 @@ class Engine:
                 scratch = jax.tree.map(
                     lambda x, sp: jax.device_put(
                         x, NamedSharding(mesh, sp)),
-                    scratch, cache_pspec())
+                    scratch, cache_pspec(cfg))
             return scratch
 
         self._fresh_scratch = _fresh_scratch
@@ -433,7 +433,7 @@ class Engine:
             from ..parallel.shard import cache_pspec, llama_param_pspecs
 
             pspecs = llama_param_pspecs(cfg)
-            cspec = cache_pspec()
+            cspec = cache_pspec(cfg)
             self.cache = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
                 KVCache.create(cfg, slots, self.max_seq), cspec)

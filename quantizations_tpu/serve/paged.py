@@ -598,7 +598,8 @@ class PagedEngine:
         """``mesh``: a tp mesh (parallel.make_mesh) — params must
         already be placed with ``shard_llama_params``; the pool shards
         its kv heads over the mesh and every step/prefill runs under
-        shard_map with the TP collectives (bf16 pool only)."""
+        shard_map with the TP collectives (bf16 or int8 pool — the
+        int8 dequant-step pages shard on the same kv-head axis)."""
         from collections import OrderedDict, deque
 
         import numpy as np
@@ -622,14 +623,11 @@ class PagedEngine:
                                           llama_param_pspecs,
                                           paged_pool_pspec, validate_tp)
 
-            if self.pages.k_scale is not None:
-                raise ValueError("TP paged pool requires a bf16 KV "
-                                 "cache (kv_cache_dtype='bf16')")
             validate_tp(cfg, mesh.shape[AXIS])
             self._axis = AXIS
             self._pspecs = llama_param_pspecs(cfg)
-            self._cspec = cache_pspec()
-            self._ppspec = paged_pool_pspec()
+            self._cspec = cache_pspec(cfg)
+            self._ppspec = paged_pool_pspec(cfg)
             self.pages = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
                 self.pages, self._ppspec)
