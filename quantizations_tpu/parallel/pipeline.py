@@ -85,10 +85,16 @@ def pp_param_pspecs(cfg: LlamaConfig,
                        final_norm=P(None), lm_head=lm_head)
 
 
-def pp_cache_pspec(tp_axis: Optional[str] = None) -> KVCache:
-    # [L, B, KV, S, D] — shard layers (and kv heads under pp×tp).
-    return KVCache(k=P(PP_AXIS, None, tp_axis, None, None),
-                   v=P(PP_AXIS, None, tp_axis, None, None))
+def pp_cache_pspec(tp_axis: Optional[str] = None,
+                   cfg: Optional[LlamaConfig] = None) -> KVCache:
+    """[L, B, KV, S, D] — shard layers (and kv heads under pp×tp).
+    With an int8 ``cfg`` the dequant-step planes [L, B, KV, S] shard on
+    the same layer (and kv) axes as the code planes."""
+    kv = P(PP_AXIS, None, tp_axis, None, None)
+    if cfg is not None and cfg.kv_cache_dtype == "int8":
+        sc = P(PP_AXIS, None, tp_axis, None)
+        return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc)
+    return KVCache(k=kv, v=kv)
 
 
 def shard_llama_params_pp(params: LlamaParams, mesh: Mesh,
@@ -112,7 +118,8 @@ def shard_llama_params_pp(params: LlamaParams, mesh: Mesh,
 
 
 def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
-                   attend_len, tp_axis=None, stage=None, mask_full=None):
+                   attend_len, tp_axis=None, stage=None, mask_full=None,
+                   cks=None, cvs=None):
     """Run THIS stage's local layer slice (a python loop over the local
     stacked leaves — per-stage layer count is static). ``stage`` (the
     traced pp coordinate) recovers each layer's GLOBAL index for the
@@ -140,11 +147,15 @@ def _stage_forward(params, x, ck, cv, pos, cos, sin, mask, cfg,
         use_win, win_eff = layer_window(cfg, gi)
         mask_i = (mask if use_win is None
                   else jnp.where(use_win, mask, mask_full))
-        x, ck, cv = _layer_forward(
+        out = _layer_forward(
             x, layer, ck, cv, pos, cos, sin, mask_i, cfg,
             axis_name=tp_axis, idx=jnp.int32(i), attend_len=attend_len,
-            win_eff=win_eff)
-    return x, ck, cv
+            cks=cks, cvs=cvs, win_eff=win_eff)
+        if cks is not None:
+            x, ck, cv, cks, cvs = out
+        else:
+            x, ck, cv = out
+    return x, ck, cv, cks, cvs
 
 
 def _pp_forward(
@@ -170,6 +181,7 @@ def _pp_forward(
     pos_mb = pos.reshape(n_pp, mb)
 
     ck, cv = cache.k, cache.v
+    cks, cvs = cache.k_scale, cache.v_scale
     buf = jnp.zeros((mb, T, h), jnp.bfloat16)
     logits_acc = jnp.zeros((n_pp, mb, cfg.vocab_size), jnp.float32)
 
@@ -206,19 +218,30 @@ def _pp_forward(
         # local cache slots of this microbatch
         ck_mb = jax.lax.dynamic_slice_in_dim(ck, safe_idx * mb, mb, 1)
         cv_mb = jax.lax.dynamic_slice_in_dim(cv, safe_idx * mb, mb, 1)
-        x, ck_mb, cv_mb = _stage_forward(
+        cks_mb = cvs_mb = None
+        if cks is not None:
+            cks_mb = jax.lax.dynamic_slice_in_dim(cks, safe_idx * mb,
+                                                  mb, 1)
+            cvs_mb = jax.lax.dynamic_slice_in_dim(cvs, safe_idx * mb,
+                                                  mb, 1)
+        x, ck_mb, cv_mb, cks_mb, cvs_mb = _stage_forward(
             params, x, ck_mb, cv_mb, pos_write, cos, sin, mask, cfg,
             attend_len=None, tp_axis=tp_axis, stage=stage,
-            mask_full=mask_full)
+            mask_full=mask_full, cks=cks_mb, cvs=cvs_mb)
         write_at = jnp.where(active, safe_idx * mb, 0)
-        ck = jax.lax.dynamic_update_slice_in_dim(
-            ck, jnp.where(active, ck_mb,
-                          jax.lax.dynamic_slice_in_dim(ck, write_at, mb, 1)),
-            write_at, 1)
-        cv = jax.lax.dynamic_update_slice_in_dim(
-            cv, jnp.where(active, cv_mb,
-                          jax.lax.dynamic_slice_in_dim(cv, write_at, mb, 1)),
-            write_at, 1)
+
+        def _wb(full, mbv):
+            return jax.lax.dynamic_update_slice_in_dim(
+                full,
+                jnp.where(active, mbv, jax.lax.dynamic_slice_in_dim(
+                    full, write_at, mb, 1)),
+                write_at, 1)
+
+        ck = _wb(ck, ck_mb)
+        cv = _wb(cv, cv_mb)
+        if cks is not None:
+            cks = _wb(cks, cks_mb)
+            cvs = _wb(cvs, cvs_mb)
 
         # last stage: last-token logits for this microbatch
         xl = _norm(x[:, -1:, :], params.final_norm, cfg)
@@ -253,7 +276,7 @@ def _pp_forward(
 
     # every stage contributed zeros except the last: replicate via psum
     logits = jax.lax.psum(logits_acc, PP_AXIS).reshape(B, cfg.vocab_size)
-    return logits, KVCache(k=ck, v=cv)
+    return logits, KVCache(k=ck, v=cv, k_scale=cks, v_scale=cvs)
 
 
 def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
@@ -264,9 +287,8 @@ def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
     ``serve.max_seq_len - 1`` (one reserved scratch slot). ``tp_axis``
     composes with tensor parallelism on a 2D (pp, tp) mesh: each stage's
     layer slice is Megatron-sharded, psums ride the tp axis while stage
-    handoffs ppermute on pp."""
-    if cfg.kv_cache_dtype != "bf16":
-        raise ValueError("pipeline parallelism requires the bf16 KV cache")
+    handoffs ppermute on pp (int8 caches thread their dequant-step
+    planes through the same microbatch slices)."""
     n_pp = mesh.shape[PP_AXIS]
 
     def body(params, prompt_ids, cache, key):
@@ -297,8 +319,8 @@ def make_pp_generate_fn(cfg: LlamaConfig, serve: ServeConfig,
     mapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(pp_param_pspecs(cfg, tp_axis), P(None, None),
-                  pp_cache_pspec(tp_axis), P(None)),
-        out_specs=(P(None, None), pp_cache_pspec(tp_axis)),
+                  pp_cache_pspec(tp_axis, cfg), P(None)),
+        out_specs=(P(None, None), pp_cache_pspec(tp_axis, cfg)),
         check_vma=False,
     )
     donate = (2,) if serve.donate_cache else ()

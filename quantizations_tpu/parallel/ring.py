@@ -139,11 +139,10 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
     pure function of the global position difference)."""
     from ..models.llama import (KVCache, QLinear, _act, _norm, _ql,
                                 _ql_psum, apply_rope, embed_lookup,
-                                layer_window, rms_norm, rope_cos_sin)
+                                layer_window, quantize_kv_i8, rms_norm,
+                                rope_cos_sin)
 
-    if cfg.kv_cache_dtype != "bf16":
-        raise ValueError("sequence-parallel prefill requires the bf16 "
-                         "KV cache")
+    int8_kv = cfg.kv_cache_dtype == "int8"
     if tp_axis is not None:
         if tp_axis != "tp":
             # llama_param_pspecs hardcodes the mesh axis name "tp"
@@ -188,6 +187,20 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             v = v.reshape(B, C, n_kv, D)
+            if int8_kv:
+                # quantize-on-write EXACTLY like the dense int8 path,
+                # then attend the dequantized values — the ring must
+                # see the same K/V the dense prefill reads back from
+                # its cache, or streams diverge from the single-device
+                # int8 reference
+                kq, kstep = quantize_kv_i8(k.swapaxes(1, 2))
+                vq, vstep = quantize_kv_i8(v.swapaxes(1, 2))
+                k = (kq.astype(jnp.float32)
+                     * kstep[..., None].astype(jnp.float32)
+                     ).swapaxes(1, 2)
+                v = (vq.astype(jnp.float32)
+                     * vstep[..., None].astype(jnp.float32)
+                     ).swapaxes(1, 2)
             use_win, _ = layer_window(cfg, i)
             attn = ring_attention(
                 q.reshape(B, C, n_kv, n_q // n_kv, D), k, v,
@@ -216,11 +229,16 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
                 db = _norm(db, stacked.post_mlp_norm[i], cfg)
             x = x + db.astype(x.dtype)
             # cache-native chunk [B, KV(shard), C, D]
+            if int8_kv:
+                return x, (kq, vq, kstep, vstep)
             return x, (k.swapaxes(1, 2).astype(jnp.bfloat16),
-                       v.swapaxes(1, 2).astype(jnp.bfloat16))
+                       v.swapaxes(1, 2).astype(jnp.bfloat16),
+                       jnp.zeros((), jnp.bfloat16),
+                       jnp.zeros((), jnp.bfloat16))
 
         idx = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-        x, (ks, vs) = jax.lax.scan(body, x, idx)   # ks [L, B, KV, C, D]
+        # ks [L, B, KV, C, D]; int8 adds step planes [L, B, KV, C]
+        x, (ks, vs, kst, vst) = jax.lax.scan(body, x, idx)
 
         # lm_head on the global last token (it lives on sp rank n-1)
         xl = jax.lax.all_gather(x[:, -1, :], axis_name)[-1]    # [B, h]
@@ -238,18 +256,20 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
         if tp_axis is not None:   # vocab-sharded head: gather the shards
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
                                         tiled=True)
-        return logits, ks, vs
+        return logits, ks, vs, kst, vst
 
     if tp_axis is None:
         def pspecs(params):
             return jax.tree.map(lambda _: P(), params)
         kv_spec = P(None, None, None, axis_name)
+        st_spec = P(None, None, None, axis_name) if int8_kv else P()
     else:
         from .shard import llama_param_pspecs
 
         def pspecs(params):
             return llama_param_pspecs(cfg)
         kv_spec = P(None, None, tp_axis, axis_name)
+        st_spec = P(None, None, tp_axis, axis_name) if int8_kv else P()
 
     @jax.jit
     def f(params, token_ids, cache):
@@ -259,10 +279,11 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
                 "row-parallel o/down must be planar under tp (the pair "
                 "layout's word axis does not slice congruently with K) "
                 "— place params with parallel.shard_llama_params")
-        logits, ks, vs = jax.shard_map(
+        logits, ks, vs, kst, vst = jax.shard_map(
             trunk, mesh=mesh,
             in_specs=(pspecs(params), P(None, axis_name)),
-            out_specs=(P(None, None), kv_spec, kv_spec),
+            out_specs=(P(None, None), kv_spec, kv_spec, st_spec,
+                       st_spec),
             check_vma=False,
         )(params, token_ids)
         zero = (0,) * 5
@@ -270,6 +291,15 @@ def make_sp_prefill_fn(mesh: Mesh, cfg, axis_name: str = "sp",
             cache.k, ks.astype(cache.k.dtype), zero)
         cv = jax.lax.dynamic_update_slice(
             cache.v, vs.astype(cache.v.dtype), zero)
+        if int8_kv:
+            cks = jax.lax.dynamic_update_slice(
+                cache.k_scale, kst.astype(cache.k_scale.dtype),
+                zero[:4])
+            cvs = jax.lax.dynamic_update_slice(
+                cache.v_scale, vst.astype(cache.v_scale.dtype),
+                zero[:4])
+            return logits, KVCache(k=ck, v=cv, k_scale=cks,
+                                   v_scale=cvs)
         return logits, KVCache(k=ck, v=cv)
 
     return f

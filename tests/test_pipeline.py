@@ -137,3 +137,39 @@ def test_pp_generate_family_knobs(knobs):
         sharded, ids, cache, key)
 
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+
+def test_pp_generate_int8_matches_single_device():
+    """int8 KV through PP (VERDICT r2 #5): the dequant-step planes ride
+    the same microbatch cache slices, so PP streams stay
+    token-identical to the single-device int8 generate."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    import dataclasses
+
+    from jax.sharding import Mesh, NamedSharding
+
+    cfg = dataclasses.replace(TINY_LLAMA, kv_cache_dtype="int8")
+    params = init_llama_params(cfg, seed=0)
+    serve = ServeConfig(max_seq_len=MAX_SEQ, max_new_tokens=5,
+                        temperature=0.0, donate_cache=False)
+    B = 4
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 4)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    ref_gen = make_generate_fn(cfg, serve)
+    ref_toks, _ = ref_gen(params, ids, KVCache.create(cfg, B, MAX_SEQ),
+                          key)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pp",))
+    sharded = shard_llama_params_pp(params, mesh, cfg)
+    cache = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        KVCache.create(cfg, B, MAX_SEQ), pp_cache_pspec(cfg=cfg))
+    gen = make_pp_generate_fn(cfg, serve, mesh)
+    toks, cache_out = gen(sharded, ids, cache, key)
+    assert cache_out.k.dtype == jnp.int8
+    assert cache_out.k_scale is not None
+
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
