@@ -205,13 +205,16 @@ def test_engine_spec_with_int8_cache(params):
     assert got == ref
 
 
-def test_parallel_factories_reject_int8():
+def test_parallel_factories_accept_int8():
+    """Round 3 removed the round-2 bf16 gates: int8 KV now composes
+    with TP (scale planes shard on the kv-head axis) and the SP ring
+    (in-ring quantize-on-write) — the factories must ACCEPT int8
+    configs. Token-identity is covered by test_int8_tp.py /
+    test_ring.py / test_pipeline.py."""
     from quantizations_tpu.parallel.ring import make_sp_prefill_fn
     from quantizations_tpu.parallel.shard import validate_tp
     from jax.sharding import Mesh
 
-    with pytest.raises(ValueError, match="bf16"):
-        validate_tp(CFG8, 2)
+    validate_tp(CFG8, 2)     # no raise
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("sp",))
-    with pytest.raises(ValueError, match="bf16"):
-        make_sp_prefill_fn(mesh, CFG8)
+    make_sp_prefill_fn(mesh, CFG8)   # no raise
