@@ -11,6 +11,10 @@ row's length (masked in softmax but still fetched).
 Variants:
   slot          : flash_decode_attention_stacked (s_blk 256)
   paged_pN      : production kernel, page size N
+  pagedxM_pN    : production kernel, pages_per_step=M — M consecutive
+                  logical pages fetched per grid step (each its own
+                  block-table DMA, issued together: deeper copy
+                  pipelining against the small-DMA latency tax)
   pagedcl_pN    : + index-map CLAMP — pages past the row's length alias
                   the last valid page id, so Pallas skips the refetch
                   (same-index blocks are not re-DMAd); softmax masking
@@ -162,6 +166,21 @@ def main():
                     q, iters=300, trials=2, consts=(pk, pv))
                 print(f"B={B} paged_p{page:<4d}{name} {dt*1e6:8.1f}us "
                       f"(maxerr {err:.1e})", flush=True)
+
+                for pps in (2, 4):
+                    if (CTX // page) % pps:
+                        continue
+                    outm = np.asarray(paged_flash_decode_attention(
+                        q, pk, pv, tbl, li, lens, pages_per_step=pps))
+                    errm = np.max(np.abs(outm - out))
+                    dt = time_scan_chain(
+                        lambda qq, k, v, _pps=pps:
+                        paged_flash_decode_attention(
+                            qq, k, v, tbl, li, lens, pages_per_step=_pps),
+                        q, iters=300, trials=2, consts=(pk, pv))
+                    print(f"B={B} pagedx{pps}_p{page:<4d}{name} "
+                          f"{dt*1e6:6.1f}us (vs prod {errm:.1e})",
+                          flush=True)
 
                 outc = np.asarray(paged_clamped_j(
                     q, pk, pv, tbl, li, lens))

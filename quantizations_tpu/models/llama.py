@@ -119,9 +119,15 @@ class LlamaConfig:
     # Quantize-on-write at the same granularity the attention reads.
     # Works with the einsum path, the flash-decode kernel
     # (flash_decode_attention_stacked_i8) and the paged pool
-    # (paged_flash_decode_attention_i8); TP/PP/SP caches remain bf16
-    # (gated at their factories).
+    # (paged_flash_decode_attention_i8); composes with TP/PP/SP — the
+    # step planes shard/slice/rotate alongside the code planes.
     kv_cache_dtype: str = "bf16"
+    # Paged attention: consecutive logical pages fetched per kernel
+    # grid step (each its own block-table-aimed DMA issued in the same
+    # step — deeper copy pipelining against the many-small-DMA latency
+    # tax of short pages; see ops/paged_attention.py). Static under
+    # jit; clamped to divide the attended table width.
+    paged_pages_per_step: int = 1
     quant: QuantConfig = QuantConfig()
 
     @property

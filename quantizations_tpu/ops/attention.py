@@ -37,8 +37,15 @@ _NEG = -1e30
 
 def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
             *, s_blk, scale, n_kv, len_off=0, softcap=None, window=None,
-            win_slot=None, q_span=1, q_heads=None):
-    sq = pl.program_id(1)
+            win_slot=None, q_span=1, q_heads=None, sq=None, nsq=None):
+    # ``sq``/``nsq`` override the sequence-step identity when a caller
+    # runs SEVERAL logical S-blocks inside one grid step (the paged
+    # multi-page-per-step variant): ``sq`` is the logical block index,
+    # ``nsq`` the logical block count. Defaults read the grid.
+    if sq is None:
+        sq = pl.program_id(1)
+    if nsq is None:
+        nsq = pl.num_programs(1)
     b = len_off + pl.program_id(0) // n_kv
 
     q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, D]
@@ -92,7 +99,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     l_scr[:, 0:1] = l_new
     acc_scr[:] = acc
 
-    @pl.when(sq == pl.num_programs(1) - 1)
+    @pl.when(sq == nsq - 1)
     def _flush():
         l = l_scr[:, 0:1]
         o_ref[0, 0] = acc_scr[:] / jnp.where(l > 0, l, 1.0)
@@ -100,12 +107,16 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
 def _kernel_i8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                m_scr, l_scr, acc_scr, *, s_blk, scale, n_kv, len_off=0,
-               softcap=None, win_slot=None, q_span=1, q_heads=None):
+               softcap=None, win_slot=None, q_span=1, q_heads=None,
+               sq=None, nsq=None):
     """int8-cache variant: per-token dequant steps are folded into
     COLUMN scalings (k rows scale the score columns, v rows scale the
     probability columns) — lane-natural, no transposes, and the int8
     cache blocks stream at half the bf16 bytes."""
-    sq = pl.program_id(1)
+    if sq is None:
+        sq = pl.program_id(1)
+    if nsq is None:
+        nsq = pl.num_programs(1)
     b = len_off + pl.program_id(0) // n_kv
 
     q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, D]
@@ -149,7 +160,7 @@ def _kernel_i8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     l_scr[:, 0:1] = l_new
     acc_scr[:] = acc
 
-    @pl.when(sq == pl.num_programs(1) - 1)
+    @pl.when(sq == nsq - 1)
     def _flush():
         l = l_scr[:, 0:1]
         o_ref[0, 0] = acc_scr[:] / jnp.where(l > 0, l, 1.0)

@@ -35,8 +35,15 @@ __all__ = ["paged_flash_decode_attention",
            "paged_flash_decode_attention_i8"]
 
 
+def _clamp_pps(max_pages: int, pages_per_step: int) -> int:
+    while max_pages % pages_per_step:
+        pages_per_step //= 2
+    return max(pages_per_step, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "scale",
-                                             "softcap", "q_span"))
+                                             "softcap", "q_span",
+                                             "pages_per_step"))
 def paged_flash_decode_attention(
     q: jnp.ndarray,          # [B, KVH, q_span*G, D]
     pages_k: jnp.ndarray,    # [L, P, KVH, page, D]
@@ -53,6 +60,10 @@ def paged_flash_decode_attention(
     q_span: int = 1,   # consecutive query POSITIONS stacked in the q
     # block (speculative verify window): row t*G+g is position
     # lengths[b]-1+t, causally masked inside the window
+    pages_per_step: int = 1,  # consecutive logical pages fetched per
+    # grid step (each its own block-table DMA): one step overlaps
+    # ``pages_per_step`` page fetches, attacking the many-small-DMA
+    # latency tax of short pages (clamped to divide max_pages)
 ) -> jnp.ndarray:
     """Online-softmax decode attention over paged KV. Returns fp32
     ``[B, KVH, q_span*G, D]``. The sequence-position grid walks the
@@ -63,6 +74,7 @@ def paged_flash_decode_attention(
     L, P, _, page, _ = pages_k.shape
     max_pages = block_table.shape[1]
     scale = scale if scale is not None else D ** -0.5
+    pps = _clamp_pps(max_pages, pages_per_step)
 
     n_scalars = 1 + B * max_pages + B
     kernel = functools.partial(
@@ -71,28 +83,33 @@ def paged_flash_decode_attention(
         win_slot=n_scalars if window is not None else None,
         q_span=q_span, q_heads=G)
 
-    def k_wrap(scalars_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
-               acc_scr):
+    def k_wrap(scalars_ref, q_ref, *refs):
         # scalars: [1 + B*max_pages + B] = layer idx | table | lengths
-        kernel(scalars_ref, q_ref, k_ref[0], v_ref[0], o_ref,
-               m_scr, l_scr, acc_scr)
+        krefs, vrefs = refs[:pps], refs[pps:2 * pps]
+        o_ref, m_scr, l_scr, acc_scr = refs[2 * pps:]
+        for r in range(pps):
+            kernel(scalars_ref, q_ref, krefs[r][0], vrefs[r][0], o_ref,
+                   m_scr, l_scr, acc_scr,
+                   sq=pl.program_id(1) * pps + r, nsq=max_pages)
 
-    def page_of(i, sq, sc):
+    def page_of(i, sq, sc, r):
         b = i // KVH
-        return sc[1 + b * max_pages + sq]
+        return sc[1 + b * max_pages + sq * pps + r]
+
+    def cblk(r):
+        return pl.BlockSpec(
+            (1, 1, 1, page, D),
+            lambda i, sq, sc: (sc[0], page_of(i, sq, sc, r),
+                               i % KVH, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * KVH, max_pages),
+        grid=(B * KVH, max_pages // pps),
         in_specs=[
             pl.BlockSpec((1, 1, QG, D),
                          lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
-            pl.BlockSpec((1, 1, 1, page, D),
-                         lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
-                                            i % KVH, 0, 0)),
-            pl.BlockSpec((1, 1, 1, page, D),
-                         lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
-                                            i % KVH, 0, 0)),
+            *[cblk(r) for r in range(pps)],
+            *[cblk(r) for r in range(pps)],
         ],
         out_specs=pl.BlockSpec(
             (1, 1, QG, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
@@ -115,11 +132,12 @@ def paged_flash_decode_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(scalars, q, pages_k, pages_v)
+    )(scalars, q, *([pages_k] * pps), *([pages_v] * pps))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "scale",
-                                             "softcap", "q_span"))
+                                             "softcap", "q_span",
+                                             "pages_per_step"))
 def paged_flash_decode_attention_i8(
     q: jnp.ndarray,          # [B, KVH, q_span*G, D]
     pages_k: jnp.ndarray,    # [L, P, KVH, page, D] int8 codes
@@ -134,6 +152,7 @@ def paged_flash_decode_attention_i8(
     softcap: Optional[float] = None,
     window: Optional[jnp.ndarray] = None,  # traced effective window
     q_span: int = 1,   # stacked query positions (verify window)
+    pages_per_step: int = 1,  # logical pages fetched per grid step
 ) -> jnp.ndarray:
     """int8-pool variant of :func:`paged_flash_decode_attention`
     (kv_cache_dtype="int8"): code pages stream at half the bf16 bytes
@@ -145,6 +164,7 @@ def paged_flash_decode_attention_i8(
     L, P, _, page, _ = pages_k.shape
     max_pages = block_table.shape[1]
     scale = scale if scale is not None else D ** -0.5
+    pps = _clamp_pps(max_pages, pages_per_step)
 
     n_scalars = 1 + B * max_pages + B
     kernel = functools.partial(
@@ -153,28 +173,42 @@ def paged_flash_decode_attention_i8(
         win_slot=n_scalars if window is not None else None,
         q_span=q_span, q_heads=G)
 
-    def k_wrap(scalars_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-               m_scr, l_scr, acc_scr):
-        kernel(scalars_ref, q_ref, k_ref[0], v_ref[0], ks_ref[0],
-               vs_ref[0], o_ref, m_scr, l_scr, acc_scr)
+    def k_wrap(scalars_ref, q_ref, *refs):
+        krefs, vrefs = refs[:pps], refs[pps:2 * pps]
+        ksrefs, vsrefs = refs[2 * pps:3 * pps], refs[3 * pps:4 * pps]
+        o_ref, m_scr, l_scr, acc_scr = refs[4 * pps:]
+        for r in range(pps):
+            kernel(scalars_ref, q_ref, krefs[r][0], vrefs[r][0],
+                   ksrefs[r][0], vsrefs[r][0], o_ref,
+                   m_scr, l_scr, acc_scr,
+                   sq=pl.program_id(1) * pps + r, nsq=max_pages)
 
-    def page_of(i, sq, sc):
+    def page_of(i, sq, sc, r):
         b = i // KVH
-        return sc[1 + b * max_pages + sq]
+        return sc[1 + b * max_pages + sq * pps + r]
 
-    cblk = pl.BlockSpec((1, 1, 1, page, D),
-                        lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
-                                           i % KVH, 0, 0))
-    sblk = pl.BlockSpec((1, 1, 1, page),
-                        lambda i, sq, sc: (sc[0], page_of(i, sq, sc),
-                                           i % KVH, 0))
+    def cblk(r):
+        return pl.BlockSpec(
+            (1, 1, 1, page, D),
+            lambda i, sq, sc: (sc[0], page_of(i, sq, sc, r),
+                               i % KVH, 0, 0))
+
+    def sblk(r):
+        return pl.BlockSpec(
+            (1, 1, 1, page),
+            lambda i, sq, sc: (sc[0], page_of(i, sq, sc, r),
+                               i % KVH, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * KVH, max_pages),
+        grid=(B * KVH, max_pages // pps),
         in_specs=[
             pl.BlockSpec((1, 1, QG, D),
                          lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
-            cblk, cblk, sblk, sblk,
+            *[cblk(r) for r in range(pps)],
+            *[cblk(r) for r in range(pps)],
+            *[sblk(r) for r in range(pps)],
+            *[sblk(r) for r in range(pps)],
         ],
         out_specs=pl.BlockSpec(
             (1, 1, QG, D), lambda i, sq, sc: (i // KVH, i % KVH, 0, 0)),
@@ -197,4 +231,5 @@ def paged_flash_decode_attention_i8(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(scalars, q, pages_k, pages_v, scales_k, scales_v)
+    )(scalars, q, *([pages_k] * pps), *([pages_v] * pps),
+      *([scales_k] * pps), *([scales_v] * pps))

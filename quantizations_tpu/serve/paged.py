@@ -322,7 +322,8 @@ def _paged_forward(
                     interpret=interp,
                     scale=(cfg.query_scale or D) ** -0.5,
                     softcap=cfg.attn_logit_softcap, window=win_eff,
-                    q_span=T_)
+                    q_span=T_,
+                    pages_per_step=cfg.paged_pages_per_step)
             else:
                 attn = paged_flash_decode_attention(
                     qs, pk, pv,
@@ -330,7 +331,8 @@ def _paged_forward(
                     interpret=interp,
                     scale=(cfg.query_scale or D) ** -0.5,
                     softcap=cfg.attn_logit_softcap, window=win_eff,
-                    q_span=T_)
+                    q_span=T_,
+                    pages_per_step=cfg.paged_pages_per_step)
             attn = attn.reshape(B_, n_kv, T_, G, D).transpose(
                 0, 2, 1, 3, 4).reshape(B_ * T_, n_q * D)
 

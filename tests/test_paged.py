@@ -756,3 +756,98 @@ def test_paged_oom_rollback_with_prefix_cache():
     done = eng.run()                 # A retires, B admits via prefix
     assert done[ua].output_ids == ref[ra].output_ids
     assert done[ub].output_ids == ref[rb].output_ids
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_paged_attention_pages_per_step_identical(int8):
+    """pages_per_step > 1 runs the SAME online-softmax recurrence over
+    the same logical page order (each page its own block-table DMA,
+    several issued per grid step) — outputs must be bitwise identical
+    to the one-page-per-step kernel, for plain decode, stacked verify
+    windows (q_span) and sliding windows."""
+    from quantizations_tpu.ops.paged_attention import (
+        paged_flash_decode_attention, paged_flash_decode_attention_i8)
+
+    rng = np.random.default_rng(0)
+    L, P, KVH, page, D = 2, 7, 2, 16, 32
+    B, G = 2, 2
+    tbl = jnp.asarray(rng.integers(1, P, (B, 4)), jnp.int32)
+    lengths = jnp.asarray([2 * page + 3, page + 5], jnp.int32)
+    li = jnp.int32(1)
+    if int8:
+        pk = jnp.asarray(rng.integers(-127, 128, (L, P, KVH, page, D)),
+                         jnp.int8)
+        pv = jnp.asarray(rng.integers(-127, 128, (L, P, KVH, page, D)),
+                         jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.1, (L, P, KVH, page)),
+                         jnp.bfloat16)
+        vs = jnp.asarray(rng.uniform(0.01, 0.1, (L, P, KVH, page)),
+                         jnp.bfloat16)
+        def run(q, q_span, window, pps):
+            return paged_flash_decode_attention_i8(
+                q, pk, pv, ks, vs, tbl, li, lengths, interpret=True,
+                q_span=q_span, window=window, pages_per_step=pps)
+    else:
+        pk = jnp.asarray(rng.standard_normal((L, P, KVH, page, D)),
+                         jnp.bfloat16)
+        pv = jnp.asarray(rng.standard_normal((L, P, KVH, page, D)),
+                         jnp.bfloat16)
+        def run(q, q_span, window, pps):
+            return paged_flash_decode_attention(
+                q, pk, pv, tbl, li, lengths, interpret=True,
+                q_span=q_span, window=window, pages_per_step=pps)
+
+    for q_span, window in ((1, None), (2, None), (1, jnp.int32(7))):
+        q = jnp.asarray(rng.standard_normal((B, KVH, q_span * G, D)),
+                        jnp.bfloat16)
+        ref = np.asarray(run(q, q_span, window, 1))
+        assert np.isfinite(ref).all()
+        for pps in (2, 4):
+            got = np.asarray(run(q, q_span, window, pps))
+            assert np.array_equal(got, ref), (q_span, window, pps)
+        # non-dividing request clamps (width 4, pps 3 -> 1)
+        got = np.asarray(run(q, q_span, window, 3))
+        assert np.array_equal(got, ref)
+
+
+def test_paged_decode_pages_per_step_matches_slot_cache():
+    """End-to-end: cfg.paged_pages_per_step=2 reproduces the slot-cache
+    greedy stream through the paged forward."""
+    cfg = dataclasses.replace(CFG, paged_pages_per_step=2)
+    params = init_llama_params(cfg, seed=0)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    P = len(prompt)
+    N = 6
+    ids = jnp.asarray([prompt], jnp.int32)
+
+    cache = KVCache.create(cfg, 1, 64)
+    logits, cache = jax.jit(
+        lambda p, i, c: prefill(p, i, c, cfg, last_token_only=True)
+    )(params, ids, cache)
+    ref = [int(jnp.argmax(logits[0, -1]))]
+    step = jax.jit(lambda p, t, c, pos: decode_step(p, t, c, pos, cfg))
+    for i in range(N - 1):
+        lg, cache = step(params, jnp.asarray([[ref[-1]]], jnp.int32),
+                         cache, jnp.asarray([P + i], jnp.int32))
+        ref.append(int(jnp.argmax(lg[0])))
+
+    pages = PagedKVCache.create(cfg, num_pages=8, page_size=PSZ)
+    alloc = PageAllocator(8)
+    scratch = KVCache.create(cfg, 1, 64)
+    logits, scratch = jax.jit(
+        lambda p, i, c: prefill(p, i, c, cfg, last_token_only=True)
+    )(params, ids, scratch)
+    got = [int(jnp.argmax(logits[0, -1]))]
+    need = -(-(P + N) // PSZ)
+    page_ids = alloc.alloc(need)
+    pages = insert_prefill(pages, scratch, page_ids, P)
+    table = np.zeros((1, 4), np.int32)
+    table[0, :need] = page_ids
+    tbl = jnp.asarray(table)
+    for i in range(N - 1):
+        lg, pages = paged_decode_step(
+            params, jnp.asarray([[got[-1]]], jnp.int32), pages, tbl,
+            jnp.asarray([P + i], jnp.int32), cfg, max_pages=2)
+        got.append(int(jnp.argmax(lg[0])))
+
+    assert got == ref, (got, ref)
