@@ -162,6 +162,13 @@ def make_pair_fn(mode):
                           | (_take16_chunked(tbl128, hi) << 16))
             Ds += [pair_patterns_tree(wp, 4 * p, NF4_CODE)
                    for p in range(ng, 4)]
+        elif mode == "mix_g02bt":
+            # production candidate: gather planes 0,2 + ONE odd-nibble
+            # byte-pair tree for planes 1,3 (the plane split respects
+            # the byte pairing, unlike mix_gb which pays both Ns' trees)
+            from quantizations_tpu.ops.qmatmul import pair_patterns_mix_bt
+            tbl128 = jnp.broadcast_to(tbl_ref[0:1, :128], (tm2, 128))
+            Ds = pair_patterns_mix_bt(wp, tbl128, NF4_CODE)
         elif mode == "mix_gb":
             # gather for planes 0,1; byte4 (shared-mask SWAR) for 2,3
             tbl128 = jnp.broadcast_to(tbl_ref[0:1, :128], (tm2, 128))
@@ -235,7 +242,8 @@ def main():
     print(f"{'planar_mix4':14s} {dt*1e6:8.1f}us {nbytes/dt/1e9:6.1f} GB/s",
           flush=True)
 
-    for mode in (sys.argv[1:] or ["byte4", "tree2", "gather", "mix_gt"]):
+    for mode in (sys.argv[1:] or ["byte4", "tree2", "gather", "mix_gt",
+                                  "mix_g02bt", "mix_gb"]):
         f = make_pair_fn(mode)
         out = np.asarray(f(x, wp2, scales))
         rel = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)

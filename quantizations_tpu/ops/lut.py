@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["lut_tree", "lut_fp4_bits", "lut_take", "fp4_pair_patterns",
-           "fp4_pair_patterns_all", "make_lut", "LUT_NAMES"]
+           "fp4_pair_patterns_all", "pair_patterns_byte_pair",
+           "make_lut", "LUT_NAMES"]
 
 
 def lut_tree(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:
@@ -194,6 +195,69 @@ def pair_patterns_tree(words: jnp.ndarray, shift: int,
         lvl = [lvl[2 * i] ^ ((lvl[2 * i] ^ lvl[2 * i + 1]) & masks[b])
                for i in range(len(lvl) // 2)]
     return lvl[0]
+
+
+def _byte_tree4(N, consts, masks, m01, m23):
+    """Radix-4 xor-mux over BYTE fields: ``N`` holds one 4-bit code per
+    byte, ``consts`` 16 byte values; returns the selected byte per
+    field (4 codes resolved per vector op). Two radix-4 levels instead
+    of four radix-2 ones: each level folds two code bits with three
+    masked xors (the ``A^B^C^D`` term uses the precomputed two-bit
+    AND masks ``m01``/``m23``)."""
+    def b4(v):  # byte constant replicated into all 4 byte fields
+        v &= 0xFF
+        return jnp.int32(np.uint32(
+            v | (v << 8) | (v << 16) | (v << 24)).astype(np.int32))
+
+    lvl = []
+    for g in range(4):
+        A, B, C, D = consts[4 * g:4 * g + 4]
+        v = (b4(A)
+             ^ (b4(A ^ B) & masks[0])
+             ^ (b4(A ^ C) & masks[1])
+             ^ (b4(A ^ B ^ C ^ D) & m01))
+        lvl.append(v)
+    L0, L1, L2, L3 = lvl
+    return (L0 ^ ((L0 ^ L1) & masks[2]) ^ ((L0 ^ L2) & masks[3])
+            ^ ((L0 ^ L1 ^ L2 ^ L3) & m23))
+
+
+def pair_patterns_byte_pair(words: jnp.ndarray, table: Sequence[float],
+                            odd: bool) -> tuple:
+    """Decode the TWO pair-layout planes living in one nibble
+    plane-pair — ``odd=False``: planes (0, 2) from the even nibbles
+    ``words & 0x0F0F0F0F``; ``odd=True``: planes (1, 3) — via hi/lo
+    byte-field radix-4 xor-mux trees (:func:`_byte_tree4`: 4 codes per
+    vector op, the level masks shared between the two byte planes).
+    Returns the two int32 packed-bf16-pattern outputs in plane order;
+    bit-identical to :func:`pair_patterns_tree` on those planes.
+
+    Cost for the two planes: ~14 mask ops + 2x30 tree ops + 8 assembly
+    ops ≈ 82, vs 2x55 = 110 for two radix-2 half-word trees — the VPU
+    side of the gather+tree mix decode (ops/qmatmul.pair_patterns_mix)
+    at ~25% fewer ops."""
+    import ml_dtypes
+
+    pat = np.asarray(np.asarray(table, np.float32).astype(
+        ml_dtypes.bfloat16)).view(np.uint16).astype(np.int64)
+    his = [int(p) >> 8 for p in pat]
+    los = [int(p) & 0xFF for p in pat]
+
+    N = (words >> 4) & 0x0F0F0F0F if odd else words & 0x0F0F0F0F
+    masks = []
+    for b in range(4):
+        mb = (N >> b) & 0x01010101
+        masks.append((mb << 8) - mb)          # 0xFF per byte iff bit set
+    m01 = masks[0] & masks[1]
+    m23 = masks[2] & masks[3]
+    hi = _byte_tree4(N, his, masks, m01, m23)
+    lo = _byte_tree4(N, los, masks, m01, m23)
+    mhi = jnp.int32(np.uint32(0xFF00FF00).astype(np.int32))
+    # first plane of the pair: codes in bytes 0 (even row) / 2 (odd row)
+    p_a = ((hi & 0x00FF00FF) << 8) | (lo & 0x00FF00FF)
+    # second plane: bytes 1 / 3
+    p_b = (hi & mhi) | ((lo >> 8) & 0x00FF00FF)
+    return p_a, p_b
 
 
 def lut_take(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:

@@ -354,6 +354,29 @@ def pair_patterns_mix(words, tbl128, table, n_gather: int = 2):
     return outs
 
 
+def pair_patterns_mix_bt(words, tbl128, table):
+    """Gather+BYTE-TREE mix: planes 0, 2 through the dynamic gather and
+    planes 1, 3 through ONE hi/lo byte-field radix-4 tree over the odd
+    nibble plane (ops/lut.pair_patterns_byte_pair) — the plane split
+    respects the byte pairing (planes 1 and 3 share the ``(w>>4)&0x0F…``
+    nibble plane), so the tree side costs one pair of byte trees
+    (~82 ops) instead of two half-word radix-2 trees (~110 ops) while
+    the gather unit runs the other two planes concurrently. Candidate
+    replacement for :func:`pair_patterns_mix`; raced on chip by
+    benchmarks/nf4_mechanism_probe.py (mode mix_g02bt)."""
+    from .gemv import _take16_chunked
+    from .lut import pair_patterns_byte_pair
+
+    outs = [None] * 4
+    for p in (0, 2):
+        lo = (words >> (4 * p)) & 15
+        hi = (words >> (16 + 4 * p)) & 15
+        outs[p] = (_take16_chunked(tbl128, lo)
+                   | (_take16_chunked(tbl128, hi) << 16))
+    outs[1], outs[3] = pair_patterns_byte_pair(words, table, odd=True)
+    return outs
+
+
 def _pattern_table(table) -> jnp.ndarray:
     """``[1, 128]`` int32 operand holding the 16 bf16 bit patterns of a
     codebook (zero-padded), for the in-kernel dynamic gather."""

@@ -334,3 +334,40 @@ def test_manual_pipeline_stacked(rng, quant_type):
         b = np.asarray(matmul_4bit_pair_pallas(
             wps[l], scales[l], x, quant_type=quant_type, interpret=True))
         np.testing.assert_array_equal(a, b)
+
+
+def test_pair_patterns_mix_bt_bit_exact(rng):
+    """The gather+byte-tree mix (planes 0,2 gathered; planes 1,3 via
+    one odd-nibble byte-pair radix-4 tree) is bit-identical to the
+    radix-2 half-word tree on every plane, over all 256 (even,odd)
+    code pairs per plane and random full words."""
+    from quantizations_tpu.ops.lut import (pair_patterns_byte_pair,
+                                           pair_patterns_tree)
+    from quantizations_tpu.ops.qmatmul import (_pattern_table,
+                                               pair_patterns_mix_bt)
+    from quantizations_tpu.quant.codebooks import NF4_CODE
+
+    ev, od = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    words = []
+    for p in range(4):
+        w = ((ev.astype(np.int64) << (4 * p))
+             | (od.astype(np.int64) << (16 + 4 * p)))
+        words.append(w.astype(np.uint32).astype(np.int32))
+    words.append(np.asarray(rng.integers(-2**31, 2**31, (16, 16),
+                                         dtype=np.int64), np.int32))
+    tblrow = _pattern_table(NF4_CODE)    # [1, 128]
+    for w in words:
+        wj = jnp.asarray(w)
+        ref = [np.asarray(pair_patterns_tree(wj, 4 * p, NF4_CODE))
+               for p in range(4)]
+        bp = pair_patterns_byte_pair(wj, NF4_CODE, odd=True)
+        np.testing.assert_array_equal(np.asarray(bp[0]), ref[1])
+        np.testing.assert_array_equal(np.asarray(bp[1]), ref[3])
+        bp0 = pair_patterns_byte_pair(wj, NF4_CODE, odd=False)
+        np.testing.assert_array_equal(np.asarray(bp0[0]), ref[0])
+        np.testing.assert_array_equal(np.asarray(bp0[1]), ref[2])
+        tbl128 = jnp.broadcast_to(tblrow[:, :128], (wj.shape[0], 128))
+        mix = pair_patterns_mix_bt(wj, tbl128, NF4_CODE)
+        for p in range(4):
+            np.testing.assert_array_equal(np.asarray(mix[p]), ref[p],
+                                          err_msg=f"p={p}")
