@@ -131,6 +131,9 @@ def main() -> None:
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
                    help="KV cache element type (int8 halves attention "
                         "HBM traffic at long context)")
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse qkv / gate_up projections (4 weight "
+                        "kernels per layer instead of 7)")
     args = p.parse_args()
 
     import jax
@@ -167,6 +170,10 @@ def main() -> None:
     dev = jax.devices()[0]
     t0 = time.perf_counter()
     params = init_llama_params(cfg, seed=0)
+    if args.fuse:
+        from quantizations_tpu.models.llama import fuse_projections
+
+        params = fuse_projections(params)
     jax.block_until_ready(params)
     init_s = time.perf_counter() - t0
 

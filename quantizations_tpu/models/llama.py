@@ -250,6 +250,14 @@ class LlamaLayer:
     # Qwen3 per-head q/k RMSNorm gains [head_dim] (cfg.qk_norm)
     q_norm: Optional[jnp.ndarray] = None
     k_norm: Optional[jnp.ndarray] = None
+    # Serving-time fused projections (:func:`fuse_projections`): when
+    # ``qkv``/``gate_up`` are set the per-projection fields above are
+    # None and the forward slices one fused matmul's output instead of
+    # dispatching three (q|k|v) / two (gate|up) kernels on the same
+    # activations.
+    qkv: Optional[QLinear] = None
+    gate_up: Optional[QLinear] = None
+    qkv_bias: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
@@ -258,6 +266,48 @@ class LlamaParams:
     layers: LlamaLayer       # stacked: every leaf has leading [L]
     final_norm: jnp.ndarray  # [hidden]
     lm_head: Any             # QLinear (quantize_lm_head) or bf16 [vocab, hidden]
+
+
+def fuse_projections(params: LlamaParams) -> LlamaParams:
+    """Serving-time projection fusion: concatenate q|k|v (and gate|up)
+    along OUTPUT rows into one stacked QLinear each, so the decode path
+    runs 4 weight kernels per layer instead of 7 on the same
+    activations — fewer dispatch prologues, one activation permute
+    instead of three, and (crucial for the manual DMA pipeline) the kv
+    projections stop being 2-chunk kernels that barely double-buffer:
+    a Llama3-8B fused qkv streams 12 M-chunks.
+
+    Valid for both packed layouts: the pair layout is row-pair-local
+    with a K-only column map, so concatenating even-row-count pieces
+    IS the fused pair array; scales/biases concatenate alongside. Row
+    results are independent of the row-tile split, so logits are
+    bit-identical to the unfused program (tested).
+
+    Serving-time only: apply AFTER loading/TP-sharding decisions — the
+    parallel factories (TP/PP/SP) and the bnb exporter consume the
+    UNFUSED form (reference interop keeps per-projection tensors)."""
+    st = params.layers
+    if st.qkv is not None:
+        return params
+
+    def cat(lins):
+        layouts = {l.layout for l in lins}
+        if len(layouts) != 1:
+            raise ValueError(f"cannot fuse mixed layouts {layouts}")
+        return QLinear(
+            wp=jnp.concatenate([l.wp for l in lins], axis=-2),
+            scales=jnp.concatenate([l.scales for l in lins], axis=-2))
+
+    qkv_bias = None
+    if st.q_bias is not None:
+        qkv_bias = jnp.concatenate([st.q_bias, st.k_bias, st.v_bias],
+                                   axis=-1)
+    layers = st.replace(
+        qkv=cat([st.q, st.k, st.v]), gate_up=cat([st.gate, st.up]),
+        qkv_bias=qkv_bias,
+        q=None, k=None, v=None, gate=None, up=None,
+        q_bias=None, k_bias=None, v_bias=None)
+    return params.replace(layers=layers)
 
 
 @struct.dataclass
@@ -758,8 +808,13 @@ def _layer_forward(
     position keeps it proportional to actual sequence lengths."""
     B, T, h = x.shape
     D = cfg.head_dim
-    n_q = layer.q.out_features // D     # per-shard query heads
-    n_kv = layer.k.out_features // D    # per-shard kv heads
+    if layer.qkv is not None:
+        # fused serving form (single-device: per-shard == global counts)
+        n_q = cfg.num_attention_heads
+        n_kv = cfg.num_key_value_heads
+    else:
+        n_q = layer.q.out_features // D     # per-shard query heads
+        n_kv = layer.k.out_features // D    # per-shard kv heads
     G = n_q // n_kv
     qcfg = cfg.quant
 
@@ -767,13 +822,22 @@ def _layer_forward(
     with jax.named_scope("attn"):
         xa = _norm(x, layer.attn_norm, cfg)
         x2 = xa.astype(qcfg.compute_dtype).reshape(B * T, h)
-        q = _ql(x2, layer.q, qcfg, idx)
-        k = _ql(x2, layer.k, qcfg, idx)
-        v = _ql(x2, layer.v, qcfg, idx)
-        if layer.q_bias is not None:
-            q = q + layer.q_bias.astype(q.dtype)
-            k = k + layer.k_bias.astype(k.dtype)
-            v = v + layer.v_bias.astype(v.dtype)
+        if layer.qkv is not None:
+            qkv = _ql(x2, layer.qkv, qcfg, idx)
+            if layer.qkv_bias is not None:
+                qkv = qkv + layer.qkv_bias.astype(qkv.dtype)
+            qd, kd = n_q * D, n_kv * D
+            q = qkv[:, :qd]
+            k = qkv[:, qd:qd + kd]
+            v = qkv[:, qd + kd:]
+        else:
+            q = _ql(x2, layer.q, qcfg, idx)
+            k = _ql(x2, layer.k, qcfg, idx)
+            v = _ql(x2, layer.v, qcfg, idx)
+            if layer.q_bias is not None:
+                q = q + layer.q_bias.astype(q.dtype)
+                k = k + layer.k_bias.astype(k.dtype)
+                v = v + layer.v_bias.astype(v.dtype)
         q = q.reshape(B, T, n_q, D)
         k = k.reshape(B, T, n_kv, D)
         v = v.reshape(B, T, n_kv, D)
@@ -877,8 +941,13 @@ def _layer_forward(
     with jax.named_scope("mlp"):
         xm = _norm(x, layer.mlp_norm, cfg)
         x2 = xm.astype(qcfg.compute_dtype).reshape(B * T, h)
-        g = _ql(x2, layer.gate, qcfg, idx)
-        u = _ql(x2, layer.up, qcfg, idx)
+        if layer.gate_up is not None:
+            gu = _ql(x2, layer.gate_up, qcfg, idx)
+            inter = gu.shape[-1] // 2
+            g, u = gu[:, :inter], gu[:, inter:]
+        else:
+            g = _ql(x2, layer.gate, qcfg, idx)
+            u = _ql(x2, layer.up, qcfg, idx)
         act = _act(g, cfg) * u
         d = _ql_psum(act.astype(qcfg.compute_dtype), layer.down, qcfg,
                      idx, axis_name, cfg.tp_overlap_chunks)
@@ -952,6 +1021,9 @@ def _forward(
                            else stacked.post_mlp_norm[i]),
             q_norm=(None if stacked.q_norm is None else stacked.q_norm[i]),
             k_norm=(None if stacked.k_norm is None else stacked.k_norm[i]),
+            qkv=stacked.qkv, gate_up=stacked.gate_up,
+            qkv_bias=(None if stacked.qkv_bias is None
+                      else stacked.qkv_bias[i]),
         )
         use_win, win_eff = layer_window(cfg, i)
         mask_i = (mask if use_win is None

@@ -64,6 +64,9 @@ def main() -> None:
                    help="paged engine pool size (0 = slots*max_seq/"
                         "page_size + slack)")
     p.add_argument("--page-size", type=int, default=128)
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse qkv/gate_up projections (single-device "
+                        "serving: 4 weight kernels per layer, not 7)")
     args = p.parse_args()
 
     import jax
@@ -74,9 +77,9 @@ def main() -> None:
     from ..config import QuantConfig, ServeConfig
     from ..models.llama import KVCache, TINY_LLAMA, init_llama_params
 
-    if args.tp > 1 and args.kv_dtype != "bf16":
-        raise SystemExit("--kv-dtype int8 is single-device (bf16 cache "
-                         "required for TP)")
+    if args.tp > 1 and args.fuse:
+        raise SystemExit("--fuse is single-device (TP shards the "
+                         "unfused per-projection form)")
     quant = QuantConfig(quant_type=args.quant_type,
                         pair_pipeline=args.pipeline)
     serve = ServeConfig(
@@ -107,6 +110,11 @@ def main() -> None:
             tokenizer = AutoTokenizer.from_pretrained(args.model)
         except Exception:
             tokenizer = None
+
+    if args.fuse:
+        from ..models.llama import fuse_projections
+
+        params = fuse_projections(params)
 
     if args.prompt_ids:
         prompts = [[int(t) for t in grp.split(",")]

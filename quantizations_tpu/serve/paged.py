@@ -245,22 +245,38 @@ def _paged_forward(
                            else stacked.post_mlp_norm[i]),
             q_norm=(None if stacked.q_norm is None else stacked.q_norm[i]),
             k_norm=(None if stacked.k_norm is None else stacked.k_norm[i]),
+            qkv=stacked.qkv, gate_up=stacked.gate_up,
+            qkv_bias=(None if stacked.qkv_bias is None
+                      else stacked.qkv_bias[i]),
         )
         B_, T_, h = x.shape
-        n_q = layer.q.out_features // D
-        n_kv = layer.k.out_features // D
+        if layer.qkv is not None:
+            n_q = cfg.num_attention_heads
+            n_kv = cfg.num_key_value_heads
+        else:
+            n_q = layer.q.out_features // D
+            n_kv = layer.k.out_features // D
         G = n_q // n_kv
 
         with jax.named_scope("attn"):
             xa = _norm(x, layer.attn_norm, cfg)
             x2 = xa.astype(qcfg.compute_dtype).reshape(B_ * T_, h)
-            q = _ql(x2, layer.q, qcfg, i)
-            k = _ql(x2, layer.k, qcfg, i)
-            v = _ql(x2, layer.v, qcfg, i)
-            if layer.q_bias is not None:
-                q = q + layer.q_bias.astype(q.dtype)
-                k = k + layer.k_bias.astype(k.dtype)
-                v = v + layer.v_bias.astype(v.dtype)
+            if layer.qkv is not None:
+                qkv = _ql(x2, layer.qkv, qcfg, i)
+                if layer.qkv_bias is not None:
+                    qkv = qkv + layer.qkv_bias.astype(qkv.dtype)
+                qd, kd = n_q * D, n_kv * D
+                q = qkv[:, :qd]
+                k = qkv[:, qd:qd + kd]
+                v = qkv[:, qd + kd:]
+            else:
+                q = _ql(x2, layer.q, qcfg, i)
+                k = _ql(x2, layer.k, qcfg, i)
+                v = _ql(x2, layer.v, qcfg, i)
+                if layer.q_bias is not None:
+                    q = q + layer.q_bias.astype(q.dtype)
+                    k = k + layer.k_bias.astype(k.dtype)
+                    v = v + layer.v_bias.astype(v.dtype)
             q = q.reshape(B_, T_, n_q, D)
             k = k.reshape(B_, T_, n_kv, D)
             if layer.q_norm is not None:
@@ -346,8 +362,13 @@ def _paged_forward(
         with jax.named_scope("mlp"):
             xm = _norm(x, layer.mlp_norm, cfg)
             x2 = xm.astype(qcfg.compute_dtype).reshape(B_ * T_, h)
-            g = _ql(x2, layer.gate, qcfg, i)
-            u = _ql(x2, layer.up, qcfg, i)
+            if layer.gate_up is not None:
+                gu = _ql(x2, layer.gate_up, qcfg, i)
+                inter = gu.shape[-1] // 2
+                g, u = gu[:, :inter], gu[:, inter:]
+            else:
+                g = _ql(x2, layer.gate, qcfg, i)
+                u = _ql(x2, layer.up, qcfg, i)
             act = _act(g, cfg) * u
             d = _ql_psum(act.astype(qcfg.compute_dtype), layer.down,
                          qcfg, i, axis_name, cfg.tp_overlap_chunks)

@@ -1,0 +1,92 @@
+"""Serving-time projection fusion (models/llama.fuse_projections):
+qkv / gate_up fused dispatches must reproduce the unfused streams
+bit-exactly — row results are independent of the row-tile split and
+the K-chunk accumulation order is unchanged."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quantizations_tpu.models.llama import (
+    KVCache, TINY_LLAMA, fuse_projections, init_llama_params, prefill,
+    decode_step)
+
+PROMPT = [3, 1, 4, 1, 5, 9, 2, 6]
+
+
+def _greedy(params, cfg, n=8):
+    ids = jnp.asarray([PROMPT], jnp.int32)
+    cache = KVCache.create(cfg, 1, 64)
+    logits, cache = jax.jit(
+        lambda p, i, c: prefill(p, i, c, cfg, last_token_only=True)
+    )(params, ids, cache)
+    toks = [int(jnp.argmax(logits[0, -1]))]
+    step = jax.jit(lambda p, t, c, pos: decode_step(p, t, c, pos, cfg))
+    for i in range(n - 1):
+        lg, cache = step(params, jnp.asarray([[toks[-1]]], jnp.int32),
+                         cache, jnp.asarray([len(PROMPT) + i], jnp.int32))
+        toks.append(int(jnp.argmax(lg[0])))
+    return toks
+
+
+@pytest.mark.parametrize("knobs", [
+    dict(),                                   # Llama (no biases)
+    dict(attention_bias=True),                # Qwen2 (qkv biases fuse)
+    dict(qk_norm=True, attention_bias=False),  # Qwen3 per-head norms
+])
+def test_fused_projections_greedy_identical(knobs):
+    cfg = dataclasses.replace(TINY_LLAMA, **knobs)
+    params = init_llama_params(cfg, seed=0)
+    ref = _greedy(params, cfg)
+    fused = fuse_projections(params)
+    assert fused.layers.q is None and fused.layers.gate is None
+    got = _greedy(fused, cfg)
+    assert got == ref, (got, ref)
+    # idempotent
+    assert fuse_projections(fused) is fused
+
+
+def test_fused_projections_logits_bit_exact():
+    cfg = TINY_LLAMA
+    params = init_llama_params(cfg, seed=0)
+    fused = fuse_projections(params)
+    ids = jnp.asarray([PROMPT], jnp.int32)
+    lg_a, _ = jax.jit(lambda p, i: prefill(
+        p, i, KVCache.create(cfg, 1, 64), cfg))(params, ids)
+    lg_b, _ = jax.jit(lambda p, i: prefill(
+        p, i, KVCache.create(cfg, 1, 64), cfg))(fused, ids)
+    np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))
+
+
+def test_fused_paged_engine_matches_unfused():
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    cfg = TINY_LLAMA
+    params = init_llama_params(cfg, seed=0)
+
+    def run(p):
+        eng = PagedEngine(p, cfg, num_pages=16, page_size=16, slots=2,
+                          max_seq=48, prefill_buckets=(8,))
+        u = eng.submit(PROMPT, max_new_tokens=6)
+        return eng.run()[u].output_ids
+
+    assert run(fuse_projections(params)) == run(params)
+
+
+def test_fused_slot_engine_matches_unfused():
+    from quantizations_tpu.config import ServeConfig
+    from quantizations_tpu.serve.engine import Engine
+
+    cfg = TINY_LLAMA
+    params = init_llama_params(cfg, seed=0)
+    serve = ServeConfig(max_seq_len=48)
+
+    def run(p):
+        eng = Engine(p, cfg, serve, slots=2, prefill_buckets=(8,))
+        u = eng.submit(PROMPT, max_new_tokens=6)
+        return eng.run()[u].output_ids
+
+    assert run(fuse_projections(params)) == run(params)
