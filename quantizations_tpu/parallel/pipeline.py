@@ -104,6 +104,9 @@ def shard_llama_params_pp(params: LlamaParams, mesh: Mesh,
     if cfg.num_hidden_layers % n:
         raise ValueError(
             f"layers {cfg.num_hidden_layers} % pp {n} != 0")
+    if params.layers.qkv is not None:
+        raise ValueError(
+            "fused params: PP slices the UNFUSED per-projection form")
     if tp_axis is not None:
         from .shard import _ensure_planar, validate_tp
 

@@ -143,6 +143,10 @@ def shard_llama_params(params: LlamaParams, mesh: Mesh,
                        cfg: LlamaConfig) -> LlamaParams:
     """Place a (host or single-device) param pytree onto the mesh."""
     validate_tp(cfg, mesh.shape[AXIS])
+    if params.layers.qkv is not None:
+        raise ValueError(
+            "fused params: TP shards the UNFUSED per-projection form — "
+            "shard first, or skip fuse_projections for parallel serving")
     layers = params.layers
     params = params.replace(layers=layers.replace(
         o=_ensure_planar(layers.o), down=_ensure_planar(layers.down)))

@@ -90,3 +90,18 @@ def test_fused_slot_engine_matches_unfused():
         return eng.run()[u].output_ids
 
     assert run(fuse_projections(params)) == run(params)
+
+
+def test_fused_params_rejected_by_parallel_factories():
+    from jax.sharding import Mesh
+    from quantizations_tpu.parallel.pipeline import shard_llama_params_pp
+    from quantizations_tpu.parallel.shard import shard_llama_params
+
+    cfg = dataclasses.replace(TINY_LLAMA, num_hidden_layers=2)
+    fused = fuse_projections(init_llama_params(cfg, seed=0))
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("tp",))
+    with pytest.raises(ValueError, match="UNFUSED"):
+        shard_llama_params(fused, mesh, cfg)
+    mesh_pp = Mesh(np.asarray(jax.devices()[:2]), ("pp",))
+    with pytest.raises(ValueError, match="UNFUSED"):
+        shard_llama_params_pp(fused, mesh_pp, cfg)
