@@ -105,3 +105,34 @@ def test_fused_params_rejected_by_parallel_factories():
     mesh_pp = Mesh(np.asarray(jax.devices()[:2]), ("pp",))
     with pytest.raises(ValueError, match="UNFUSED"):
         shard_llama_params_pp(fused, mesh_pp, cfg)
+
+
+@pytest.mark.parametrize("knobs", [
+    dict(spec_k=3),
+    dict(steps_per_dispatch=2),
+    dict(spec_k=2, steps_per_dispatch=2),
+])
+def test_fused_paged_compositions_match_unfused(knobs):
+    """Fusion must compose with the paged engine's speculative verify
+    windows (q_span through the fused qkv) and multi-step dispatch."""
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    cfg = TINY_LLAMA
+    params = init_llama_params(cfg, seed=0)
+    prompt = PROMPT * 2 + PROMPT[:3]   # repetition feeds prompt-lookup
+
+    def run(p):
+        eng = PagedEngine(p, cfg, num_pages=16, page_size=16, slots=2,
+                          max_seq=64, prefill_buckets=(8,))
+        u = eng.submit(prompt, max_new_tokens=8)
+        return eng.run(**knobs)[u].output_ids
+
+    assert run(fuse_projections(params)) == run(params)
+
+
+def test_fused_int8_kv_matches_unfused():
+    cfg = dataclasses.replace(TINY_LLAMA, kv_cache_dtype="int8")
+    params = init_llama_params(cfg, seed=0)
+    ref = _greedy(params, cfg)
+    got = _greedy(fuse_projections(params), cfg)
+    assert got == ref, (got, ref)
