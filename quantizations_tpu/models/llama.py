@@ -809,9 +809,12 @@ def _layer_forward(
     B, T, h = x.shape
     D = cfg.head_dim
     if layer.qkv is not None:
-        # fused serving form (single-device: per-shard == global counts)
-        n_q = cfg.num_attention_heads
-        n_kv = cfg.num_key_value_heads
+        # fused serving form: per-shard counts derive from the fused
+        # output rows and the (shard-invariant) q:kv head ratio, so the
+        # same code runs single-device and under shard_map
+        r = cfg.num_attention_heads // cfg.num_key_value_heads
+        n_kv = (layer.qkv.out_features // D) // (r + 2)
+        n_q = r * n_kv
     else:
         n_q = layer.q.out_features // D     # per-shard query heads
         n_kv = layer.k.out_features // D    # per-shard kv heads

@@ -36,6 +36,7 @@ __all__ = [
     "llama_param_pspecs",
     "cache_pspec",
     "shard_llama_params",
+    "fuse_projections_tp",
     "make_sharded_generate_fn",
     "validate_tp",
 ]
@@ -75,18 +76,26 @@ def _row(lead_l: bool) -> QLinear:
     return QLinear(wp=P(*pre, None, AXIS), scales=P(*pre, None, AXIS))
 
 
-def llama_param_pspecs(cfg: LlamaConfig) -> LlamaParams:
-    """PartitionSpec pytree matching :class:`LlamaParams`."""
+def llama_param_pspecs(cfg: LlamaConfig, fused: bool = False) -> LlamaParams:
+    """PartitionSpec pytree matching :class:`LlamaParams`. ``fused``
+    matches the :func:`fuse_projections_tp` form — the fused qkv /
+    gate_up stay column-parallel on the (shard-blocked) row axis."""
     ab = P(None, AXIS) if cfg.attention_bias else None
     pn = P(None, None) if cfg.post_norms else None    # Gemma-2 sandwich
     qn = P(None, None) if cfg.qk_norm else None       # Qwen3 [head_dim]
+    col = _col(True) if not fused else None
     layer = LlamaLayer(
         attn_norm=P(None, None),
-        q=_col(True), k=_col(True), v=_col(True), o=_row(True),
+        q=col, k=col, v=col, o=_row(True),
         mlp_norm=P(None, None),
-        gate=_col(True), up=_col(True), down=_row(True),
-        q_bias=ab, k_bias=ab, v_bias=ab,
+        gate=col, up=col, down=_row(True),
+        q_bias=None if fused else ab,
+        k_bias=None if fused else ab,
+        v_bias=None if fused else ab,
         post_attn_norm=pn, post_mlp_norm=pn, q_norm=qn, k_norm=qn,
+        qkv=_col(True) if fused else None,
+        gate_up=_col(True) if fused else None,
+        qkv_bias=ab if fused else None,
     )
     lm_head = (_col(False) if cfg.quant.quantize_lm_head
                else P(AXIS, None))
@@ -157,19 +166,66 @@ def shard_llama_params(params: LlamaParams, mesh: Mesh,
     )
 
 
+def fuse_projections_tp(params: LlamaParams, mesh: Mesh,
+                        cfg: LlamaConfig) -> LlamaParams:
+    """Per-shard projection fusion for TP-sharded params: each shard
+    concatenates its LOCAL q|k|v (gate|up) rows under shard_map, so
+    the fused global row order is shard-blocked
+    ``[q_0|k_0|v_0 | q_1|k_1|v_1 | …]`` — exactly what the shard-local
+    forward slices back apart (per-shard head counts derive from the
+    fused rows + the shard-invariant q:kv ratio). The column-parallel
+    sharding, o/down row-parallel shards and the psum points are
+    untouched, so TP serving gets the same 4-kernels-per-layer decode
+    as the single-device :func:`~…models.llama.fuse_projections`.
+    Transiently holds both forms on device (~5/7 of the weight bytes)."""
+    import jax.numpy as jnp
+
+    st = params.layers
+    if st.qkv is not None:
+        return params
+    cw = P(None, AXIS, None)
+
+    def fuse(qw, qs, kw, ks, vw, vs, gw, gs, uw, us):
+        return (jnp.concatenate([qw, kw, vw], axis=1),
+                jnp.concatenate([qs, ks, vs], axis=1),
+                jnp.concatenate([gw, uw], axis=1),
+                jnp.concatenate([gs, us], axis=1))
+
+    fw, fs, guw, gus = jax.jit(jax.shard_map(
+        fuse, mesh=mesh, in_specs=(cw,) * 10, out_specs=(cw,) * 4))(
+        st.q.wp, st.q.scales, st.k.wp, st.k.scales,
+        st.v.wp, st.v.scales,
+        st.gate.wp, st.gate.scales, st.up.wp, st.up.scales)
+    qkv_bias = None
+    if st.q_bias is not None:
+        bb = P(None, AXIS)
+        qkv_bias = jax.jit(jax.shard_map(
+            lambda a, b, c: jnp.concatenate([a, b, c], axis=-1),
+            mesh=mesh, in_specs=(bb,) * 3, out_specs=bb))(
+            st.q_bias, st.k_bias, st.v_bias)
+    layers = st.replace(
+        qkv=QLinear(wp=fw, scales=fs),
+        gate_up=QLinear(wp=guw, scales=gus), qkv_bias=qkv_bias,
+        q=None, k=None, v=None, gate=None, up=None,
+        q_bias=None, k_bias=None, v_bias=None)
+    return params.replace(layers=layers)
+
+
 def make_sharded_generate_fn(
     cfg: LlamaConfig,
     serve: ServeConfig,
     mesh: Mesh,
+    fused: bool = False,
 ) -> Callable:
     """shard_map + jit the full generate loop over the mesh.
 
     Returns ``(params, prompt_ids, cache, key) -> (tokens, cache)`` where
-    params/cache are mesh-sharded (see :func:`shard_llama_params`) and
+    params/cache are mesh-sharded (see :func:`shard_llama_params`; pass
+    ``fused=True`` for :func:`fuse_projections_tp` params) and
     prompt/key/tokens are replicated.
     """
     validate_tp(cfg, mesh.shape[AXIS])
-    pspecs = llama_param_pspecs(cfg)
+    pspecs = llama_param_pspecs(cfg, fused=fused)
     cspec = cache_pspec(cfg)
 
     body = functools.partial(

@@ -432,7 +432,8 @@ class Engine:
 
             from ..parallel.shard import cache_pspec, llama_param_pspecs
 
-            pspecs = llama_param_pspecs(cfg)
+            pspecs = llama_param_pspecs(
+                cfg, fused=params.layers.qkv is not None)
             cspec = cache_pspec(cfg)
             self.cache = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

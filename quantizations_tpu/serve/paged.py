@@ -251,8 +251,11 @@ def _paged_forward(
         )
         B_, T_, h = x.shape
         if layer.qkv is not None:
-            n_q = cfg.num_attention_heads
-            n_kv = cfg.num_key_value_heads
+            # per-shard counts from the fused rows + q:kv head ratio
+            # (shard-invariant) — works single-device and under shard_map
+            r = cfg.num_attention_heads // cfg.num_key_value_heads
+            n_kv = (layer.qkv.out_features // D) // (r + 2)
+            n_q = r * n_kv
         else:
             n_q = layer.q.out_features // D
             n_kv = layer.k.out_features // D
@@ -714,7 +717,8 @@ class PagedEngine:
 
             validate_tp(cfg, mesh.shape[AXIS])
             self._axis = AXIS
-            self._pspecs = llama_param_pspecs(cfg)
+            self._pspecs = llama_param_pspecs(
+                cfg, fused=params.layers.qkv is not None)
             self._cspec = cache_pspec(cfg)
             self._ppspec = paged_pool_pspec(cfg)
             self.pages = jax.tree.map(

@@ -136,3 +136,72 @@ def test_fused_int8_kv_matches_unfused():
     ref = _greedy(params, cfg)
     got = _greedy(fuse_projections(params), cfg)
     assert got == ref, (got, ref)
+
+
+def test_tp_fused_generate_matches_unfused():
+    """fuse_projections_tp: per-shard local concat under shard_map —
+    the TP generate loop streams token-identical to the unfused
+    sharded program (and to single-device)."""
+    from jax.sharding import NamedSharding
+    from quantizations_tpu.config import ServeConfig
+    from quantizations_tpu.parallel import make_mesh
+    from quantizations_tpu.parallel.shard import (
+        cache_pspec, fuse_projections_tp, make_sharded_generate_fn,
+        shard_llama_params)
+
+    cfg = dataclasses.replace(TINY_LLAMA, attention_bias=True)
+    params = init_llama_params(cfg, seed=0)
+    mesh = make_mesh((2,), ("tp",))
+    serve = ServeConfig(max_seq_len=48, max_new_tokens=6,
+                        temperature=0.0, donate_cache=False)
+    ids = jnp.asarray([PROMPT], jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    def shard_cache():
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            KVCache.create(cfg, 1, 48), cache_pspec(cfg))
+
+    sharded = shard_llama_params(params, mesh, cfg)
+    ref, _ = make_sharded_generate_fn(cfg, serve, mesh)(
+        sharded, ids, shard_cache(), key)
+
+    fused = fuse_projections_tp(sharded, mesh, cfg)
+    assert fused.layers.q is None and fused.layers.qkv_bias is not None
+    toks, _ = make_sharded_generate_fn(cfg, serve, mesh, fused=True)(
+        fused, ids, shard_cache(), key)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+    assert fuse_projections_tp(fused, mesh, cfg) is fused
+
+
+def test_tp_fused_engines_match_unfused():
+    """Engine(mesh=) and PagedEngine(mesh=) accept fuse_projections_tp
+    params (fused pspecs) and stream identical tokens."""
+    from quantizations_tpu.config import ServeConfig
+    from quantizations_tpu.parallel import make_mesh
+    from quantizations_tpu.parallel.shard import (fuse_projections_tp,
+                                                  shard_llama_params)
+    from quantizations_tpu.serve.engine import Engine
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    cfg = TINY_LLAMA
+    params = init_llama_params(cfg, seed=0)
+    mesh = make_mesh((2,), ("tp",))
+    sharded = shard_llama_params(params, mesh, cfg)
+    fused = fuse_projections_tp(sharded, mesh, cfg)
+    serve = ServeConfig(max_seq_len=48)
+
+    def run_slot(p):
+        eng = Engine(p, cfg, serve, slots=2, prefill_buckets=(8,),
+                     mesh=mesh)
+        u = eng.submit(PROMPT, max_new_tokens=6)
+        return eng.run()[u].output_ids
+
+    def run_paged(p):
+        eng = PagedEngine(p, cfg, num_pages=16, page_size=16, slots=2,
+                          max_seq=48, prefill_buckets=(8,), mesh=mesh)
+        u = eng.submit(PROMPT, max_new_tokens=6)
+        return eng.run()[u].output_ids
+
+    assert run_slot(fused) == run_slot(sharded)
+    assert run_paged(fused) == run_paged(sharded)
