@@ -128,6 +128,10 @@ def main() -> None:
     p.add_argument("--pipeline", default="grid", choices=["grid", "manual"],
                    help="decode-band pair-kernel weight streaming "
                         "(manual = double-buffered DMA pipeline)")
+    p.add_argument("--fp4-decode", default="arith",
+                   choices=["arith", "mixg0", "mixg02"],
+                   help="FP4 pair decode: all byte-SWAR arithmetic, or "
+                        "1/2 planes through the dynamic-gather unit")
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
                    help="KV cache element type (int8 halves attention "
                         "HBM traffic at long context)")
@@ -161,7 +165,8 @@ def main() -> None:
     cfg = dataclasses.replace(
         base, kv_cache_dtype=args.kv_dtype,
         quant=QuantConfig(quant_type=args.quant_type,
-                          pair_pipeline=args.pipeline, **qkw))
+                          pair_pipeline=args.pipeline,
+                          fp4_decode=args.fp4_decode, **qkw))
     serve = ServeConfig(
         max_seq_len=args.max_seq, max_new_tokens=args.new_tokens,
         temperature=0.0, donate_cache=True,

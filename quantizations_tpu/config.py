@@ -57,6 +57,15 @@ class QuantConfig:
     # identical; selection is a perf knob until the on-chip probe
     # (benchmarks/pair_dma_pipeline_probe.py) settles the default.
     pair_pipeline: str = "grid"
+    # FP4 pair-kernel decode strategy: "arith" = byte-SWAR all-planes
+    # bit arithmetic; "mixg0"/"mixg02" route 1/2 of the 4 plane outputs
+    # through the dynamic-gather unit (RAW pattern table) while the
+    # remaining planes keep the arithmetic decode restricted to the
+    # nibble planes they need. The decode kernel is VPU-bound (manual
+    # DMA pipeline ties the grid kernel, round-3 probe), so gather
+    # planes overlap the ALU work. Raced on chip in
+    # benchmarks/manual_split_probe.py; bit-identical either way.
+    fp4_decode: str = "arith"
 
     def __post_init__(self):
         if self.quant_type not in ("fp4", "nf4"):
@@ -65,6 +74,10 @@ class QuantConfig:
             raise ValueError(
                 f"pair_pipeline {self.pair_pipeline!r} not in "
                 f"('grid', 'manual')")
+        if self.fp4_decode not in ("arith", "mixg0", "mixg02"):
+            raise ValueError(
+                f"fp4_decode {self.fp4_decode!r} not in "
+                f"('arith', 'mixg0', 'mixg02')")
         if self.blocksize not in VALID_BLOCKSIZES:
             raise ValueError(
                 f"blocksize {self.blocksize} not in {VALID_BLOCKSIZES}"

@@ -670,18 +670,24 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
 
         if (pair and tokens <= PAIR_QMATMUL_MAX_TOKENS and on_tpu
                 and pair_tokens_ok(tokens)):
+            from ..ops.qmatmul import manual_vmem_ok
+
             if (qcfg.pair_pipeline == "manual"
-                    and (2 * lin.wp.shape[-2]) % 128 == 0):
+                    and (2 * lin.wp.shape[-2]) % 128 == 0
+                    and manual_vmem_ok(
+                        2 * lin.wp.shape[-2], 4 * lin.wp.shape[-1],
+                        tokens, lin.scales.dtype.itemsize)):
                 from ..ops.qmatmul import matmul_4bit_pair_manual_stacked
 
                 return matmul_4bit_pair_manual_stacked(
                     lin.wp, lin.scales, x2.astype(qcfg.compute_dtype),
-                    idx, quant_type=qcfg.quant_type)
+                    idx, quant_type=qcfg.quant_type,
+                    decode=qcfg.fp4_decode)
             from ..ops.qmatmul import matmul_4bit_pair_pallas_stacked
 
             return matmul_4bit_pair_pallas_stacked(
                 lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
-                quant_type=qcfg.quant_type)
+                quant_type=qcfg.quant_type, decode=qcfg.fp4_decode)
         qmm_ok = tokens in (1, 2, 4) or tokens % 8 == 0
         if not pair and tokens <= QMATMUL_MAX_TOKENS and qmm_ok and on_tpu:
             from ..ops.qmatmul import matmul_4bit_pallas_stacked
@@ -698,6 +704,7 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
         x2, lin.wp, lin.scales, qcfg.quant_type,
         compute_dtype=qcfg.compute_dtype,
         pair_pipeline=qcfg.pair_pipeline,
+        fp4_decode=qcfg.fp4_decode,
     )
 
 

@@ -141,6 +141,7 @@ def apply_4bit(
     use_pallas: bool = True,
     axis_name: Optional[str] = None,
     pair_pipeline: str = "grid",
+    fp4_decode: str = "arith",
 ) -> jnp.ndarray:
     """Core 4-bit matmul dispatch shared by :class:`Linear4bit` and the
     model layer: ``x2 [T, K] @ dequant(wp, scales).T -> [T, M]`` fp32.
@@ -160,17 +161,21 @@ def apply_4bit(
         from ..ops.qmatmul import pair_tokens_ok
 
         if tokens <= PAIR_QMATMUL_MAX_TOKENS and pair_tokens_ok(tokens):
-            if pair_pipeline == "manual" and (2 * wp.shape[-2]) % 128 == 0:
+            from ..ops.qmatmul import manual_vmem_ok
+
+            if (pair_pipeline == "manual" and (2 * wp.shape[-2]) % 128 == 0
+                    and manual_vmem_ok(2 * wp.shape[-2], 4 * wp.shape[-1],
+                                       tokens, scales.dtype.itemsize)):
                 from ..ops.qmatmul import matmul_4bit_pair_manual
 
                 return matmul_4bit_pair_manual(
                     wp, scales, x2.astype(compute_dtype),
-                    quant_type=quant_type)
+                    quant_type=quant_type, decode=fp4_decode)
             from ..ops.qmatmul import matmul_4bit_pair_pallas
 
             return matmul_4bit_pair_pallas(
                 wp, scales, x2.astype(compute_dtype),
-                quant_type=quant_type)
+                quant_type=quant_type, decode=fp4_decode)
         return dense_matmul_pair(x2, wp, scales, quant_type,
                                  compute_dtype=compute_dtype)
     if pair:
@@ -294,6 +299,7 @@ class Linear4bit:
     compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
     pair_pipeline: str = struct.field(pytree_node=False, default="grid")
+    fp4_decode: str = struct.field(pytree_node=False, default="arith")
 
     @property
     def in_features(self) -> int:
@@ -342,7 +348,7 @@ class Linear4bit:
             x2, self.weight.wp, self.weight.scales,
             self.quant_state.quant_type,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
-            pair_pipeline=self.pair_pipeline,
+            pair_pipeline=self.pair_pipeline, fp4_decode=self.fp4_decode,
         )
         if self.bias is not None:
             out = out + self.bias.astype(out.dtype)

@@ -161,6 +161,65 @@ def fp4_pair_patterns_all(words: jnp.ndarray) -> list:
     return outs
 
 
+def fp4_planes_arith(words: jnp.ndarray, planes) -> dict:
+    """The byte-SWAR FP4 decode of :func:`fp4_pair_patterns_all`
+    restricted to a subset of the 4 plane outputs — only the nibble
+    planes the subset touches (N0 for outputs 0/2, N1 for 1/3) pay the
+    affine + subnormal-blend prep, so e.g. planes (1, 3) cost half the
+    full decode's VPU work."""
+    need = sorted({p & 1 for p in planes})
+    prep = {}
+    for par in need:
+        N = ((words >> 4) & 0x0F0F0F0F) if par else (words & 0x0F0F0F0F)
+        m = N & 0x01010101
+        e2 = N & 0x06060606
+        sg = N & 0x08080808
+        e1 = e2 >> 1
+        Rn = jnp.int32(np.int32(np.uint32(0x83838383))) - e1
+        zb = ((e2 + 0x7E7E7E7E) >> 7) & 0x01010101
+        zm = zb * 0xFF
+        Rs = m * 0x7B
+        R = Rs ^ ((Rs ^ Rn) & zm)
+        mb = m & zm
+        prep[par] = (R, mb, sg)
+    outs = {}
+    for p in planes:
+        R, mb, sg = prep[p & 1]
+        if p < 2:
+            outs[p] = (((R & 0x00FF00FF) << 7)
+                       | ((mb & 0x00010001) << 6)
+                       | ((sg & 0x00080008) << 12))
+        else:
+            outs[p] = ((((R >> 8) & 0x00FF00FF) << 7)
+                       | ((mb & 0x01000100) >> 2)
+                       | ((sg & 0x08000800) << 4))
+    return outs
+
+
+def fp4_pair_patterns_mix(words: jnp.ndarray, tbl128: jnp.ndarray,
+                          gather_planes: tuple) -> list:
+    """FP4 pair decode splitting the four plane outputs between the
+    dynamic-gather unit (``gather_planes``, reading the RAW pattern
+    table — codebook x 12, all bf16-exact) and the byte-SWAR arithmetic
+    (:func:`fp4_planes_arith` for the rest). The two lowerings occupy
+    different issue resources, so when the kernel is VPU-bound the
+    gather planes come (partly) for free — the same mechanism that won
+    NF4 (``pair_patterns_mix``). Bit-identical to
+    ``fp4_pair_patterns_all`` (tested). Raced on chip in
+    benchmarks/manual_split_probe.py; gather planes (0, 2) leave only
+    the odd-nibble plane N1 on the arithmetic side."""
+    from .gemv import _take16_chunked
+
+    outs = fp4_planes_arith(
+        words, [p for p in range(4) if p not in gather_planes])
+    for p in gather_planes:
+        lo = (words >> (4 * p)) & 15
+        hi = (words >> (16 + 4 * p)) & 15
+        outs[p] = (_take16_chunked(tbl128, lo)
+                   | (_take16_chunked(tbl128, hi) << 16))
+    return [outs[p] for p in range(4)]
+
+
 def pair_patterns_tree(words: jnp.ndarray, shift: int,
                        table: Sequence[float]) -> jnp.ndarray:
     """SWAR decode of TWO codes per int32 lane for an ARBITRARY 16-entry

@@ -390,21 +390,34 @@ def _pattern_table(table) -> jnp.ndarray:
     return jnp.asarray(buf)
 
 
-def _pair_fn(quant_type: str):
-    """``(pair_fn, out_factor, needs_tbl)``: ``pair_fn`` maps words (and
-    for ``needs_tbl`` also the broadcast table) to the 4 int32 outputs
-    of packed bf16 pattern pairs; ``out_factor`` is folded into srep
-    (FP4 decodes RAW values, codebook x 12). FP4 uses the byte-SWAR
-    all-shifts decode (subnormal blend amortized over 4 codes/byte-pass
-    — measured 119.0us vs 130.9us for the per-shift form at
-    [14336,4096] T=1, pair_decode_probe.py); arbitrary codebooks (NF4)
-    use the gather+tree dual-issue mix."""
+def _pair_fn(quant_type: str, decode: Optional[str] = None):
+    """``(pair_fn, out_factor, table_or_None)``: ``pair_fn`` maps words
+    (and, when a table is returned, the broadcast ``[1, 128]`` pattern
+    table) to the 4 int32 outputs of packed bf16 pattern pairs;
+    ``out_factor`` is folded into srep (FP4 decodes RAW values,
+    codebook x 12). FP4 default is the byte-SWAR all-shifts decode
+    (subnormal blend amortized over 4 codes/byte-pass — 119.0us vs
+    130.9us per-shift at [14336,4096] T=1, pair_decode_probe.py);
+    ``decode`` ∈ {"mixg0", "mixg02"} routes 1 or 2 FP4 planes through
+    the dynamic-gather unit instead (QuantConfig.fp4_decode — the
+    kernel is VPU-bound, so gather planes overlap the ALU work; raced
+    in benchmarks/manual_split_probe.py). Arbitrary codebooks (NF4) use
+    the gather+tree dual-issue mix."""
     if quant_type == "fp4":
-        return fp4_pair_patterns_all, 1.0 / 12.0, False
+        if decode in ("mixg0", "mixg02"):
+            from ..quant.codebooks import FP4_CODE
+            from .lut import fp4_pair_patterns_mix
+
+            planes = (0,) if decode == "mixg0" else (0, 2)
+            raw = tuple(12.0 * float(v) for v in FP4_CODE)
+            return (lambda w, tbl128: fp4_pair_patterns_mix(
+                w, tbl128, planes)), 1.0 / 12.0, raw
+        return fp4_pair_patterns_all, 1.0 / 12.0, None
     from ..quant.codebooks import get_4bit_code
 
     code = get_4bit_code(quant_type)
-    return (lambda w, tbl128: pair_patterns_mix(w, tbl128, code)), 1.0, True
+    return ((lambda w, tbl128: pair_patterns_mix(w, tbl128, code)),
+            1.0, tuple(float(v) for v in code))
 
 
 def _pair_kernel(wp_ref, xp_ref, s_ref, *rest, out_factor, kc4,
@@ -485,7 +498,8 @@ def _pick_tiles_pair(M: int, K4: int, tile_m: Optional[int]):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("quant_type", "tile_m", "tile_t", "interpret"),
+    static_argnames=("quant_type", "tile_m", "tile_t", "interpret",
+                     "decode"),
 )
 def matmul_4bit_pair_pallas(
     wp2: jnp.ndarray,      # [M/2, K/4] int32 pair layout
@@ -495,6 +509,7 @@ def matmul_4bit_pair_pallas(
     tile_m: Optional[int] = None,
     tile_t: int = 256,
     interpret: bool = False,
+    decode: Optional[str] = None,
 ) -> jnp.ndarray:
     """FP4-only fused dequant+matmul via SWAR pair decode: two bf16
     weight patterns are assembled per int32 lane (~9 VPU ops per 2
@@ -513,7 +528,8 @@ def matmul_4bit_pair_pallas(
 
     xp = pair_permute_activation(x)
 
-    pair_fn, out_factor, has_tbl = _pair_fn(quant_type)
+    pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
+    has_tbl = tbl_vals is not None
     kernel = functools.partial(_pair_kernel, out_factor=out_factor,
                                kc4=kc4, pair_fn=pair_fn, has_tbl=has_tbl)
     in_specs = [
@@ -526,11 +542,9 @@ def matmul_4bit_pair_pallas(
     ]
     operands = [wp2, xp, scales]
     if has_tbl:
-        from ..quant.codebooks import get_4bit_code
-
         in_specs.append(pl.BlockSpec((1, 128), lambda t, i, kq: (0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(_pattern_table(get_4bit_code(quant_type)))
+        operands.append(_pattern_table(tbl_vals))
     out = pl.pallas_call(
         kernel,
         grid=(T // tile_t, M // tile_m, K4 // kc4),
@@ -553,7 +567,8 @@ def matmul_4bit_pair_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("quant_type", "tile_m", "tile_t", "interpret"),
+    static_argnames=("quant_type", "tile_m", "tile_t", "interpret",
+                     "decode"),
 )
 def matmul_4bit_pair_pallas_stacked(
     wp2: jnp.ndarray,        # [L, M/2, K/4] int32 pair layout
@@ -564,6 +579,7 @@ def matmul_4bit_pair_pallas_stacked(
     tile_m: Optional[int] = None,
     tile_t: int = 256,
     interpret: bool = False,
+    decode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Layer-indexed pair-decode matmul over stacked weights (scalar
     prefetch reads layer ``i`` straight from the stacked HBM buffer)."""
@@ -577,7 +593,8 @@ def matmul_4bit_pair_pallas_stacked(
     tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m)
     xp = pair_permute_activation(x)
 
-    pair_fn, out_factor, has_tbl = _pair_fn(quant_type)
+    pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
+    has_tbl = tbl_vals is not None
 
     if has_tbl:
         def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, tbl_ref, o_ref):
@@ -599,11 +616,9 @@ def matmul_4bit_pair_pallas_stacked(
     ]
     operands = [wp2, xp, scales]
     if has_tbl:
-        from ..quant.codebooks import get_4bit_code
-
         in_specs.append(pl.BlockSpec((1, 128),
                                      lambda t, i, kq, idx: (0, 0)))
-        operands.append(_pattern_table(get_4bit_code(quant_type)))
+        operands.append(_pattern_table(tbl_vals))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // tile_t, M // tile_m, K4 // kc4),
@@ -644,12 +659,37 @@ def matmul_4bit_pair_pallas_stacked(
 # ---------------------------------------------------------------------------
 
 
+def manual_vmem_ok(M: int, K: int, tokens: int,
+                   scales_itemsize: int = 4) -> bool:
+    """Whether the manual-pipeline kernel's whole-operand VMEM residency
+    fits the scoped-vmem budget: unlike the grid kernels, scales / the
+    activation / the output are single un-tiled VMEM operands, so a
+    huge-M projection (the 128256-row lm_head: 32.8 MB of fp32 scales)
+    overflows the 16 MB scoped limit at compile time. Callers fall back
+    to the grid kernel above this budget (measured on v5e: grid and
+    manual tie at decode shapes anyway — the pair kernel is
+    compute-bound, round-3 manual_split_probe)."""
+    tm = _pick_tile_manual(M, K // 4)
+    if not tm:
+        return False
+    lanes = -(-(K // 64) // 128) * 128          # VMEM lane padding
+    fixed = (M * lanes * scales_itemsize        # scales (lane-padded)
+             + tokens * M * 4                   # output
+             + tokens * K * 4                   # permuted activation
+             + tm * K)                          # two weight slots
+    return fixed <= 10 * 2**20
+
+
 def _pick_tile_manual(M: int, K4: int) -> int:
     """M-chunk rows for the manual pipeline: largest of 512/256/128 that
-    divides M (lane-slice writes of the output need 128-multiples; VMEM
-    cost is 2 x (tm/2) x K4 words for the slots)."""
+    divides M (lane-slice writes of the output need 128-multiples) AND
+    keeps the two weight slots within ~2 MB of VMEM (2 x (tm/2) x K4
+    words). The decoded plane intermediates scale with the slot size
+    and live on the same scoped stack (measured: the 8B down matmul at
+    tm 512 allocates 20.6 MB scoped vs the 16 MB limit), so wide-K
+    projections drop to tm 128."""
     for tm in (512, 256, 128):
-        if M % tm == 0:
+        if M % tm == 0 and tm * K4 * 4 <= 2 * 2**20:
             return tm
     return 0
 
@@ -711,7 +751,8 @@ def _manual_kernel_body(dma_src, s_slice, xp_ref, tbl_ref, o_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("quant_type", "tile_m", "interpret"))
+    jax.jit, static_argnames=("quant_type", "tile_m", "interpret",
+                              "decode"))
 def matmul_4bit_pair_manual(
     wp2: jnp.ndarray,      # [M/2, K/4] int32 pair layout
     scales: jnp.ndarray,   # [M, K/64] float
@@ -719,6 +760,7 @@ def matmul_4bit_pair_manual(
     quant_type: str = "fp4",
     tile_m: Optional[int] = None,
     interpret: bool = False,
+    decode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Pair-decode matmul with the manual double-buffered weight
     stream. Numerics identical to :func:`matmul_4bit_pair_pallas`
@@ -731,7 +773,8 @@ def matmul_4bit_pair_manual(
     assert scales.shape == (M, K // 64)
     tm = tile_m or _pick_tile_manual(M, K4)
     assert tm and M % tm == 0 and tm % 128 == 0
-    pair_fn, out_factor, has_tbl = _pair_fn(quant_type)
+    pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
+    has_tbl = tbl_vals is not None
     xp = pair_permute_activation(x)
 
     def kern(wp_ref, xp_ref, s_ref, *rest):
@@ -753,10 +796,8 @@ def matmul_4bit_pair_manual(
     ]
     operands = [wp2, xp, scales]
     if has_tbl:
-        from ..quant.codebooks import get_4bit_code
-
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        operands.append(_pattern_table(get_4bit_code(quant_type)))
+        operands.append(_pattern_table(tbl_vals))
     return pl.pallas_call(
         kern,
         in_specs=in_specs,
@@ -767,7 +808,8 @@ def matmul_4bit_pair_manual(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("quant_type", "tile_m", "interpret"))
+    jax.jit, static_argnames=("quant_type", "tile_m", "interpret",
+                              "decode"))
 def matmul_4bit_pair_manual_stacked(
     wp2: jnp.ndarray,        # [L, M/2, K/4] int32 pair layout
     scales: jnp.ndarray,     # [L, M, K/64] float
@@ -776,6 +818,7 @@ def matmul_4bit_pair_manual_stacked(
     quant_type: str = "fp4",
     tile_m: Optional[int] = None,
     interpret: bool = False,
+    decode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Layer-indexed manual-pipeline pair matmul: weight chunk DMAs are
     aimed at layer ``layer_idx`` of the stacked HBM buffer; the layer's
@@ -788,7 +831,8 @@ def matmul_4bit_pair_manual_stacked(
     assert scales.shape == (L, M, K // 64)
     tm = tile_m or _pick_tile_manual(M, K4)
     assert tm and M % tm == 0 and tm % 128 == 0
-    pair_fn, out_factor, has_tbl = _pair_fn(quant_type)
+    pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
+    has_tbl = tbl_vals is not None
     xp = pair_permute_activation(x)
 
     def kern(idx_ref, wp_ref, xp_ref, s_ref, *rest):
@@ -811,10 +855,8 @@ def matmul_4bit_pair_manual_stacked(
     ]
     operands = [wp2, xp, scales]
     if has_tbl:
-        from ..quant.codebooks import get_4bit_code
-
         in_specs.append(pl.BlockSpec((1, 128), lambda g, idx: (0, 0)))
-        operands.append(_pattern_table(get_4bit_code(quant_type)))
+        operands.append(_pattern_table(tbl_vals))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

@@ -315,6 +315,52 @@ def test_manual_pipeline_matches_grid_kernel(rng, quant_type):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("decode", ["mixg0", "mixg02"])
+def test_fp4_mix_decode_bit_exact(rng, decode):
+    """QuantConfig.fp4_decode gather-mix strategies are bit-identical to
+    the byte-SWAR arithmetic decode through both pair kernels (the
+    gather reads RAW bf16 patterns — codebook x 12, all exactly
+    representable — so the srep fold is unchanged)."""
+    from quantizations_tpu.ops.qmatmul import (
+        matmul_4bit_pair_manual, matmul_4bit_pair_pallas)
+
+    M, K = 256, 512
+    by = jnp.asarray(
+        rng.integers(0, 256, (M, K // 2), dtype=np.int64).astype(np.int32))
+    wp2 = planar_to_pair(pack_i32_rows(by, M, K))
+    scales = jnp.asarray(rng.random((M, K // 64), np.float32))
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    want = np.asarray(matmul_4bit_pair_pallas(
+        wp2, scales, x, quant_type="fp4", interpret=True))
+    got = np.asarray(matmul_4bit_pair_pallas(
+        wp2, scales, x, quant_type="fp4", decode=decode, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    got_man = np.asarray(matmul_4bit_pair_manual(
+        wp2, scales, x, quant_type="fp4", decode=decode, interpret=True))
+    np.testing.assert_array_equal(got_man, want)
+
+
+def test_manual_vmem_gate():
+    """The manual pipeline holds scales / activation / output as whole
+    un-tiled VMEM operands, so huge-M projections must be rejected (the
+    128256-row lm_head overflowed the 16 MB scoped-vmem limit at compile
+    time on v5e — round 3). Standard 8B projection shapes stay eligible,
+    with the weight-slot budget shrinking the tile for wide-K."""
+    from quantizations_tpu.ops.qmatmul import (
+        _pick_tile_manual, manual_vmem_ok)
+
+    # all seven 8B projections (incl. fused qkv) fit
+    for m, k in ((4096, 4096), (1024, 4096), (6144, 4096),
+                 (14336, 4096), (4096, 14336)):
+        assert manual_vmem_ok(m, k, 1), (m, k)
+    # the lm_head and the fused gate_up don't (scales lane-pad to 128)
+    assert not manual_vmem_ok(128256, 4096, 1)
+    assert not manual_vmem_ok(28672, 4096, 1)
+    # wide-K shrinks the weight slots to <= ~4 MB instead of rejecting
+    assert _pick_tile_manual(4096, 14336 // 4) == 128
+    assert _pick_tile_manual(4096, 4096 // 4) == 512
+
+
 @pytest.mark.parametrize("quant_type", ["fp4", "nf4"])
 def test_manual_pipeline_stacked(rng, quant_type):
     from quantizations_tpu.ops.qmatmul import (
