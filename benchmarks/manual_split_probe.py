@@ -170,12 +170,12 @@ def main():
         for mode in ("dma_only", "decode_only", "decode_mm"):
             cases.append((f"{mode}_tm{tm}",
                           make_manual(mode, tm), False))
-    for tm in (512, 1024):
+    # tm 256: the tm-512 mix variant misses the 16 MB scoped-vmem limit
+    # by 76 KB (measured) — the gather table broadcast tips it over
+    for tm in (256,):
         cases.append((f"mixg0_tm{tm}", make_manual("mixg1", tm, (0,)), True))
         cases.append((f"mixg02_tm{tm}",
                       make_manual("mixg2", tm, (0, 2)), True))
-    cases.append(("mixg023_tm512",
-                  make_manual("mixg3", 512, (0, 2, 3)), True))
     # production grid kernel with the decode knob (what bench.py uses)
     for dec in ("mixg0", "mixg02"):
         cases.append((f"grid_{dec}", jax.jit(functools.partial(

@@ -470,15 +470,42 @@ def _pair_kernel(wp_ref, xp_ref, s_ref, *rest, out_factor, kc4,
         o_ref[:] = o_ref[:] + part
 
 
-def _pick_tiles_pair(M: int, K4: int, tile_m: Optional[int]):
-    """(tile_m, kc4) for the pair kernel. Live VMEM per logical row is
-    ~12 bytes/word-lane (packed int32 on half rows, one decoded int32
-    plane, bf16 product + srep), about half the planar model — so the
-    kernel affords tile_m 256 at kc4 1024 (measured fastest band on
-    v5e; 512 is marginally faster standalone but doubles VMEM inside
-    the full decode program). kc4 must be a multiple of NB = K4/16 so
-    every chunk covers whole r-slices of the block-major word order
-    (the scale tile-repeat requires it)."""
+def _pair_vmem_est(tile_t: int, tile_m: int, kc4: int, nb_total: int,
+                   x_itemsize: int, s_itemsize: int = 4) -> int:
+    """Scoped-VMEM estimate (bytes) for one pair-kernel grid step:
+    double-buffered operand/output blocks plus the kernel's live
+    intermediates (4 decoded int32 planes, srep + product bf16, fp32
+    accumulator). Mosaic's real scoped allocation runs ~1.2-1.3x this
+    model (measured anchors, chain_r3b 2026-08-18: paged stacked
+    t256/tm512/kc896/x-bf16 est 13.6M vs 17.34M actual; prefill
+    t256/tm512/kc896/x-fp32 est 15.4M vs 18.13M actual), so callers
+    budget against _PAIR_VMEM_BUDGET = 11.5M for the 16M limit."""
+    nb_lanes = -(-nb_total // 128) * 128
+    tm2 = tile_m // 2
+    blocks = 2 * (tm2 * kc4 * 4                      # wp2
+                  + tile_t * 4 * kc4 * x_itemsize    # xp
+                  + tile_m * nb_lanes * s_itemsize   # scales
+                  + tile_t * tile_m * 4)             # out
+    live = (4 * tm2 * kc4 * 4                        # decoded planes
+            + 2 * tile_m * kc4 * 2                   # srep + product
+            + tile_t * tile_m * 4)                   # accumulator
+    return blocks + live
+
+
+_PAIR_VMEM_BUDGET = 11_500_000
+
+
+def _pick_tiles_pair(M: int, K4: int, tile_m: Optional[int],
+                     tile_t: int = 1, x_itemsize: int = 2):
+    """(tile_m, kc4) for the pair kernel. kc4 must be a multiple of
+    NB = K4/16 so every chunk covers whole r-slices of the block-major
+    word order (the scale tile-repeat requires it). tile_m shrinks
+    until the per-step scoped-VMEM estimate fits the budget — at
+    decode shapes (tile_t <= 8) this keeps the measured-fast tm 512
+    band; at prefill/admission shapes (tile_t 128-256) the activation
+    and output blocks dominate and tm drops (the old tile_t-blind
+    picker compiled 17.3-18.1M scoped allocations at [4096,14336]
+    t256 — over the 16M limit, chain_r3b)."""
     nb = K4 // 16
     if K4 % 128:
         kc4 = K4
@@ -487,7 +514,9 @@ def _pick_tiles_pair(M: int, K4: int, tile_m: Optional[int]):
                     if K4 % d == 0 and d % nb == 0), K4)
     if tile_m is None:
         tile_m = 512
-        while tile_m > 128 and tile_m * 12 * kc4 >= 8 * 2**20:
+        while tile_m > 128 and _pair_vmem_est(
+                tile_t, tile_m, kc4, K4 // 16,
+                x_itemsize) >= _PAIR_VMEM_BUDGET:
             tile_m //= 2
     while M % tile_m:
         tile_m //= 2
@@ -524,7 +553,9 @@ def matmul_4bit_pair_pallas(
     assert scales.shape == (M, K // 64), (scales.shape, (M, K // 64))
     while T % tile_t:
         tile_t //= 2
-    tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m)
+    tile_t = min(tile_t, T)
+    tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m, tile_t,
+                                   x.dtype.itemsize)
 
     xp = pair_permute_activation(x)
 
@@ -590,7 +621,9 @@ def matmul_4bit_pair_pallas_stacked(
     assert scales.shape == (L, M, K // 64)
     while T % tile_t:
         tile_t //= 2
-    tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m)
+    tile_t = min(tile_t, T)
+    tile_m, kc4 = _pick_tiles_pair(M, K4, tile_m, tile_t,
+                                   x.dtype.itemsize)
     xp = pair_permute_activation(x)
 
     pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
