@@ -57,27 +57,39 @@ def main():
         eng = Engine(params, cfg, serve, slots=args.slots,
                      prefill_buckets=(16, 64))
     lens = [(13, 48), (40, 96), (7, 32), (60, 64)]
-    for i in range(args.requests):
-        plen, n = lens[i % len(lens)]
-        prompt = [(j * 7 + i) % cfg.vocab_size for j in range(plen)]
-        eng.submit(prompt, max_new_tokens=n)
 
-    # warm the compile caches (one admission + one step per bucket)
+    def submit_all():
+        for i in range(args.requests):
+            plen, n = lens[i % len(lens)]
+            prompt = [(j * 7 + i) % cfg.vocab_size for j in range(plen)]
+            eng.submit(prompt, max_new_tokens=n)
+
+    def one_run():
+        s0 = eng._steps
+        t0 = time.perf_counter()
+        done = eng.run(steps_per_dispatch=args.steps_per_dispatch,
+                       spec_k=args.spec_k)
+        dt = time.perf_counter() - t0
+        toks = sum(len(r.output_ids) for r in done.values())
+        eng.finished.clear()
+        return toks, eng._steps - s0, dt
+
+    # warm pass: compiles every dispatch variant this flag combo uses
+    # (multi-step / spec windows per attend bucket — the plain first
+    # step alone leaves them to compile inside the timed region)
+    submit_all()
     t0 = time.perf_counter()
-    eng.step()
+    one_run()
     warm = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    done = eng.run(steps_per_dispatch=args.steps_per_dispatch,
-                   spec_k=args.spec_k)
-    dt = time.perf_counter() - t0
-    toks = sum(len(r.output_ids) for r in done.values())
+    # steady-state pass: same mix, all programs compiled
+    submit_all()
+    toks, steps, dt = one_run()
     extra = (f" spec_windows={eng.stats()['spec_windows']}"
              if args.spec_k and hasattr(eng, "stats") else "")
-    steps = getattr(eng, "_steps", "n/a")
-    print(f"engine={args.engine} requests={len(done)} tokens={toks} "
+    print(f"engine={args.engine} requests={args.requests} tokens={toks} "
           f"steps={steps} wall={dt:.2f}s "
-          f"aggregate={toks/dt:.1f} tok/s (first step {warm:.1f}s)"
+          f"aggregate={toks/dt:.1f} tok/s (warm pass {warm:.1f}s)"
           f"{extra}")
 
 

@@ -179,6 +179,50 @@ def make_pair_fn(mode):
                 Ds.append(_take16_chunked(tbl128, lo)
                           | (_take16_chunked(tbl128, hi) << 16))
             Ds += pair_byte4(words=wp)[2:]
+        elif mode in ("mix_gtc", "gather_c"):
+            # CHUNK-DOT gather: skip _take16_chunked's lane concat by
+            # dotting each gathered 128-lane piece straight into the
+            # accumulator (MXU dots are ~free at T=1 — 4 full dots cost
+            # 1.4us of the 199us kernel, manual_split decomposition).
+            # Tree planes (mix_gtc: 2,3) stay full-width.
+            tbl128 = jnp.broadcast_to(tbl_ref[0:1, :128], (tm2, 128))
+            gplanes = (0, 1) if mode == "mix_gtc" else (0, 1, 2, 3)
+            tt = xp_ref.shape[0]
+            part = jnp.zeros((tt, tm), jnp.float32)
+            for q in range(kc4 // 128):
+                sl = slice(q * 128, (q + 1) * 128)
+                wq = wp[:, sl]
+                sq = srep[:, sl]
+                for p in gplanes:
+                    lo = (wq >> (4 * p)) & 15
+                    hi = (wq >> (16 + 4 * p)) & 15
+                    Dq = (jnp.take_along_axis(tbl128, lo, axis=1)
+                          | (jnp.take_along_axis(tbl128, hi, axis=1)
+                             << 16))
+                    Wq = pltpu.bitcast(Dq, jnp.bfloat16) * sq
+                    xq = xp_ref[:, p, sl].astype(jnp.bfloat16)
+                    part = part + jax.lax.dot_general(
+                        xq, Wq, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            for p in range(4):
+                if p in gplanes:
+                    continue
+                D = pair_patterns_tree(wp, 4 * p, NF4_CODE)
+                Wj = pltpu.bitcast(D, jnp.bfloat16) * srep
+                xj = xp_ref[:, p, :].astype(jnp.bfloat16)
+                part = part + jax.lax.dot_general(
+                    xj, Wj, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(k_id == 0)
+            def _():
+                o_ref[:] = part
+
+            @pl.when(k_id != 0)
+            def _():
+                o_ref[:] = o_ref[:] + part
+
+            return
         tt = xp_ref.shape[0]
         part = jnp.zeros((tt, tm), jnp.float32)
         for p in range(4):

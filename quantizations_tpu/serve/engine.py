@@ -580,6 +580,8 @@ class Engine:
                 r.done = True
                 self.finished[r.uid] = r
                 self.active[i] = None
+                self.pos[i] = 0   # retired rows must not pin the
+                #                   attend bucket (masked per-row anyway)
         return len(act)
 
     def _multi_for(self, attend_len: int, n: int):
@@ -623,6 +625,7 @@ class Engine:
                     r.done = True
                     self.finished[r.uid] = r
                     self.active[i] = None
+                    self.pos[i] = 0
                     break
             else:
                 self._cur_tok[i] = nxt[i]
@@ -694,6 +697,7 @@ class Engine:
                     r.done = done = True
                     self.finished[r.uid] = r
                     self.active[i] = None
+                    self.pos[i] = 0
                     break
             if not done:
                 self._cur_tok[i] = int(g[i, int(a[i])])
