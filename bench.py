@@ -129,9 +129,12 @@ def main() -> None:
                    help="decode-band pair-kernel weight streaming "
                         "(manual = double-buffered DMA pipeline)")
     p.add_argument("--fp4-decode", default="arith",
-                   choices=["arith", "mixg0", "mixg02"],
+                   choices=["arith", "arith_sr", "mixg0", "mixg02"],
                    help="FP4 pair decode: all byte-SWAR arithmetic, or "
                         "1/2 planes through the dynamic-gather unit")
+    p.add_argument("--nf4-decode", default="mix", choices=["mix", "mix_bt", "mix_g3"],
+                   help="NF4 pair decode: gather+radix-2 trees, or "
+                        "gather planes 0,2 + one odd-nibble byte tree")
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
                    help="KV cache element type (int8 halves attention "
                         "HBM traffic at long context)")
@@ -166,7 +169,8 @@ def main() -> None:
         base, kv_cache_dtype=args.kv_dtype,
         quant=QuantConfig(quant_type=args.quant_type,
                           pair_pipeline=args.pipeline,
-                          fp4_decode=args.fp4_decode, **qkw))
+                          fp4_decode=args.fp4_decode,
+                          nf4_decode=args.nf4_decode, **qkw))
     serve = ServeConfig(
         max_seq_len=args.max_seq, max_new_tokens=args.new_tokens,
         temperature=0.0, donate_cache=True,

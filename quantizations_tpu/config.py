@@ -66,6 +66,21 @@ class QuantConfig:
     # planes overlap the ALU work. Raced on chip in
     # benchmarks/manual_split_probe.py; bit-identical either way.
     fp4_decode: str = "arith"
+    # NF4 pair-kernel decode strategy: "mix" = gather planes 0,1 + two
+    # radix-2 half-word xor trees (the round-2 winner); "mix_bt" routes
+    # planes 0,2 through the gather unit and resolves planes 1,3 with
+    # ONE odd-nibble radix-4 BYTE tree (~25% fewer tree-side VPU ops;
+    # ops/qmatmul.pair_patterns_mix_bt); "mix_g3" = 3 gather planes +
+    # 1 tree plane (rebalances toward the gather unit). Bit-identical;
+    # raced on chip (mix_bt LOST: kernel 246us vs 199, e2e 30.1 vs
+    # 36.5 tok/s — the byte tree does not pipeline as well in situ).
+    nf4_decode: str = "mix"
+
+    @property
+    def pair_decode(self) -> str:
+        """The pair-kernel decode strategy for THIS quant type (what the
+        ``decode=`` kernel argument expects)."""
+        return self.fp4_decode if self.quant_type == "fp4" else self.nf4_decode
 
     def __post_init__(self):
         if self.quant_type not in ("fp4", "nf4"):
@@ -74,10 +89,14 @@ class QuantConfig:
             raise ValueError(
                 f"pair_pipeline {self.pair_pipeline!r} not in "
                 f"('grid', 'manual')")
-        if self.fp4_decode not in ("arith", "mixg0", "mixg02"):
+        if self.fp4_decode not in ("arith", "arith_sr", "mixg0", "mixg02"):
             raise ValueError(
                 f"fp4_decode {self.fp4_decode!r} not in "
-                f"('arith', 'mixg0', 'mixg02')")
+                f"('arith', 'arith_sr', 'mixg0', 'mixg02')")
+        if self.nf4_decode not in ("mix", "mix_bt", "mix_g3"):
+            raise ValueError(
+                f"nf4_decode {self.nf4_decode!r} not in "
+                f"('mix', 'mix_bt', 'mix_g3')")
         if self.blocksize not in VALID_BLOCKSIZES:
             raise ValueError(
                 f"blocksize {self.blocksize} not in {VALID_BLOCKSIZES}"

@@ -682,12 +682,12 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
                 return matmul_4bit_pair_manual_stacked(
                     lin.wp, lin.scales, x2.astype(qcfg.compute_dtype),
                     idx, quant_type=qcfg.quant_type,
-                    decode=qcfg.fp4_decode)
+                    decode=qcfg.pair_decode)
             from ..ops.qmatmul import matmul_4bit_pair_pallas_stacked
 
             return matmul_4bit_pair_pallas_stacked(
                 lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
-                quant_type=qcfg.quant_type, decode=qcfg.fp4_decode)
+                quant_type=qcfg.quant_type, decode=qcfg.pair_decode)
         qmm_ok = tokens in (1, 2, 4) or tokens % 8 == 0
         if not pair and tokens <= QMATMUL_MAX_TOKENS and qmm_ok and on_tpu:
             from ..ops.qmatmul import matmul_4bit_pallas_stacked
@@ -704,7 +704,7 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
         x2, lin.wp, lin.scales, qcfg.quant_type,
         compute_dtype=qcfg.compute_dtype,
         pair_pipeline=qcfg.pair_pipeline,
-        fp4_decode=qcfg.fp4_decode,
+        fp4_decode=qcfg.pair_decode,
     )
 
 

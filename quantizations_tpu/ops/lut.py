@@ -161,6 +161,49 @@ def fp4_pair_patterns_all(words: jnp.ndarray) -> list:
     return outs
 
 
+def fp4_pair_patterns_all_sr(words: jnp.ndarray) -> list:
+    """:func:`fp4_pair_patterns_all` with the two byte-field constant
+    MULTIPLIES of the subnormal blend strength-reduced to shift/sub
+    chains — exact by the byte-local algebra ``sum(b_i * c * 256**i)``
+    (each byte's product occupies its own byte, no carries):
+
+      ``zb * 0xFF  == (zb << 8) - zb``
+      ``m  * 0x7B  == (m << 7) - (m << 2) - m``
+
+    Bit-identical (tested); raced against the multiply form on chip by
+    benchmarks/pair_decode_probe2.py — the VPU's 32-bit integer multiply
+    is a multi-op sequence, so if Mosaic does not strength-reduce
+    constant multiplies these chains are cheaper."""
+    N0 = words & 0x0F0F0F0F
+    N1 = (words >> 4) & 0x0F0F0F0F
+    planes = []
+    for N in (N0, N1):
+        m = N & 0x01010101
+        e2 = N & 0x06060606
+        sg = N & 0x08080808
+        e1 = e2 >> 1
+        Rn = jnp.int32(np.int32(np.uint32(0x83838383))) - e1
+        zb = ((e2 + 0x7E7E7E7E) >> 7) & 0x01010101
+        zm = (zb << 8) - zb             # == zb * 0xFF
+        Rs = (m << 7) - (m << 2) - m    # == m * 0x7B
+        R = Rs ^ ((Rs ^ Rn) & zm)
+        mb = m & zm
+        planes.append((R, mb, sg))
+    outs = []
+    for p in range(4):
+        R, mb, sg = planes[p & 1]
+        if p < 2:
+            out = ((R & 0x00FF00FF) << 7) \
+                | ((mb & 0x00010001) << 6) \
+                | ((sg & 0x00080008) << 12)
+        else:
+            out = (((R >> 8) & 0x00FF00FF) << 7) \
+                | ((mb & 0x01000100) >> 2) \
+                | ((sg & 0x08000800) << 4)
+        outs.append(out)
+    return outs
+
+
 def fp4_planes_arith(words: jnp.ndarray, planes) -> dict:
     """The byte-SWAR FP4 decode of :func:`fp4_pair_patterns_all`
     restricted to a subset of the 4 plane outputs — only the nibble

@@ -404,6 +404,10 @@ def _pair_fn(quant_type: str, decode: Optional[str] = None):
     in benchmarks/manual_split_probe.py). Arbitrary codebooks (NF4) use
     the gather+tree dual-issue mix."""
     if quant_type == "fp4":
+        if decode == "arith_sr":
+            from .lut import fp4_pair_patterns_all_sr
+
+            return fp4_pair_patterns_all_sr, 1.0 / 12.0, None
         if decode in ("mixg0", "mixg02"):
             from ..quant.codebooks import FP4_CODE
             from .lut import fp4_pair_patterns_mix
@@ -416,6 +420,13 @@ def _pair_fn(quant_type: str, decode: Optional[str] = None):
     from ..quant.codebooks import get_4bit_code
 
     code = get_4bit_code(quant_type)
+    if decode == "mix_bt":
+        return ((lambda w, tbl128: pair_patterns_mix_bt(w, tbl128, code)),
+                1.0, tuple(float(v) for v in code))
+    if decode == "mix_g3":
+        return ((lambda w, tbl128: pair_patterns_mix(w, tbl128, code,
+                                                     n_gather=3)),
+                1.0, tuple(float(v) for v in code))
     return ((lambda w, tbl128: pair_patterns_mix(w, tbl128, code)),
             1.0, tuple(float(v) for v in code))
 

@@ -256,7 +256,8 @@ def _pp_forward(
                 params.lm_head.wp, params.lm_head.scales,
                 cfg.quant.quant_type,
                 compute_dtype=cfg.quant.compute_dtype,
-                pair_pipeline=cfg.quant.pair_pipeline)
+                pair_pipeline=cfg.quant.pair_pipeline,
+                fp4_decode=cfg.quant.pair_decode)
         else:
             lg = jnp.einsum("mh,vh->mv", xl.reshape(mb, h).astype(
                 jnp.bfloat16), params.lm_head,

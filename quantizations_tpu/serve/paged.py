@@ -393,7 +393,8 @@ def _paged_forward(
         logits = apply_4bit(x2, params.lm_head.wp, params.lm_head.scales,
                             qcfg.quant_type,
                             compute_dtype=qcfg.compute_dtype,
-                            pair_pipeline=qcfg.pair_pipeline)
+                            pair_pipeline=qcfg.pair_pipeline,
+                            fp4_decode=qcfg.pair_decode)
     else:
         logits = jnp.dot(x2, params.lm_head.T.astype(x2.dtype),
                          preferred_element_type=jnp.float32)

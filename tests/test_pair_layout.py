@@ -315,12 +315,14 @@ def test_manual_pipeline_matches_grid_kernel(rng, quant_type):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("decode", ["mixg0", "mixg02"])
+@pytest.mark.parametrize("decode", ["arith_sr", "mixg0", "mixg02"])
 def test_fp4_mix_decode_bit_exact(rng, decode):
-    """QuantConfig.fp4_decode gather-mix strategies are bit-identical to
-    the byte-SWAR arithmetic decode through both pair kernels (the
-    gather reads RAW bf16 patterns — codebook x 12, all exactly
-    representable — so the srep fold is unchanged)."""
+    """QuantConfig.fp4_decode strategies are bit-identical to the
+    byte-SWAR arithmetic decode through both pair kernels: the gather
+    mixes read RAW bf16 patterns (codebook x 12, all exactly
+    representable — the srep fold is unchanged) and "arith_sr" only
+    strength-reduces the blend's constant multiplies (exact by the
+    byte-local algebra in ops/lut.fp4_pair_patterns_all_sr)."""
     from quantizations_tpu.ops.qmatmul import (
         matmul_4bit_pair_manual, matmul_4bit_pair_pallas)
 
@@ -337,6 +339,31 @@ def test_fp4_mix_decode_bit_exact(rng, decode):
     np.testing.assert_array_equal(got, want)
     got_man = np.asarray(matmul_4bit_pair_manual(
         wp2, scales, x, quant_type="fp4", decode=decode, interpret=True))
+    np.testing.assert_array_equal(got_man, want)
+
+
+@pytest.mark.parametrize("decode", ["mix_bt", "mix_g3"])
+def test_nf4_alt_decode_bit_exact(rng, decode):
+    """QuantConfig.nf4_decode alternatives ("mix_bt": gather planes 0,2
+    + odd-nibble radix-4 byte tree; "mix_g3": 3 gather planes + 1 tree
+    plane) are bit-identical to the default gather+radix-2-tree mix
+    through both pair kernels."""
+    from quantizations_tpu.ops.qmatmul import (
+        matmul_4bit_pair_manual, matmul_4bit_pair_pallas)
+
+    M, K = 256, 512
+    by = jnp.asarray(
+        rng.integers(0, 256, (M, K // 2), dtype=np.int64).astype(np.int32))
+    wp2 = planar_to_pair(pack_i32_rows(by, M, K))
+    scales = jnp.asarray(rng.random((M, K // 64), np.float32))
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    want = np.asarray(matmul_4bit_pair_pallas(
+        wp2, scales, x, quant_type="nf4", interpret=True))
+    got = np.asarray(matmul_4bit_pair_pallas(
+        wp2, scales, x, quant_type="nf4", decode=decode, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    got_man = np.asarray(matmul_4bit_pair_manual(
+        wp2, scales, x, quant_type="nf4", decode=decode, interpret=True))
     np.testing.assert_array_equal(got_man, want)
 
 
