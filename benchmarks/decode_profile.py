@@ -1,13 +1,16 @@
-"""Decompose the decode-step time on real hardware.
+"""Decompose the decode-step time on real hardware (production paths).
 
 Measures, with the serialized scan-chain timer:
-  1. sum-of-GEMVs: the 7 projections + lm_head as standalone fused
-     kernels (what the decode step should cost if everything else is free)
-  2. one full decode_step via lax.scan over stacked layers (the default)
-  3. one full decode_step with layers UNROLLED (static per-layer arrays —
-     no dynamic-slice copy of the weights before each Pallas call)
+  1. sum-of-GEMVs: each projection + lm_head as standalone fused pair
+     kernels through the production `_ql` dispatch (what the decode
+     step should cost if attention/norms/scan machinery were free)
+  2. one full production `decode_step` (lax.scan over stacked layers —
+     exactly what `make_generate_fn` runs per token)
+  3. the same math UNROLLED: python loop over per-layer unstacked
+     weights (no stacked scalar-prefetch indexing, no scan carry) —
+     the scan-machinery tax is (2) - (3)
 
-    python benchmarks/decode_profile.py [--layers N]
+    python benchmarks/decode_profile.py [--layers N] [--fuse] [--quant-type nf4]
 """
 
 import argparse
@@ -18,7 +21,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -31,10 +33,14 @@ from quantizations_tpu.models.llama import (
     KVCache,
     LLAMA3_8B,
     _layer_forward,
+    _norm,
+    _ql,
+    decode_step,
+    embed_lookup,
     init_llama_params,
+    layer_window,
     rope_cos_sin,
 )
-from quantizations_tpu.ops.gemv import gemv_4bit_pallas
 from quantizations_tpu.utils.timing import time_scan_chain
 
 HBM_GBPS = 819.0
@@ -44,99 +50,103 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--layers", type=int, default=8)
     p.add_argument("--max-seq", type=int, default=128)
+    p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
+    p.add_argument("--fuse", action="store_true")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
-        LLAMA3_8B, num_hidden_layers=args.layers, quant=QuantConfig())
+        LLAMA3_8B, num_hidden_layers=args.layers,
+        quant=QuantConfig(quant_type=args.quant_type))
     L = cfg.num_hidden_layers
     params = init_llama_params(cfg, seed=0)
-    jax.block_until_ready(params.layers.q.wp)
+    if args.fuse:
+        from quantizations_tpu.models.llama import fuse_projections
+
+        params = fuse_projections(params)
+    jax.block_until_ready(params)
 
     wbytes = sum(
         x.size * x.dtype.itemsize
         for x in jax.tree.leaves(params.layers)) + sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params.lm_head))
     print(f"layers={L} transformer+head weight bytes: {wbytes/2**30:.2f} GiB"
-          f"  SOL={wbytes/HBM_GBPS/1e6*1000:.2f} ms")
+          f"  SOL={wbytes/HBM_GBPS/1e6*1000:.2f} ms", flush=True)
 
-    # -- 1. standalone GEMV sum ------------------------------------------
-    lay0 = jax.tree.map(lambda x: x[0], params.layers)
-    shapes = [
-        ("q", lay0.q), ("k", lay0.k), ("v", lay0.v), ("o", lay0.o),
-        ("gate", lay0.gate), ("up", lay0.up), ("down", lay0.down),
-    ]
+    isleaf = lambda x: x is None
+
+    # -- 1. standalone GEMV sum (production _ql dispatch, pair-aware) ----
+    lay0 = jax.tree.map(lambda x: None if x is None else x[0],
+                        params.layers, is_leaf=isleaf)
+    names = (["qkv", "o", "gate_up", "down"] if args.fuse
+             else ["q", "k", "v", "o", "gate", "up", "down"])
     total_us = 0.0
-    for name, ql in shapes:
-        K = ql.wp.shape[1] * 8
-        x0 = jnp.ones((1, K), jnp.bfloat16)
-        fn = lambda x, _ql=ql: gemv_4bit_pallas(
-            _ql.wp, _ql.scales, x, quant_type="fp4")
-        dt = time_scan_chain(fn, x0, iters=30, trials=2)
+    for name in names:
+        ql = getattr(lay0, name)
+        x0 = jnp.ones((1, ql.in_features), jnp.bfloat16)
+        fn = jax.jit(lambda x, _q=ql: _ql(x, _q, cfg.quant, None))
+        dt = time_scan_chain(fn, x0, iters=50, trials=2)
         nbytes = ql.wp.nbytes + ql.scales.nbytes
-        print(f"  gemv {name:5s} M={ql.wp.shape[0]:6d} K={K:6d} "
-              f"{dt*1e6:8.1f}us  {nbytes/dt/1e9:6.1f} GB/s")
+        print(f"  gemv {name:8s} M={ql.out_features:6d} "
+              f"K={ql.in_features:6d} {dt*1e6:8.1f}us  "
+              f"{nbytes/dt/1e9:6.1f} GB/s", flush=True)
         total_us += dt * 1e6
+    head_us = 0.0
     if hasattr(params.lm_head, "wp"):
         ql = params.lm_head
-        x0 = jnp.ones((1, ql.wp.shape[1] * 8), jnp.bfloat16)
-        dt = time_scan_chain(
-            lambda x: gemv_4bit_pallas(ql.wp, ql.scales, x, quant_type="fp4"),
-            x0, iters=30, trials=2)
+        x0 = jnp.ones((1, ql.in_features), jnp.bfloat16)
+        fn = jax.jit(lambda x, _q=ql: _ql(x, _q, cfg.quant, None))
+        dt = time_scan_chain(fn, x0, iters=50, trials=2)
         nbytes = ql.wp.nbytes + ql.scales.nbytes
-        print(f"  gemv head  M={ql.wp.shape[0]:6d} K={ql.wp.shape[1]*8:6d} "
-              f"{dt*1e6:8.1f}us  {nbytes/dt/1e9:6.1f} GB/s")
+        print(f"  gemv {'head':8s} M={ql.out_features:6d} "
+              f"K={ql.in_features:6d} {dt*1e6:8.1f}us  "
+              f"{nbytes/dt/1e9:6.1f} GB/s", flush=True)
         head_us = dt * 1e6
-    else:
-        head_us = 0.0
+    sum_ms = (L * total_us + head_us) / 1e3
     print(f"  => sum of GEMVs: {L} layers x {total_us:.0f}us + head "
-          f"{head_us:.0f}us = {(L * total_us + head_us)/1e3:.2f} ms")
+          f"{head_us:.0f}us = {sum_ms:.2f} ms", flush=True)
 
-    # -- 2. full decode step, scan over stacked layers --------------------
+    # -- 2. full production decode_step (scan over stacked layers) -------
     cache = KVCache.create(cfg, 1, args.max_seq)
     pos = jnp.array([17], jnp.int32)
-    cos, sin = rope_cos_sin(jnp.array([[17]], jnp.int32), cfg.head_dim,
-                            cfg.rope_theta)
-    key_pos = jnp.arange(args.max_seq, dtype=jnp.int32)
-    mask = (key_pos[None, None, :] <= jnp.array([[[17]]], jnp.int32)
-            )  # [B, T, S]
+    step = jax.jit(functools.partial(decode_step, cfg=cfg))
+    tok0 = jnp.array([[7]], jnp.int32)
+    dt_scan = time_scan_chain(
+        lambda t: step(params, t, cache, pos)[0], tok0, iters=20, trials=2)
+    print(f"\n  decode step (scan):     {dt_scan*1e3:8.2f} ms  "
+          f"({wbytes/dt_scan/1e9:.1f} GB/s effective)", flush=True)
 
-    def body_scan(x):
-        def body(carry, inputs):
-            xx, ck, cv = carry
-            layer, i = inputs
-            xx, ck_i, cv_i = _layer_forward(
-                xx, layer, ck[i], cv[i], pos, cos, sin, mask, cfg)
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, ck_i[None], i, 0)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, cv_i[None], i, 0)
-            return (xx, ck, cv), None
+    # -- 3. unrolled static layers (no stacked indexing, no scan) --------
+    per_layer = jax.block_until_ready([
+        jax.tree.map(lambda x: None if x is None else x[i],
+                     params.layers, is_leaf=isleaf)
+        for i in range(L)])
 
-        idx = jnp.arange(L, dtype=jnp.int32)
-        (x, _, _), _ = jax.lax.scan(
-            body, (x, cache.k, cache.v), (params.layers, idx))
-        return x
-
-    x0 = jnp.ones((1, 1, cfg.hidden_size), jnp.bfloat16)
-    dt_scan = time_scan_chain(body_scan, x0, iters=20, trials=2)
-    lb = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params.layers))
-    print(f"\n  decode body (scan):     {dt_scan*1e3:8.2f} ms  "
-          f"({lb/dt_scan/1e9:.1f} GB/s effective)")
-
-    # -- 3. full decode step, unrolled static layers ----------------------
-    per_layer = [jax.tree.map(lambda x, i=i: x[i], params.layers)
-                 for i in range(L)]
-    per_layer = jax.block_until_ready(per_layer)
-
-    def body_unrolled(x):
-        ck = cache.k
-        cv = cache.v
+    def unrolled(tok):
+        x = embed_lookup(params.embed, tok,
+                         cfg.quant.quant_type)          # [1, 1, hidden]
+        if cfg.embed_normalizer:
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+        positions = pos[:, None]
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                                cfg.rope_scaling)
+        key_pos = jnp.arange(args.max_seq, dtype=jnp.int32)
+        mask = key_pos[None, None, :] <= positions[:, :, None]
+        ck, cv = cache.k, cache.v
         for i in range(L):
-            x, _, _ = _layer_forward(
-                x, per_layer[i], ck[i], cv[i], pos, cos, sin, mask, cfg)
-        return x
+            _, win_eff = layer_window(cfg, i)
+            x, ck, cv = _layer_forward(
+                x, per_layer[i], ck, cv, pos, cos, sin, mask, cfg,
+                idx=i, win_eff=win_eff)
+        x = _norm(x, params.final_norm, cfg)
+        return _ql(x.astype(cfg.quant.compute_dtype).reshape(1, -1),
+                   params.lm_head, cfg.quant, None)
 
-    dt_unr = time_scan_chain(body_unrolled, x0, iters=20, trials=2)
-    print(f"  decode body (unrolled): {dt_unr*1e3:8.2f} ms  "
-          f"({lb/dt_unr/1e9:.1f} GB/s effective)")
+    dt_unr = time_scan_chain(jax.jit(unrolled), tok0, iters=20, trials=2)
+    print(f"  decode step (unrolled): {dt_unr*1e3:8.2f} ms  "
+          f"(scan-machinery tax {1e3*(dt_scan-dt_unr):+.2f} ms)",
+          flush=True)
+    print(f"  non-GEMV time (scan - sum): "
+          f"{dt_scan*1e3 - sum_ms:+.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
