@@ -140,7 +140,12 @@ def run_shape(M, K, Ts):
                 continue
             fp_ = jax.jit(functools.partial(
                 matmul_4bit_pair_pallas, tile_t=tile_t))
-            out = np.asarray(fp_(wp2, scales, xb))
+            try:
+                out = np.asarray(fp_(wp2, scales, xb))
+            except Exception as e:   # oversized-tile scoped-VMEM OOM
+                print(f"[{M},{K}] T={T:5d} pair_t{tile_t:<4d} "
+                      f"FAILED ({type(e).__name__})", flush=True)
+                continue
             rel = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)
             dt = time_scan_chain(
                 lambda xx, w, s: fp_(w, s, xx), xb,
@@ -150,7 +155,12 @@ def run_shape(M, K, Ts):
                   flush=True)
 
             fi = make_pair_inner(M, K, T, tile_t)
-            out = np.asarray(fi(xb, wp2, scales))
+            try:
+                out = np.asarray(fi(xb, wp2, scales))
+            except Exception as e:
+                print(f"[{M},{K}] T={T:5d} pairin_t{tile_t:<4d} "
+                      f"FAILED ({type(e).__name__})", flush=True)
+                continue
             rel = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)
             dt = time_scan_chain(lambda xx, w, s: fi(xx, w, s), xb,
                                  iters=50, trials=2, consts=(wp2, scales))
