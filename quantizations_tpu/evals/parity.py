@@ -87,15 +87,35 @@ def dequantized_params(params: LlamaParams,
 # replaced by arrays, so _ql must handle both. Rather than fork the model,
 # parity runs the dense model through a thin adapter:
 
+def _densify_tree(tree, qt):
+    """Per-layer lazy dequant: every 2-D QLinear leaf becomes its dense
+    bf16 matrix IN-JIT (one layer's dense weights are transient VMEM/HBM
+    instead of a resident 16 GB twin — an 8B dense twin cannot coexist
+    with the quantized model on a 16 GB chip, proxy_evals OOM r3)."""
+    return jax.tree.map(
+        lambda leaf: (_dense_from_qlinear(leaf, qt)
+                      if isinstance(leaf, QLinear) else leaf),
+        tree, is_leaf=lambda x: isinstance(x, QLinear))
+
+
 def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
-                   cfg: LlamaConfig) -> jnp.ndarray:
+                   cfg: LlamaConfig, lazy: bool = False) -> jnp.ndarray:
     """Causal forward of the dequantized-dense model; returns logits
     [B, T, vocab]. Mirrors models/llama.py but with jnp.dot projections
-    (this is also the independent cross-check of the quantized path)."""
+    (this is also the independent cross-check of the quantized path).
+    With ``lazy=True``, ``dense`` is the QUANTIZED params and each
+    layer is dequantized on the fly (same `_dense_from_qlinear` math —
+    bit-identical logits to the materialized twin, tested)."""
     B, T = token_ids.shape
     from ..models.llama import _act, _norm, apply_rope, rope_cos_sin
 
-    x = dense.embed[token_ids].astype(jnp.bfloat16)
+    if lazy and isinstance(dense.embed, QLinear):
+        from ..models.llama import embed_lookup
+
+        x = embed_lookup(dense.embed, token_ids,
+                         cfg.quant.quant_type).astype(jnp.bfloat16)
+    else:
+        x = dense.embed[token_ids].astype(jnp.bfloat16)
     if cfg.embed_normalizer:
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
     pos = jnp.zeros((B,), jnp.int32)
@@ -120,6 +140,8 @@ def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
     D = cfg.head_dim
     for i in range(L):
         lay = jax.tree.map(lambda a, i=i: a[i], dense.layers)
+        if lazy:
+            lay = _densify_tree(lay, cfg.quant.quant_type)
         if cfg.sliding_window is None or cfg.sliding_layers == "all":
             mask = mask_win
         else:
@@ -174,6 +196,8 @@ def _dense_forward(dense: LlamaParams, token_ids: jnp.ndarray,
 
     x = _norm(x, dense.final_norm, cfg)
     head = dense.lm_head
+    if lazy and isinstance(head, QLinear):
+        head = _dense_from_qlinear(head, cfg.quant.quant_type)
     logits = jnp.einsum("bth,vh->btv", x.astype(jnp.bfloat16),
                         head.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
@@ -202,12 +226,23 @@ def logit_parity(params: LlamaParams, cfg: LlamaConfig,
     Note: for a *weight-only* 4-bit scheme this measures exactly the
     quantization error (activations/arithmetic identical paths)."""
     B, T = token_ids.shape
-    dense = dequantized_params(params, cfg)
+    # A materialized dense twin needs ~4x the quantized footprint
+    # resident at once (16.1 GB for 8B — over a v5e's 16 GB HBM, OOM
+    # observed on-chip r3). Above ~4 GB of dense-twin bytes the twin
+    # runs LAZILY: the same dequant math per layer, in-jit, transient.
+    dense_bytes = sum(
+        2 * leaf.out_features * leaf.in_features
+        * (leaf.wp.shape[0] if leaf.wp.ndim == 3 else 1)
+        for leaf in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, QLinear))
+        if isinstance(leaf, QLinear))
+    lazy = dense_bytes > 4 * 2**30
 
     cache = KVCache.create(cfg, B, T)
     ql, _ = jax.jit(functools.partial(prefill, cfg=cfg))(
         params, token_ids, cache)
-    dl = jax.jit(functools.partial(_dense_forward, cfg=cfg))(
+    dense = params if lazy else dequantized_params(params, cfg)
+    dl = jax.jit(functools.partial(_dense_forward, cfg=cfg, lazy=lazy))(
         dense, token_ids)
 
     qlp = jax.nn.log_softmax(ql.astype(jnp.float32), axis=-1)

@@ -339,8 +339,19 @@ def flash_decode_attention_stacked_i8(
     cblk = pl.BlockSpec((1, 1, 1, s_blk, D),
                         lambda i, sq, sc: (sc[0], i // KVH, i % KVH,
                                            sq, 0))
+    # Scale planes ride as [L, B*KVH, 1, S]: a (1, 1, 1, s_blk) block
+    # over the natural [L, B, KVH, S] layout has last-two block dims
+    # (1, s_blk) against array dims (KVH, S) — Mosaic rejects it on
+    # hardware whenever KVH > 1 (the sublane dim must be divisible by 8
+    # or equal). The no-copy reshape makes the second-minor array dim 1
+    # so the block is equal-dimensioned. (Interpret-mode CI does not
+    # enforce the block rule; caught on-chip by paged_sweep, r3.)
+    L = k_scale.shape[0]
+    S_full = k_scale.shape[3]
+    k_scale = k_scale.reshape(L, B * KVH, 1, S_full)
+    v_scale = v_scale.reshape(L, B * KVH, 1, S_full)
     sblk = pl.BlockSpec((1, 1, 1, s_blk),
-                        lambda i, sq, sc: (sc[0], i // KVH, i % KVH, sq))
+                        lambda i, sq, sc: (sc[0], i, 0, sq))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * KVH, S_att // s_blk),

@@ -193,11 +193,21 @@ def paged_flash_decode_attention_i8(
             lambda i, sq, sc: (sc[0], page_of(i, sq, sc, r),
                                i % KVH, 0, 0))
 
+    # Scale planes ride as [L, P*KVH, 1, page]: the natural
+    # [L, P, KVH, page] layout gives a (1, 1, 1, page) block whose
+    # second-minor dim (1) is neither divisible by 8 nor equal to KVH —
+    # Mosaic rejects it on hardware for KVH > 1 (caught on-chip by
+    # paged_sweep, r3; interpret CI does not enforce the block rule).
+    # The no-copy reshape makes the block equal-dimensioned.
+    scales_k = scales_k.reshape(L, P * KVH, 1, page)
+    scales_v = scales_v.reshape(L, P * KVH, 1, page)
+
     def sblk(r):
         return pl.BlockSpec(
             (1, 1, 1, page),
-            lambda i, sq, sc: (sc[0], page_of(i, sq, sc, r),
-                               i % KVH, 0))
+            lambda i, sq, sc: (sc[0],
+                               page_of(i, sq, sc, r) * KVH + i % KVH,
+                               0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -34,3 +34,24 @@ def test_perplexity_finite(params):
         rng.integers(0, TINY_LLAMA.vocab_size, (1, 16)), jnp.int32)
     ppl = perplexity(params, TINY_LLAMA, ids)
     assert np.isfinite(ppl) and ppl > 1.0
+
+
+def test_lazy_dense_forward_bit_identical(params):
+    """The lazy (in-jit per-layer dequant) dense twin produces logits
+    bit-identical to the materialized twin — it is the same
+    `_dense_from_qlinear` math, so the 8B OOM path (auto-selected above
+    ~4 GB of dense-twin bytes) measures exactly the same parity."""
+    import functools
+
+    from quantizations_tpu.evals.parity import (
+        _dense_forward, dequantized_params)
+
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(
+        rng.integers(0, TINY_LLAMA.vocab_size, (1, 8)), jnp.int32)
+    dense = dequantized_params(params, TINY_LLAMA)
+    want = np.asarray(jax.jit(functools.partial(
+        _dense_forward, cfg=TINY_LLAMA))(dense, ids))
+    got = np.asarray(jax.jit(functools.partial(
+        _dense_forward, cfg=TINY_LLAMA, lazy=True))(params, ids))
+    np.testing.assert_array_equal(got, want)
