@@ -30,5 +30,8 @@ step dma_probe        3600 python benchmarks/pair_dma_pipeline_probe.py
 step bench_full       4800 python bench.py --batch-sweep --prefill --max-seq 1024
 step bench_2k_int8    4800 python bench.py --max-seq 2048 --prompt-len 1984 --kv-dtype int8
 step bench_2k_bf16    4800 python bench.py --max-seq 2048 --prompt-len 1984
+step paged_sweep2     5400 python benchmarks/paged_sweep_probe.py
+step engine_paged_spd8 5400 python benchmarks/engine_probe.py --engine paged --steps-per-dispatch 8
+step proxy_evals      5400 python -m quantizations_tpu.evals --proxy --preset 8b --parity
 step prefill_probe2   5400 python benchmarks/prefill_probe.py 512 2048
 echo "=== CHAIN D DONE ($(date +%H:%M:%S)) ===" >>"$L"

@@ -70,7 +70,7 @@ def main():
         for x in jax.tree.leaves(params.layers)) + sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params.lm_head))
     print(f"layers={L} transformer+head weight bytes: {wbytes/2**30:.2f} GiB"
-          f"  SOL={wbytes/HBM_GBPS/1e6*1000:.2f} ms", flush=True)
+          f"  SOL={wbytes/HBM_GBPS/1e6:.2f} ms", flush=True)
 
     isleaf = lambda x: x is None
 
@@ -83,8 +83,13 @@ def main():
     for name in names:
         ql = getattr(lay0, name)
         x0 = jnp.ones((1, ql.in_features), jnp.bfloat16)
-        fn = jax.jit(lambda x, _q=ql: _ql(x, _q, cfg.quant, None))
-        dt = time_scan_chain(fn, x0, iters=50, trials=2)
+        # weights ride as scan-chain operands, NOT jit-closure constants
+        # (a closed-over lm_head embeds 250 MB of constants in the HLO
+        # and the remote compile service rejects the upload, HTTP 413)
+        fn = lambda x, w, sc: _ql(x, type(ql)(wp=w, scales=sc),
+                                  cfg.quant, None)
+        dt = time_scan_chain(fn, x0, iters=50, trials=2,
+                             consts=(ql.wp, ql.scales))
         nbytes = ql.wp.nbytes + ql.scales.nbytes
         print(f"  gemv {name:8s} M={ql.out_features:6d} "
               f"K={ql.in_features:6d} {dt*1e6:8.1f}us  "
@@ -94,8 +99,10 @@ def main():
     if hasattr(params.lm_head, "wp"):
         ql = params.lm_head
         x0 = jnp.ones((1, ql.in_features), jnp.bfloat16)
-        fn = jax.jit(lambda x, _q=ql: _ql(x, _q, cfg.quant, None))
-        dt = time_scan_chain(fn, x0, iters=50, trials=2)
+        fn = lambda x, w, sc: _ql(x, type(ql)(wp=w, scales=sc),
+                                  cfg.quant, None)
+        dt = time_scan_chain(fn, x0, iters=50, trials=2,
+                             consts=(ql.wp, ql.scales))
         nbytes = ql.wp.nbytes + ql.scales.nbytes
         print(f"  gemv {'head':8s} M={ql.out_features:6d} "
               f"K={ql.in_features:6d} {dt*1e6:8.1f}us  "
@@ -108,10 +115,10 @@ def main():
     # -- 2. full production decode_step (scan over stacked layers) -------
     cache = KVCache.create(cfg, 1, args.max_seq)
     pos = jnp.array([17], jnp.int32)
-    step = jax.jit(functools.partial(decode_step, cfg=cfg))
     tok0 = jnp.array([[7]], jnp.int32)
     dt_scan = time_scan_chain(
-        lambda t: step(params, t, cache, pos)[0], tok0, iters=20, trials=2)
+        lambda t, prm, c: decode_step(prm, t, c, pos, cfg)[0],
+        tok0, iters=20, trials=2, consts=(params, cache))
     print(f"\n  decode step (scan):     {dt_scan*1e3:8.2f} ms  "
           f"({wbytes/dt_scan/1e9:.1f} GB/s effective)", flush=True)
 
@@ -121,7 +128,7 @@ def main():
                      params.layers, is_leaf=isleaf)
         for i in range(L)])
 
-    def unrolled(tok):
+    def unrolled(tok, params, cache, *per_layer):
         x = embed_lookup(params.embed, tok,
                          cfg.quant.quant_type)          # [1, 1, hidden]
         if cfg.embed_normalizer:
@@ -141,7 +148,8 @@ def main():
         return _ql(x.astype(cfg.quant.compute_dtype).reshape(1, -1),
                    params.lm_head, cfg.quant, None)
 
-    dt_unr = time_scan_chain(jax.jit(unrolled), tok0, iters=20, trials=2)
+    dt_unr = time_scan_chain(unrolled, tok0, iters=20, trials=2,
+                             consts=(params, cache, *per_layer))
     print(f"  decode step (unrolled): {dt_unr*1e3:8.2f} ms  "
           f"(scan-machinery tax {1e3*(dt_scan-dt_unr):+.2f} ms)",
           flush=True)
