@@ -38,6 +38,9 @@ def main():
                         "request mix; measures the serving-e2e paged "
                         "tax incl. spd/spec amortization)")
     p.add_argument("--prefix-cache", action="store_true")
+    p.add_argument("--page-size", type=int, default=256,
+                   help="paged pool page size (256 erases the paged-DMA "
+                        "tax on v5e, paged_sweep r3)")
     args = p.parse_args()
 
     cfg = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
@@ -48,7 +51,7 @@ def main():
     if args.engine == "paged":
         from quantizations_tpu.serve.paged import PagedEngine
 
-        psz = 128
+        psz = args.page_size
         eng = PagedEngine(
             params, cfg, num_pages=args.slots * (512 // psz) + 8,
             page_size=psz, slots=args.slots, max_seq=512,

@@ -126,8 +126,10 @@ class LlamaConfig:
     # grid step (each its own block-table-aimed DMA issued in the same
     # step — deeper copy pipelining against the many-small-DMA latency
     # tax of short pages; see ops/paged_attention.py). Static under
-    # jit; clamped to divide the attended table width.
-    paged_pages_per_step: int = 1
+    # jit; clamped to divide the attended table width. Default 2: wins
+    # at EVERY page size raced (paged_sweep chain_r3d, B=8: p128
+    # 337->314us, p256 191->169, p384 145->124; bitwise identical).
+    paged_pages_per_step: int = 2
     quant: QuantConfig = QuantConfig()
 
     @property

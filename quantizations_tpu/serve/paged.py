@@ -15,10 +15,14 @@ Pieces:
 - :func:`insert_prefill` — scatter a slot-layout scratch prefill into
   allocated pages (prefill itself reuses the dense prefill path).
 
-Measured (v5e, 8B, ~1900-token context, page 128): 25.2 ms/step at
-batch 1 (within 2% of the dense slot cache) and 47.1 ms at batch 8
-(~25% tax from page-granular attention DMAs — the price of memory
-elasticity; tune page_size up for throughput-biased deployments).
+Measured (v5e, 8B, ~1900-token context — paged_sweep chain_r3d): the
+page-DMA tax is a pure page-size effect and 256-token pages erase it:
+attention kernel at B=8 is 337 us with p128 (+76% over the 191.2 us
+slot cache) but 191.2 us with p256 (0% tax) and 169.1 us with the
+default pages_per_step=2 (12% BELOW slot — fewer padded positions per
+block-table walk). p384 goes further (124-145 us) when max_seq allows
+it. PagedEngine therefore auto-picks the largest page <= 256 dividing
+max_seq; pass page_size= explicitly to trade memory granularity.
 """
 
 from __future__ import annotations
@@ -682,7 +686,8 @@ class PagedEngine:
     """
 
     def __init__(self, params: LlamaParams, cfg: LlamaConfig, *,
-                 num_pages: int, page_size: int = 128, slots: int = 4,
+                 num_pages: int, page_size: Optional[int] = None,
+                 slots: int = 4,
                  max_seq: int = 2048, prefill_buckets=(64, 256),
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, seed: int = 0,
@@ -699,7 +704,16 @@ class PagedEngine:
 
         from .engine import Request, sample_rows_samp
 
-        if max_seq % page_size:
+        if page_size is None:
+            # 256-token pages erase the paged-attention tax entirely on
+            # v5e (paged_sweep chain_r3d, B=8 ~1900-tok ctx: p128 337us
+            # vs slot 191.2; p256 191.2 — 0% tax; with the default
+            # pages_per_step=2 multi-page DMA steps, 169.1 = 12% BELOW
+            # the slot cache). Auto-pick the largest page <= 256 that
+            # divides max_seq (tiny test configs keep working).
+            page_size = next((p for p in (256, 128, 64, 32, 16, 8)
+                              if max_seq % p == 0), 0)
+        if not page_size or max_seq % page_size:
             raise ValueError("max_seq must be a multiple of page_size")
         self.params = params
         self.cfg = cfg

@@ -851,3 +851,16 @@ def test_paged_decode_pages_per_step_matches_slot_cache():
         got.append(int(jnp.argmax(lg[0])))
 
     assert got == ref, (got, ref)
+
+
+def test_default_page_size_auto_pick(quant_params_tiny=None):
+    """page_size=None auto-picks the largest page <= 256 dividing
+    max_seq (256 erases the paged-DMA tax on v5e, paged_sweep r3)."""
+    from quantizations_tpu.models.llama import TINY_LLAMA, init_llama_params
+    from quantizations_tpu.serve.paged import PagedEngine
+
+    params = init_llama_params(TINY_LLAMA, seed=0)
+    eng = PagedEngine(params, TINY_LLAMA, num_pages=8, max_seq=512)
+    assert eng.page_size == 256
+    eng = PagedEngine(params, TINY_LLAMA, num_pages=8, max_seq=192)
+    assert eng.page_size == 64
