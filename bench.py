@@ -20,6 +20,7 @@ import statistics
 import subprocess
 import sys
 import time
+from typing import Optional
 
 REFERENCE_QUANT_TPS = 37.5   # reference README.md:26 (FP4, A6000)
 
@@ -48,14 +49,19 @@ def _backend_ready(timeout_s: float = 120.0) -> bool:
         return False
 
 
-def _wait_for_backend(deadline: float) -> bool:
-    """Poll the backend (fresh subprocess each try) until `deadline`."""
+def _wait_for_backend(deadline: float) -> Optional[float]:
+    """Poll the backend (fresh subprocess each try) until `deadline`.
+    Returns the seconds spent polling (None if the deadline passed) so
+    the outage wait can be reported separately from compile time
+    (VERDICT r3 #9: a 780-s retry budget must not masquerade as a
+    compile regression)."""
+    t0 = time.time()
     while True:
         if _backend_ready():
-            return True
+            return time.time() - t0
         remaining = deadline - time.time()
         if remaining <= 0:
-            return False
+            return None
         print(f"# backend down, retrying ({remaining:.0f}s left)",
               file=sys.stderr, flush=True)
         time.sleep(min(60.0, max(1.0, remaining)))
@@ -74,11 +80,14 @@ def _supervise(argv) -> int:
     deadline = time.time() + sup_args.backend_wait
     started = time.time()
     attempts = 0
+    backend_wait = 0.0   # cumulative seconds the backend was down
     last_err = ""
     env = dict(os.environ, QT_BENCH_INNER="1")
     while True:
-        if not _wait_for_backend(deadline):
+        waited = _wait_for_backend(deadline)
+        if waited is None:
             break
+        backend_wait += waited
         attempts += 1
         try:
             r = subprocess.run(
@@ -94,7 +103,13 @@ def _supervise(argv) -> int:
         line = next((ln for ln in reversed(r.stdout.splitlines())
                      if ln.startswith("{")), None)
         if r.returncode == 0 and line is not None:
-            print(line, flush=True)
+            # Attach supervisor-side outage accounting: backend_wait_s
+            # is time spent polling a dead backend, disjoint from the
+            # inner process's compile_s (VERDICT r3 #9).
+            rec = json.loads(line)
+            rec["backend_wait_s"] = round(backend_wait, 1)
+            rec["attempts"] = attempts
+            print(json.dumps(rec), flush=True)
             return 0
         last_err = (r.stdout + r.stderr)[-2000:]
         if time.time() >= deadline:
@@ -129,12 +144,15 @@ def main() -> None:
                    help="decode-band pair-kernel weight streaming "
                         "(manual = double-buffered DMA pipeline)")
     p.add_argument("--fp4-decode", default="arith",
-                   choices=["arith", "arith_sr", "mixg0", "mixg02"],
-                   help="FP4 pair decode: all byte-SWAR arithmetic, or "
-                        "1/2 planes through the dynamic-gather unit")
-    p.add_argument("--nf4-decode", default="mix", choices=["mix", "mix_bt", "mix_g3"],
-                   help="NF4 pair decode: gather+radix-2 trees, or "
-                        "gather planes 0,2 + one odd-nibble byte tree")
+                   choices=["arith", "arith_sr", "mixg0", "mixg02", "s16"],
+                   help="FP4 pair decode: all byte-SWAR arithmetic, "
+                        "1/2 planes through the dynamic-gather unit, or "
+                        "sorted-code native-int16 lanes (s16)")
+    p.add_argument("--nf4-decode", default="mix",
+                   choices=["mix", "mix_bt", "mix_g3", "tree16"],
+                   help="NF4 pair decode: gather+radix-2 trees, gather "
+                        "planes 0,2 + one odd-nibble byte tree, or a "
+                        "native-int16 select tree (tree16)")
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
                    help="KV cache element type (int8 halves attention "
                         "HBM traffic at long context)")
@@ -285,7 +303,10 @@ def main() -> None:
         "vs_baseline": round(tps / REFERENCE_QUANT_TPS, 4),
         "median_iter_s": round(med, 4),
         "all_iters_s": [round(t, 4) for t in times],
-        "compile_plus_first_s": round(compile_t, 2),
+        # compile + first execution of the generate program; never
+        # includes backend-outage waiting (that is the supervisor's
+        # backend_wait_s — an outage kills this inner process)
+        "compile_s": round(compile_t, 2),
         "batch4_tokens_per_s": round(tps4, 3),
         "batch4_vs_baseline": round(tps4 / REFERENCE_QUANT_TPS, 4),
         "batch8_tokens_per_s": round(tps8, 3),

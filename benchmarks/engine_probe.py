@@ -38,6 +38,14 @@ def main():
                         "request mix; measures the serving-e2e paged "
                         "tax incl. spd/spec amortization)")
     p.add_argument("--prefix-cache", action="store_true")
+    p.add_argument("--workload", default="mixed",
+                   choices=["mixed", "repetitive"],
+                   help="repetitive: short prompts + long greedy "
+                        "generations — greedy streams loop, so "
+                        "prompt-lookup drafts hit (the speculative "
+                        "best case; VERDICT r3 #6). mixed: the "
+                        "standard mixed-length request set (drafts "
+                        "rarely match — speculative worst case)")
     p.add_argument("--page-size", type=int, default=256,
                    help="paged pool page size (256 erases the paged-DMA "
                         "tax on v5e, paged_sweep r3)")
@@ -60,6 +68,8 @@ def main():
         eng = Engine(params, cfg, serve, slots=args.slots,
                      prefill_buckets=(16, 64))
     lens = [(13, 48), (40, 96), (7, 32), (60, 64)]
+    if args.workload == "repetitive":
+        lens = [(8, 160), (12, 192), (8, 128), (16, 160)]
 
     def submit_all():
         for i in range(args.requests):
@@ -88,9 +98,14 @@ def main():
     # steady-state pass: same mix, all programs compiled
     submit_all()
     toks, steps, dt = one_run()
-    extra = (f" spec_windows={eng.stats()['spec_windows']}"
-             if args.spec_k and hasattr(eng, "stats") else "")
-    print(f"engine={args.engine} requests={args.requests} tokens={toks} "
+    extra = ""
+    if args.spec_k and hasattr(eng, "stats"):
+        st = eng.stats()
+        extra = (f" spec_windows={st['spec_windows']}"
+                 f" accept_rate={st['spec_accept_rate']:.3f}"
+                 f" ({st['spec_accepted']}/{st['spec_drafted']})")
+    print(f"engine={args.engine} workload={args.workload} "
+          f"requests={args.requests} tokens={toks} "
           f"steps={steps} wall={dt:.2f}s "
           f"aggregate={toks/dt:.1f} tok/s (warm pass {warm:.1f}s)"
           f"{extra}")

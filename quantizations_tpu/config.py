@@ -65,6 +65,10 @@ class QuantConfig:
     # DMA pipeline ties the grid kernel, round-3 probe), so gather
     # planes overlap the ALU work. Raced on chip in
     # benchmarks/manual_split_probe.py; bit-identical either way.
+    # "s16" (round 4) decodes in NATIVE int16 lanes after the sorted-
+    # code nibble permutation (ops/lut.sort_fp4_words): one select per
+    # pattern instead of the byte-SWAR blend — wins iff Mosaic packs
+    # int16 elementwise ops 2/lane (benchmarks/vpu_rate_probe.py).
     fp4_decode: str = "arith"
     # NF4 pair-kernel decode strategy: "mix" = gather planes 0,1 + two
     # radix-2 half-word xor trees (the round-2 winner); "mix_bt" routes
@@ -74,6 +78,8 @@ class QuantConfig:
     # 1 tree plane (rebalances toward the gather unit). Bit-identical;
     # raced on chip (mix_bt LOST: kernel 246us vs 199, e2e 30.1 vs
     # 36.5 tok/s — the byte tree does not pipeline as well in situ).
+    # "tree16" (round 4) = 4-level select tree in NATIVE int16 lanes,
+    # one code per lane (no gather, no XOR-blend masks).
     nf4_decode: str = "mix"
 
     @property
@@ -89,14 +95,15 @@ class QuantConfig:
             raise ValueError(
                 f"pair_pipeline {self.pair_pipeline!r} not in "
                 f"('grid', 'manual')")
-        if self.fp4_decode not in ("arith", "arith_sr", "mixg0", "mixg02"):
+        if self.fp4_decode not in ("arith", "arith_sr", "mixg0", "mixg02",
+                                   "s16"):
             raise ValueError(
                 f"fp4_decode {self.fp4_decode!r} not in "
-                f"('arith', 'arith_sr', 'mixg0', 'mixg02')")
-        if self.nf4_decode not in ("mix", "mix_bt", "mix_g3"):
+                f"('arith', 'arith_sr', 'mixg0', 'mixg02', 's16')")
+        if self.nf4_decode not in ("mix", "mix_bt", "mix_g3", "tree16"):
             raise ValueError(
                 f"nf4_decode {self.nf4_decode!r} not in "
-                f"('mix', 'mix_bt', 'mix_g3')")
+                f"('mix', 'mix_bt', 'mix_g3', 'tree16')")
         if self.blocksize not in VALID_BLOCKSIZES:
             raise ValueError(
                 f"blocksize {self.blocksize} not in {VALID_BLOCKSIZES}"

@@ -487,6 +487,12 @@ class Engine:
         self._multi_fns: Dict[Any, Any] = {}
         self._spec_fns: Dict[Any, Any] = {}
         self._spec_windows = 0
+        # speculative acceptance accounting (VERDICT r3 #6): drafted =
+        # k-1 lookup tokens offered per slot-window; accepted = drafts
+        # that committed. rate = accepted/drafted is the number that
+        # says whether a workload pays for drafting.
+        self._spec_drafted = 0
+        self._spec_accepted = 0
         self._prefill_fn = functools.partial(pf, params)
         self._prefill_batch_fn = functools.partial(pfb, params)
         self._params = params
@@ -677,6 +683,8 @@ class Engine:
         a = np.asarray(a)
         self._steps += 1
         self._spec_windows += 1
+        self._spec_drafted += (k - 1) * len(act)
+        self._spec_accepted += int(sum(min(int(a[i]), k - 1) for i in act))
         for i in act:
             r = self.active[i]
             # committed this window: the pending token + a[i] accepted
@@ -721,6 +729,10 @@ class Engine:
         return {
             "steps": self._steps,
             "spec_windows": self._spec_windows,
+            "spec_drafted": self._spec_drafted,
+            "spec_accepted": self._spec_accepted,
+            "spec_accept_rate": (self._spec_accepted / self._spec_drafted
+                                 if self._spec_drafted else 0.0),
             "active_slots": live,
             "queued": len(self.queue),
             "finished": len(self.finished),

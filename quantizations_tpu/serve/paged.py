@@ -768,6 +768,9 @@ class PagedEngine:
         self._top_k, self._top_p = top_k, top_p
         self._steps = 0
         self._spec_windows = 0
+        # speculative acceptance accounting (Engine.stats contract)
+        self._spec_drafted = 0
+        self._spec_accepted = 0
         self._key = _jax.random.PRNGKey(seed)
         self._sample = _jax.jit(sample_rows_samp)
         if mesh is None:
@@ -1380,6 +1383,8 @@ class PagedEngine:
         a = self._np.asarray(a)
         self._steps += 1
         self._spec_windows += 1
+        self._spec_drafted += (k - 1) * len(act)
+        self._spec_accepted += int(sum(min(int(a[i]), k - 1) for i in act))
         for i in act:
             r = self.active[i]
             toks = [int(self._cur[i])] + [int(t) for t in
@@ -1455,12 +1460,14 @@ class PagedEngine:
         accs = np.asarray(accs)       # [n, slots]
         self._steps += n
         self._spec_windows += n
+        self._spec_drafted += n * (k - 1) * len(act)
         for i in act:
             r = self.active[i]
             cur = int(self._cur[i])
             done = False
             for j in range(n):
                 a = int(accs[j, i])
+                self._spec_accepted += min(a, k - 1)
                 for t in [cur] + [int(t) for t in gs[j, i, :a]]:
                     r.output_ids.append(t)
                     if self.on_token is not None:
@@ -1496,6 +1503,10 @@ class PagedEngine:
         return {
             "steps": self._steps,
             "spec_windows": self._spec_windows,
+            "spec_drafted": self._spec_drafted,
+            "spec_accepted": self._spec_accepted,
+            "spec_accept_rate": (self._spec_accepted / self._spec_drafted
+                                 if self._spec_drafted else 0.0),
             "active_slots": live,
             "queued": len(self.queue),
             "finished": len(self.finished),
