@@ -81,6 +81,14 @@ class QuantConfig:
     # "tree16" (round 4) = 4-level select tree in NATIVE int16 lanes,
     # one code per lane (no gather, no XOR-blend masks).
     nf4_decode: str = "mix"
+    # dense-twin mode (round 4, accuracy evals): every projection
+    # dequantizes its layer to dense bf16 IN-JIT and runs an MXU
+    # matmul — the model computes with the exact dequantized-twin
+    # weights while HBM holds only the 4-bit params (a materialized 8B
+    # twin is 16.1 GB and cannot fit a v5e; this one is transient per
+    # layer). Same params object, same Engine, only this flag differs —
+    # the controlled comparison for IFEval parity (evals --ifeval-proxy).
+    dense_twin: bool = False
 
     @property
     def pair_decode(self) -> str:

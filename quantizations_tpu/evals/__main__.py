@@ -28,6 +28,14 @@ def main() -> None:
                    help="logit-parity report (quantized vs dequantized)")
     p.add_argument("--parity-tokens", type=int, default=128)
     p.add_argument("--ifeval", help="path to IFEval input_data.jsonl")
+    p.add_argument("--ifeval-proxy", action="store_true",
+                   help="IFEval score parity on the proxy model: drive "
+                        "the synthesized dataset (all 25 instruction "
+                        "ids) through the Engine twice — 4-bit kernels "
+                        "vs the in-jit dense twin — and diff the scores "
+                        "(the reference's accuracy claim's shape, "
+                        "reference README.md:25-28)")
+    p.add_argument("--ifeval-slots", type=int, default=8)
     p.add_argument("--dequantized", action="store_true",
                    help="run IFEval on the dequantized bf16 twin instead")
     p.add_argument("--max-new-tokens", type=int, default=256)
@@ -44,6 +52,18 @@ def main() -> None:
                    help="KV cache dtype for the quantized side — parity "
                         "then measures 4-bit weights + int8 KV jointly")
     args = p.parse_args()
+
+    if args.ifeval_proxy:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        from .ifeval_proxy import run_ifeval_proxy
+
+        print(json.dumps(run_ifeval_proxy(
+            preset=args.preset, quant_type=args.quant_type,
+            kv_dtype=args.kv_dtype, max_new_tokens=args.max_new_tokens,
+            slots=args.ifeval_slots)))
+        return
 
     import jax
     import jax.numpy as jnp

@@ -24,24 +24,15 @@ from ..models.llama import (
     QLinear,
     prefill,
 )
-from ..nn.linear import dequantize_permuted
-
 __all__ = ["dequantized_params", "logit_parity", "perplexity",
            "ParityReport"]
 
 
 def _dense_from_qlinear(ql: QLinear, quant_type: str) -> jnp.ndarray:
     """QLinear -> dense bf16 [out, in] in the ORIGINAL column order."""
-    wp = ql.wp
-    if ql.layout == "pair":
-        from ..ops.qmatmul import pair_to_planar
+    from ..nn.linear import dense_weight
 
-        wp = pair_to_planar(wp)
-    Wp = dequantize_permuted(wp, ql.scales, quant_type,
-                             dtype=jnp.bfloat16)   # [M, K] permuted cols
-    M, K = Wp.shape
-    # invert the plane permutation: permuted col j*K/8 + c -> original 8c+j
-    return Wp.reshape(M, 8, K // 8).swapaxes(1, 2).reshape(M, K)
+    return dense_weight(ql.wp, ql.scales, quant_type, ql.layout)
 
 
 def dequantized_params(params: LlamaParams,

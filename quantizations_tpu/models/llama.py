@@ -664,6 +664,18 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
     from ..nn.linear import (GEMV_MAX_TOKENS, PAIR_QMATMUL_MAX_TOKENS,
                              QMATMUL_MAX_TOKENS)
 
+    if qcfg.dense_twin:
+        # accuracy-twin path: dense bf16 weights, MXU matmul (same
+        # math as evals/parity's dense reference projection). The
+        # dequant is transient inside the jitted step.
+        from ..nn.linear import dense_weight
+
+        if lin.wp.ndim == 3:
+            lin = QLinear(wp=lin.wp[idx], scales=lin.scales[idx])
+        W = dense_weight(lin.wp, lin.scales, qcfg.quant_type, lin.layout)
+        return jnp.dot(x2.astype(jnp.bfloat16), W.T,
+                       preferred_element_type=jnp.float32)
+
     if lin.wp.ndim == 3:
         tokens = x2.shape[0]
         on_tpu = jax.default_backend() == "tpu"

@@ -96,6 +96,24 @@ def permute_cols(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def dense_weight(wp: jnp.ndarray, scales: jnp.ndarray, quant_type: str,
+                 layout: str) -> jnp.ndarray:
+    """Packed weight (pair or planar) + resolved scales -> the dense
+    bf16 matrix ``[M, K]`` in ORIGINAL column order — the exact values
+    the 4-bit model encodes (the "dequantized twin" weight). Used by
+    ``evals/parity`` and the in-jit dense-twin mode
+    (``QuantConfig.dense_twin``); a materialized 8B twin is 16.1 GB, so
+    callers dequantize per layer and let the result be transient."""
+    if layout == "pair":
+        from ..ops.qmatmul import pair_to_planar
+
+        wp = pair_to_planar(wp)
+    Wp = dequantize_permuted(wp, scales, quant_type, dtype=jnp.bfloat16)
+    M, K = Wp.shape
+    # invert the plane permutation: permuted col j*K/8 + c -> original 8c+j
+    return Wp.reshape(M, 8, K // 8).swapaxes(1, 2).reshape(M, K)
+
+
 def dense_matmul_pair(
     x2: jnp.ndarray,
     wp2: jnp.ndarray,
