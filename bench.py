@@ -136,6 +136,12 @@ def main() -> None:
     p.add_argument("--lean", action="store_true",
                    help="quantize the embedding + bf16 scales "
                         "(~25%% of bf16 weight bytes)")
+    p.add_argument("--lean-embed", action="store_true",
+                   help="quantize ONLY the embedding (isolates the "
+                        "4-bit-embedding half of --lean's TPS tax)")
+    p.add_argument("--lean-scales", action="store_true",
+                   help="bf16 scale storage ONLY (isolates the "
+                        "scale-dtype half of --lean's TPS tax)")
     p.add_argument("--batch-sweep", action="store_true",
                    help="also measure batch 16/32 aggregate TPS")
     p.add_argument("--prefill", action="store_true",
@@ -185,8 +191,10 @@ def main() -> None:
 
     base = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
     qkw = {}
-    if args.lean:
-        qkw = dict(quantize_embedding=True, scales_dtype=jnp.bfloat16)
+    if args.lean or args.lean_embed:
+        qkw["quantize_embedding"] = True
+    if args.lean or args.lean_scales:
+        qkw["scales_dtype"] = jnp.bfloat16
     cfg = dataclasses.replace(
         base, kv_cache_dtype=args.kv_dtype,
         quant=QuantConfig(quant_type=args.quant_type,
@@ -297,7 +305,9 @@ def main() -> None:
 
     line = {
         "metric": (f"decode_tps_llama3_{args.preset}_{args.quant_type}"
-                   + ("_lean" if args.lean else "") + "_b1"),
+                   + ("_lean" if args.lean else "")
+                   + ("_leanemb" if args.lean_embed else "")
+                   + ("_leansc" if args.lean_scales else "") + "_b1"),
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / REFERENCE_QUANT_TPS, 4),
