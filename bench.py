@@ -150,15 +150,15 @@ def main() -> None:
                    help="decode-band pair-kernel weight streaming "
                         "(manual = double-buffered DMA pipeline)")
     p.add_argument("--fp4-decode", default="arith",
-                   choices=["arith", "arith_sr", "mixg0", "mixg02", "s16"],
+                   choices=["arith", "arith_sr", "mixg0", "mixg02"],
                    help="FP4 pair decode: all byte-SWAR arithmetic, "
-                        "1/2 planes through the dynamic-gather unit, or "
-                        "sorted-code native-int16 lanes (s16)")
+                        "strength-reduced blend, or 1/2 planes through "
+                        "the dynamic-gather unit")
     p.add_argument("--nf4-decode", default="mix",
-                   choices=["mix", "mix_bt", "mix_g3", "tree16"],
+                   choices=["mix", "mix_bt", "mix_g3"],
                    help="NF4 pair decode: gather+radix-2 trees, gather "
-                        "planes 0,2 + one odd-nibble byte tree, or a "
-                        "native-int16 select tree (tree16)")
+                        "planes 0,2 + one odd-nibble byte tree, or 3 "
+                        "gather planes + 1 tree")
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
                    help="KV cache element type (int8 halves attention "
                         "HBM traffic at long context)")

@@ -12,9 +12,9 @@ This probe answers the two questions that decide the round-4 attack:
    the decode bound; if they run unpacked, the byte-SWAR int32 form is
    already near the VPU floor and PARITY.md gets a roofline proof.
 
-2. ``decode``: pure decode-rate of each pair strategy (no MXU, no
-   scales): arith (byte-SWAR int32), s16 (sorted-code native int16),
-   NF4 mix / tree16 — over the same [512, 1024]-word block.
+2. ``decode``: pure decode-rate of each surviving pair strategy (no
+   MXU, no scales): fp4 arith (byte-SWAR int32) and the NF4 all-tree
+   plane set — the roofline inputs.
 
 3. ``kernel``: the full fused matmul at [14336,4096] T=1 per strategy
    (the round-3 protocol; weights via consts= to dodge the tunnel's
@@ -133,9 +133,10 @@ def _decode_kernel(w_ref, o_ref, *, pair_fn, n, has_tbl, tbl_ref=None):
     o_ref[:] = acc
 
 
-def decode_only(name, pair_fn, shape=(512, 1024)):
-    """Pure decode rate: us per application over a [512,1024] word block
-    (= 4.2M codes/application)."""
+def decode_only(name, pair_fn, shape=(256, 512)):
+    """Pure decode rate: us per application over a [256,512] word block
+    (= 1M codes/application; larger blocks OOM scoped vmem with the
+    n=16 chained applications — chain_r4a)."""
     w0 = jnp.asarray(np.random.default_rng(0).integers(
         0, 2**32, shape, dtype=np.uint32).astype(np.int64).astype(np.int32))
 
@@ -164,18 +165,19 @@ def run_decode():
     print("== pure decode rates (no MXU, no scales) ==", flush=True)
     from quantizations_tpu.ops.lut import (
         fp4_pair_patterns_all,
-        fp4_pair_patterns_i16,
         pair_patterns_tree,
-        pair_patterns_tree_i16,
     )
     from quantizations_tpu.quant.codebooks import NF4_CODE
 
-    decode_only("fp4_arith", fp4_pair_patterns_all)
-    decode_only("fp4_s16", fp4_pair_patterns_i16)
-    decode_only("nf4_tree32", lambda w: [
-        pair_patterns_tree(w, 4 * p, NF4_CODE) for p in range(4)])
-    decode_only("nf4_tree16",
-                lambda w: pair_patterns_tree_i16(w, NF4_CODE))
+    for name, fn in (
+        ("fp4_arith", fp4_pair_patterns_all),
+        ("nf4_tree32", lambda w: [
+            pair_patterns_tree(w, 4 * p, NF4_CODE) for p in range(4)]),
+    ):
+        try:
+            decode_only(name, fn)
+        except Exception as e:
+            print(f"DECODE {name}: FAILED {str(e)[:200]}", flush=True)
 
 
 # --------------------------------------------------------------- kernel
@@ -195,29 +197,28 @@ def run_kernel():
     scales = jnp.asarray(rng.random((M, K // 64), np.float32))
     x = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32))
 
-    cases = [("fp4", "arith"), ("fp4", "s16"),
-             ("nf4", "mix"), ("nf4", "tree16")]
+    cases = [("fp4", "arith"), ("nf4", "mix")]
     ref = {}
     for qt, dec in cases:
         fn = functools.partial(matmul_4bit_pair_pallas, quant_type=qt,
                                decode=None if dec in ("arith", "mix")
                                else dec)
-        out = np.asarray(fn(wp2, scales, x))
-        if qt in ref:
-            same = bool((out == ref[qt]).all())
-            print(f"KERNEL {qt}/{dec}: bit-identical to default: {same}",
-                  flush=True)
-            if not same:
-                print(f"  max delta {np.abs(out - ref[qt]).max()}",
-                      flush=True)
-        else:
-            ref[qt] = out
-        t = time_scan_chain(
-            lambda xx, w, s: fn(w, s, xx), x, iters=100,
-            consts=(wp2, scales))
-        gbps = (M * K / 2) / t / 1e9
-        print(f"KERNEL {qt:4s}/{dec:7s} {t*1e6:8.1f} us  "
-              f"({gbps:6.1f} GB/s weight stream)", flush=True)
+        try:
+            out = np.asarray(fn(wp2, scales, x))
+            if qt in ref:
+                same = bool((out == ref[qt]).all())
+                print(f"KERNEL {qt}/{dec}: bit-identical to default: "
+                      f"{same}", flush=True)
+            else:
+                ref[qt] = out
+            t = time_scan_chain(
+                lambda xx, w, s: fn(w, s, xx), x, iters=100,
+                consts=(wp2, scales))
+            gbps = (M * K / 2) / t / 1e9
+            print(f"KERNEL {qt:4s}/{dec:7s} {t*1e6:8.1f} us  "
+                  f"({gbps:6.1f} GB/s weight stream)", flush=True)
+        except Exception as e:
+            print(f"KERNEL {qt}/{dec}: FAILED {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -65,10 +65,11 @@ class QuantConfig:
     # DMA pipeline ties the grid kernel, round-3 probe), so gather
     # planes overlap the ALU work. Raced on chip in
     # benchmarks/manual_split_probe.py; bit-identical either way.
-    # "s16" (round 4) decodes in NATIVE int16 lanes after the sorted-
-    # code nibble permutation (ops/lut.sort_fp4_words): one select per
-    # pattern instead of the byte-SWAR blend — wins iff Mosaic packs
-    # int16 elementwise ops 2/lane (benchmarks/vpu_rate_probe.py).
+    # Round 4 REFUTED 16-bit-native decode ("s16"/"tree16", removed):
+    # Mosaic does not lower int16 shifts at all and int16 selects run
+    # SLOWER than int32 (138 vs 121 ns/op chain rate) — sub-32-bit
+    # lanes are not packed (benchmarks/pair_decode_probe3.py rates,
+    # chain_r4a).
     fp4_decode: str = "arith"
     # NF4 pair-kernel decode strategy: "mix" = gather planes 0,1 + two
     # radix-2 half-word xor trees (the round-2 winner); "mix_bt" routes
@@ -78,8 +79,6 @@ class QuantConfig:
     # 1 tree plane (rebalances toward the gather unit). Bit-identical;
     # raced on chip (mix_bt LOST: kernel 246us vs 199, e2e 30.1 vs
     # 36.5 tok/s — the byte tree does not pipeline as well in situ).
-    # "tree16" (round 4) = 4-level select tree in NATIVE int16 lanes,
-    # one code per lane (no gather, no XOR-blend masks).
     nf4_decode: str = "mix"
     # dense-twin mode (round 4, accuracy evals): every projection
     # dequantizes its layer to dense bf16 IN-JIT and runs an MXU
@@ -103,15 +102,14 @@ class QuantConfig:
             raise ValueError(
                 f"pair_pipeline {self.pair_pipeline!r} not in "
                 f"('grid', 'manual')")
-        if self.fp4_decode not in ("arith", "arith_sr", "mixg0", "mixg02",
-                                   "s16"):
+        if self.fp4_decode not in ("arith", "arith_sr", "mixg0", "mixg02"):
             raise ValueError(
                 f"fp4_decode {self.fp4_decode!r} not in "
-                f"('arith', 'arith_sr', 'mixg0', 'mixg02', 's16')")
-        if self.nf4_decode not in ("mix", "mix_bt", "mix_g3", "tree16"):
+                f"('arith', 'arith_sr', 'mixg0', 'mixg02')")
+        if self.nf4_decode not in ("mix", "mix_bt", "mix_g3"):
             raise ValueError(
                 f"nf4_decode {self.nf4_decode!r} not in "
-                f"('mix', 'mix_bt', 'mix_g3', 'tree16')")
+                f"('mix', 'mix_bt', 'mix_g3')")
         if self.blocksize not in VALID_BLOCKSIZES:
             raise ValueError(
                 f"blocksize {self.blocksize} not in {VALID_BLOCKSIZES}"

@@ -362,86 +362,15 @@ def pair_patterns_byte_pair(words: jnp.ndarray, table: Sequence[float],
     return p_a, p_b
 
 
-def sort_fp4_words(words: jnp.ndarray) -> jnp.ndarray:
-    """Apply the FP4 magnitude-sort code permutation to every nibble of
-    packed words: ``c -> s<<3 | t`` where ``t`` ranks the code's
-    magnitude ascending (raw values [0, 0.0625, 2, 3, 4, 6, 8, 12] for
-    t = 0..7). Per nibble this is ``c ^ ((c & 2) << 1)`` — bit 2 flips
-    iff bit 1 is set, which swaps the code pairs (2,3)<->(6,7) and is
-    therefore SELF-INVERSE (the controlling bit is untouched).
-
-    Why: in sorted order the bf16 pattern of the raw value is AFFINE in
-    t for every normal (pattern = 0x3F80 + (t << 6) for t >= 2) and the
-    two exceptions (0, 0.0625) are together affine in ``-t & 0x3D80``,
-    so a 16-bit-native decode needs one select total (the int32
-    byte-SWAR needs a 9-op masked blend per nibble plane). 2 VPU ops
-    per word; free at pack time if a sorted variant wins the e2e race."""
-    return words ^ ((words & 0x22222222) << 1)
-
-
-def fp4_pair_patterns_i16(words: jnp.ndarray) -> list:
-    """FP4 pair decode in NATIVE int16 lanes: the pair word bitcasts to
-    int16 (Mosaic's clean row-pair interleave — int32 row i -> int16
-    rows 2i/2i+1, the same mechanism the bf16 output bitcast uses), so
-    each lane holds the four nibble codes of ONE logical row and every
-    arithmetic op below acts on a whole 16-bit pattern without any
-    cross-half carry masks. With the sorted-code permutation
-    (:func:`sort_fp4_words`, 2 ops) the per-plane decode is:
-
-        t   = c & 7                 (magnitude rank)
-        pat = 0x3F80 + (t << 6)     (exact bf16 pattern for t >= 2)
-        sub = (-t) & 0x3D80         (t < 2: 0 -> 0x0000, 1 -> 0.0625)
-        out = where(t < 2, sub, pat) | ((c & 8) << 12)
-
-    ~10 i16 ops per code-lane vs ~63 int32 ops per 8-code word for the
-    byte-SWAR — a win iff Mosaic runs int16 elementwise ops packed
-    (2048 lanes/vreg-op). Returns 4 int16 arrays [TM, kc4] whose bf16
-    bitcast (same element size — pure reinterpret) is the RAW-value
-    pattern plane, row-ordered exactly like the int32 planes' bf16
-    bitcast. Bit-identical to ``fp4_pair_patterns_all`` (tested)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    w = sort_fp4_words(words)
-    h = pltpu.bitcast(w, jnp.int16)               # [2*TM2, kc4]
-    outs = []
-    for p in range(4):
-        c = ((h >> (4 * p)) if p else h) & 15
-        t = c & 7
-        sgn = (c & 8) << 12
-        pat = (t << 6) + 0x3F80
-        sub = (0 - t) & 0x3D80    # valid where t < 2 (select masks rest)
-        outs.append(jnp.where(t < 2, sub, pat) | sgn)
-    return outs
-
-
-def pair_patterns_tree_i16(words: jnp.ndarray,
-                           table: Sequence[float]) -> list:
-    """Arbitrary-codebook (NF4) pair decode in NATIVE int16 lanes: a
-    4-level select tree over the bf16 bit patterns, one code per lane
-    (the int32 form needs XOR-blend masks to emulate per-half selects;
-    native lanes use the VPU's select directly). ~25 i16 ops per
-    code-lane x 4 planes vs ~90 int32 op-equivalents per word for the
-    gather+tree mix — wins iff int16 ops run packed. Bit-identical to
-    ``pair_patterns_tree`` per plane (tested)."""
-    import ml_dtypes
-    from jax.experimental.pallas import tpu as pltpu
-
-    pat = np.asarray(np.asarray(table, np.float32).astype(
-        ml_dtypes.bfloat16)).view(np.uint16)
-    t16 = [jnp.int16(np.int16(v)) for v in pat]
-
-    h = pltpu.bitcast(words, jnp.int16)
-    outs = []
-    for p in range(4):
-        c = ((h >> (4 * p)) if p else h) & 15
-        b0 = (c & 1) != 0
-        lvl = [jnp.where(b0, t16[2 * i + 1], t16[2 * i]) for i in range(8)]
-        for bit in (2, 4, 8):
-            bk = (c & bit) != 0
-            lvl = [jnp.where(bk, lvl[2 * i + 1], lvl[2 * i])
-                   for i in range(len(lvl) // 2)]
-        outs.append(lvl[0])
-    return outs
+# Round-4 REFUTED: 16-bit-native decode variants (sort_fp4_words,
+# fp4_pair_patterns_i16, pair_patterns_tree_i16) were removed after the
+# on-chip rate table (benchmarks/pair_decode_probe3.py rates, chain
+# r4a) showed Mosaic v5e does not lower int16 shifts AT ALL (remote
+# compile HTTP 500) and int16 selects run SLOWER than int32 (138 vs
+# 121 ns/op): sub-32-bit elementwise lanes are not packed, so the
+# hoped-for 2x decode-rate win cannot exist on this generation. The
+# magnitude-sort permutation insight (sorted FP4 patterns are affine:
+# 0x3F80 + t<<6 for t >= 2) survives here for future hardware.
 
 
 def lut_take(codes: jnp.ndarray, table: Sequence[float]) -> jnp.ndarray:

@@ -408,10 +408,6 @@ def _pair_fn(quant_type: str, decode: Optional[str] = None):
             from .lut import fp4_pair_patterns_all_sr
 
             return fp4_pair_patterns_all_sr, 1.0 / 12.0, None
-        if decode == "s16":
-            from .lut import fp4_pair_patterns_i16
-
-            return fp4_pair_patterns_i16, 1.0 / 12.0, None
         if decode in ("mixg0", "mixg02"):
             from ..quant.codebooks import FP4_CODE
             from .lut import fp4_pair_patterns_mix
@@ -424,10 +420,6 @@ def _pair_fn(quant_type: str, decode: Optional[str] = None):
     from ..quant.codebooks import get_4bit_code
 
     code = get_4bit_code(quant_type)
-    if decode == "tree16":
-        from .lut import pair_patterns_tree_i16
-
-        return ((lambda w: pair_patterns_tree_i16(w, code)), 1.0, None)
     if decode == "mix_bt":
         return ((lambda w, tbl128: pair_patterns_mix_bt(w, tbl128, code)),
                 1.0, tuple(float(v) for v in code))

@@ -315,7 +315,7 @@ def test_manual_pipeline_matches_grid_kernel(rng, quant_type):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("decode", ["arith_sr", "mixg0", "mixg02", "s16"])
+@pytest.mark.parametrize("decode", ["arith_sr", "mixg0", "mixg02"])
 def test_fp4_mix_decode_bit_exact(rng, decode):
     """QuantConfig.fp4_decode strategies are bit-identical to the
     byte-SWAR arithmetic decode through both pair kernels: the gather
@@ -342,7 +342,7 @@ def test_fp4_mix_decode_bit_exact(rng, decode):
     np.testing.assert_array_equal(got_man, want)
 
 
-@pytest.mark.parametrize("decode", ["mix_bt", "mix_g3", "tree16"])
+@pytest.mark.parametrize("decode", ["mix_bt", "mix_g3"])
 def test_nf4_alt_decode_bit_exact(rng, decode):
     """QuantConfig.nf4_decode alternatives ("mix_bt": gather planes 0,2
     + odd-nibble radix-4 byte tree; "mix_g3": 3 gather planes + 1 tree
