@@ -52,11 +52,21 @@ def main():
     p.add_argument("--max-seq", type=int, default=128)
     p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
     p.add_argument("--fuse", action="store_true")
+    p.add_argument("--scales-dtype", default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="scale STORAGE dtype — localizes the measured "
+                        "~8%% b1 / ~16%% b8 e2e tax of bf16 scale "
+                        "storage (bench chain_r4b): if the standalone "
+                        "GEMV rows are flat but the scan step regresses, "
+                        "the tax is XLA-level around the kernels")
     args = p.parse_args()
 
     cfg = dataclasses.replace(
         LLAMA3_8B, num_hidden_layers=args.layers,
-        quant=QuantConfig(quant_type=args.quant_type))
+        quant=QuantConfig(
+            quant_type=args.quant_type,
+            scales_dtype=(jnp.bfloat16 if args.scales_dtype == "bf16"
+                          else jnp.float32)))
     L = cfg.num_hidden_layers
     params = init_llama_params(cfg, seed=0)
     if args.fuse:

@@ -1,0 +1,125 @@
+"""Localize the bf16-scale-storage e2e tax (VERDICT r3 missing #3).
+
+bench chain_r4b measured: bf16 scale STORAGE costs ~8% b1 / ~16% b8
+decode TPS while the pair kernel itself is scale-dtype-neutral (it
+rounds scales to bf16 internally either way). The batch signature
+(larger relative cost at shorter steps) points at a FIXED per-step
+XLA-level cost — e.g. a layout conversion / copy of the stacked scale
+planes around the pallas custom calls. This probe:
+
+1. times one 8-layer decode_step under fp32 vs bf16 scale storage,
+2. captures a jax.profiler trace of each and prints the top ops by
+   self-time (xprof framework_op_stats, no TensorBoard needed),
+
+so the tax shows up BY NAME (copy/convert/transpose) and can be fixed
+at the source (storage layout) rather than worked around.
+
+    python benchmarks/scales_tax_probe.py [--layers 8] [--batch 8]
+"""
+import argparse
+import dataclasses
+import glob
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from quantizations_tpu.config import QuantConfig
+from quantizations_tpu.models.llama import (
+    KVCache,
+    LLAMA3_8B,
+    decode_step,
+    init_llama_params,
+)
+from quantizations_tpu.utils.profiling import trace
+from quantizations_tpu.utils.timing import time_scan_chain
+
+
+def top_ops(log_dir: str, n: int = 14):
+    """Print top ops by self-time from an xprof trace dir."""
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except Exception as e:                      # pragma: no cover
+        print(f"  (xprof unavailable: {e})")
+        return
+    runs = sorted(glob.glob(f"{log_dir}/plugins/profile/*"))
+    if not runs:
+        print("  (no trace runs found)")
+        return
+    import json
+
+    data, _ = rtd.xspace_to_tool_data([runs[-1]], "framework_op_stats", {})
+    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
+    # rows: list of dicts or gviz table; handle the common json form
+    try:
+        cols = [c["label"] for c in rows["cols"]]
+        recs = [{cols[i]: (cell["v"] if cell else None)
+                 for i, cell in enumerate(r["c"])} for r in rows["rows"]]
+    except (TypeError, KeyError):
+        recs = rows
+    key_t = next((k for k in ("Total self-time (us)", "total_self_time_us",
+                              "Self time (us)")
+                  if recs and k in recs[0]), None)
+    key_n = next((k for k in ("Type", "Operation", "op_name", "Name")
+                  if recs and k in recs[0]), None)
+    if key_t is None:
+        print("  (unrecognized op-stats schema; keys: "
+              f"{list(recs[0]) if recs else []})")
+        return
+    recs.sort(key=lambda r: -float(r[key_t] or 0))
+    for r in recs[:n]:
+        print(f"  {float(r[key_t] or 0):12.1f} us  {r.get(key_n)}",
+              flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max-seq", type=int, default=128)
+    args = p.parse_args()
+
+    results = {}
+    for sd_name, sd in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        cfg = dataclasses.replace(
+            LLAMA3_8B, num_hidden_layers=args.layers,
+            quant=QuantConfig(scales_dtype=sd))
+        params = init_llama_params(cfg, seed=0)
+        jax.block_until_ready(params)
+        cache = KVCache.create(cfg, args.batch, args.max_seq)
+        pos = jnp.full((args.batch,), 17, jnp.int32)
+        tok0 = jnp.full((args.batch, 1), 7, jnp.int32)
+
+        dt = time_scan_chain(
+            lambda t, prm, c: decode_step(prm, t, c, pos, cfg)[0],
+            tok0, iters=20, trials=2, consts=(params, cache))
+        results[sd_name] = dt
+        print(f"scales={sd_name}: decode step {dt*1e3:8.2f} ms "
+              f"(B={args.batch}, L={args.layers})", flush=True)
+
+        log_dir = f"/tmp/scales_tax_{sd_name}"
+        step = jax.jit(lambda prm, t, c: decode_step(prm, t, c, pos, cfg))
+        out = step(params, tok0, cache)
+        np.asarray(out[0])
+        with trace(log_dir):
+            for _ in range(5):
+                out = step(params, tok0, cache)
+            np.asarray(out[0])
+        print(f"-- top ops ({sd_name}) --", flush=True)
+        top_ops(log_dir)
+        del params, cache
+
+    if all(k in results for k in ("fp32", "bf16")):
+        d = results["bf16"] / results["fp32"] - 1
+        print(f"\nbf16-scales step tax: {d*100:+.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    main()
