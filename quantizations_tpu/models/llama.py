@@ -436,7 +436,23 @@ def _proxy_weight(key: jnp.ndarray, out_f: int, in_f: int,
     inflate 64-block absmax and crush small values — exactly the
     regime where 4-bit codebooks lose accuracy."""
     k1, k2, k3 = jax.random.split(key, 3)
-    W = jax.random.t(k1, df=5.0, shape=(out_f, in_f), dtype=jnp.float32)
+    # The Student-t sampler (gamma rejection loop) keeps O(10) fp32
+    # buffers of the output shape live; at vocab-sized matrices
+    # ([128256, 4096] = 2.1 GB fp32 each) that is a ~38 GB transient —
+    # the round-3/4 8B-proxy OOM (chain_r4b parity_8b). Large matrices
+    # therefore sample in row slabs under lax.map (sequential, one
+    # slab's sampler buffers live at a time).
+    if out_f * in_f >= (1 << 28) and out_f % 16 == 0:
+        slabs = 16
+        keys = jax.random.split(k1, slabs)
+        W = jax.lax.map(
+            lambda kk: jax.random.t(
+                kk, df=5.0, shape=(out_f // slabs, in_f),
+                dtype=jnp.float32),
+            keys).reshape(out_f, in_f)
+    else:
+        W = jax.random.t(k1, df=5.0, shape=(out_f, in_f),
+                         dtype=jnp.float32)
     row = jnp.exp(0.4 * jax.random.normal(k2, (out_f, 1), jnp.float32))
     outlier = jnp.where(
         jax.random.bernoulli(k3, 0.005, (1, in_f)), 8.0, 1.0)
