@@ -33,4 +33,5 @@ step scales_tax   4800 python benchmarks/scales_tax_probe.py
 step decode_only  3000 python benchmarks/pair_decode_probe3.py decode
 step kernel_race  3600 python benchmarks/pair_decode_probe3.py kernel
 step attn_grid    3600 python benchmarks/onchip_validation.py attn
+step parity_8b    5400 python -m quantizations_tpu.evals --proxy --preset 8b --parity
 echo "=== CHAIN DONE ($(date +%H:%M:%S)) ===" >>"$L"

@@ -421,6 +421,9 @@ def quantize_linear(
     return QLinear(wp=wp, scales=scales.astype(scales_dtype))
 
 
+_PROXY_SLAB_ELEMS = 1 << 28   # sample in slabs above ~1 GB fp32
+
+
 def _proxy_weight(key: jnp.ndarray, out_f: int, in_f: int,
                   scale: float) -> jnp.ndarray:
     """Trained-distribution weight proxy (no real checkpoint can exist
@@ -442,7 +445,7 @@ def _proxy_weight(key: jnp.ndarray, out_f: int, in_f: int,
     # the round-3/4 8B-proxy OOM (chain_r4b parity_8b). Large matrices
     # therefore sample in row slabs under lax.map (sequential, one
     # slab's sampler buffers live at a time).
-    if out_f * in_f >= (1 << 28) and out_f % 16 == 0:
+    if out_f * in_f >= _PROXY_SLAB_ELEMS and out_f % 16 == 0:
         slabs = 16
         keys = jax.random.split(k1, slabs)
         W = jax.lax.map(

@@ -55,3 +55,19 @@ def test_lazy_dense_forward_bit_identical(params):
     got = np.asarray(jax.jit(functools.partial(
         _dense_forward, cfg=TINY_LLAMA, lazy=True))(params, ids))
     np.testing.assert_array_equal(got, want)
+
+
+def test_proxy_weight_slab_path(monkeypatch):
+    """Vocab-sized proxy matrices sample in row slabs (the 8B-proxy
+    init OOM fix): the slab path must produce the same shape/statistics
+    class and be deterministic per key."""
+    import quantizations_tpu.models.llama as M
+
+    key = jax.random.PRNGKey(7)
+    monkeypatch.setattr(M, "_PROXY_SLAB_ELEMS", 1)   # force slabs
+    a = M._proxy_weight(key, 32, 64, 0.02)
+    b = M._proxy_weight(key, 32, 64, 0.02)
+    assert a.shape == (32, 64) and bool(jnp.all(a == b))
+    assert bool(jnp.isfinite(a).all())
+    # heavy tails + row spread survive the slabbing
+    assert float(jnp.abs(a).max()) > 3 * float(jnp.abs(a).mean())
