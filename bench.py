@@ -136,9 +136,12 @@ def main() -> None:
     p.add_argument("--lean", action="store_true",
                    help="quantize the embedding + bf16 scales "
                         "(~25%% of bf16 weight bytes)")
-    p.add_argument("--lean-embed", action="store_true",
-                   help="quantize ONLY the embedding (isolates the "
-                        "4-bit-embedding half of --lean's TPS tax)")
+    p.add_argument("--lean-embed", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="quantize the embedding (measured FREE on v5e: "
+                        "61.8 vs 60.4 tok/s b1, b8 flat, -0.70 GiB — "
+                        "chain_r4b split; now the bench default). "
+                        "--no-lean-embed restores the bf16 embedding")
     p.add_argument("--lean-scales", action="store_true",
                    help="bf16 scale storage ONLY (isolates the "
                         "scale-dtype half of --lean's TPS tax)")
@@ -306,7 +309,7 @@ def main() -> None:
     line = {
         "metric": (f"decode_tps_llama3_{args.preset}_{args.quant_type}"
                    + ("_lean" if args.lean else "")
-                   + ("_leanemb" if args.lean_embed else "")
+                   + ("_bf16emb" if not args.lean_embed else "")
                    + ("_leansc" if args.lean_scales else "") + "_b1"),
         "value": round(tps, 3),
         "unit": "tokens/s",
