@@ -34,4 +34,6 @@ step decode_only  3000 python benchmarks/pair_decode_probe3.py decode
 step kernel_race  3600 python benchmarks/pair_decode_probe3.py kernel
 step attn_grid    3600 python benchmarks/onchip_validation.py attn
 step parity_8b    5400 python -m quantizations_tpu.evals --proxy --preset 8b --parity
+step prefill_diag 3600 python benchmarks/prefill_e2e.py --cases 512x1
+step prefill_nofuse 3600 python benchmarks/prefill_e2e.py --no-fuse --cases 512x1
 echo "=== CHAIN DONE ($(date +%H:%M:%S)) ===" >>"$L"

@@ -23,6 +23,65 @@ from quantizations_tpu.models.llama import (
 from quantizations_tpu.serve.engine import Engine
 
 
+def run_replay(args, eng, lens, cfg):
+    """Two-pass replay measurement: plain greedy records the streams,
+    then a fresh spec_k pass drafts from the recordings (optionally
+    corrupted) — spec TPS at a controlled acceptance rate."""
+    import random
+
+    from quantizations_tpu.serve.engine import draft_lookup_host
+
+    k = args.spec_k or 8
+    prompts = []
+    for i in range(args.requests):
+        plen, n = lens[i % len(lens)]
+        prompts.append(([(j * 7 + i) % cfg.vocab_size
+                         for j in range(plen)], n))
+
+    # pass 1: plain greedy (recorded + timed)
+    uids = [eng.submit(p, max_new_tokens=n) for p, n in prompts]
+    t0 = time.perf_counter()
+    done = eng.run()
+    dt_plain = time.perf_counter() - t0
+    toks_plain = sum(len(r.output_ids) for r in done.values())
+    recorded = [list(p) + done[u].output_ids
+                for (p, _), u in zip(prompts, uids)]
+    eng.finished.clear()
+
+    rng = random.Random(0)
+
+    def replay_draft(hist, kk):
+        for s in recorded:
+            if len(s) > len(hist) and s[:len(hist)] == hist:
+                nxt = s[len(hist):len(hist) + kk]
+                nxt = [(t + 1) % cfg.vocab_size
+                       if rng.random() < args.corrupt else t
+                       for t in nxt]
+                return nxt + [0] * (kk - len(nxt))
+        return draft_lookup_host(hist, kk)
+
+    eng.draft_fn = replay_draft
+    for p, n in prompts:
+        eng.submit(p, max_new_tokens=n)
+    # warm the spec-window programs outside the timed region
+    eng.step_spec(k)
+    t0 = time.perf_counter()
+    done = eng.run(spec_k=k)
+    dt_spec = time.perf_counter() - t0
+    toks_spec = sum(len(r.output_ids) for r in done.values())
+    st = eng.stats()
+    print(f"engine={args.engine} workload=replay corrupt={args.corrupt} "
+          f"k={k}\n"
+          f"  plain: {toks_plain} tok in {dt_plain:.2f}s = "
+          f"{toks_plain/dt_plain:.1f} tok/s\n"
+          f"  spec : {toks_spec} tok in {dt_spec:.2f}s = "
+          f"{toks_spec/dt_spec:.1f} tok/s  "
+          f"accept_rate={st['spec_accept_rate']:.3f} "
+          f"({st['spec_accepted']}/{st['spec_drafted']}) "
+          f"speedup={(toks_spec/dt_spec)/(toks_plain/dt_plain):.2f}x",
+          flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="8b", choices=["8b", "tiny"])
@@ -39,13 +98,29 @@ def main():
                         "tax incl. spd/spec amortization)")
     p.add_argument("--prefix-cache", action="store_true")
     p.add_argument("--workload", default="mixed",
-                   choices=["mixed", "repetitive"],
+                   choices=["mixed", "repetitive", "replay"],
                    help="repetitive: short prompts + long greedy "
-                        "generations — greedy streams loop, so "
-                        "prompt-lookup drafts hit (the speculative "
-                        "best case; VERDICT r3 #6). mixed: the "
-                        "standard mixed-length request set (drafts "
-                        "rarely match — speculative worst case)")
+                        "generations — small-vocab greedy streams "
+                        "loop, so prompt-lookup drafts hit (52.8%% "
+                        "acceptance on tiny; an 8B random model never "
+                        "loops within the budget, so use replay "
+                        "there). mixed: the standard mixed-length "
+                        "request set (drafts rarely match — the "
+                        "speculative worst case). replay: pass 1 runs "
+                        "plain greedy and records the streams, pass 2 "
+                        "re-runs with spec_k drafting FROM the "
+                        "recordings (greedy verify re-derives the "
+                        "same tokens, so acceptance is controlled by "
+                        "--corrupt) — the engine-efficiency ceiling "
+                        "of the verify-window machinery at known "
+                        "acceptance")
+    p.add_argument("--corrupt", type=float, default=0.0,
+                   help="replay mode: corrupt each draft token with "
+                        "this probability (sets the acceptance rate)")
+    p.add_argument("--max-seq", type=int, default=512,
+                   help="cache/pool sequence capacity (must be a "
+                        "multiple of --page-size for the paged engine "
+                        "— p384 needs 768)")
     p.add_argument("--page-size", type=int, default=256,
                    help="paged pool page size (256 erases the paged-DMA "
                         "tax on v5e, paged_sweep r3)")
@@ -55,14 +130,15 @@ def main():
     params = init_llama_params(cfg, seed=0)
     jax.block_until_ready(params)
 
-    serve = ServeConfig(max_seq_len=512)
+    serve = ServeConfig(max_seq_len=args.max_seq)
     if args.engine == "paged":
         from quantizations_tpu.serve.paged import PagedEngine
 
         psz = args.page_size
         eng = PagedEngine(
-            params, cfg, num_pages=args.slots * (512 // psz) + 8,
-            page_size=psz, slots=args.slots, max_seq=512,
+            params, cfg,
+            num_pages=args.slots * (args.max_seq // psz) + 8,
+            page_size=psz, slots=args.slots, max_seq=args.max_seq,
             prefill_buckets=(16, 64), prefix_cache=args.prefix_cache)
     else:
         eng = Engine(params, cfg, serve, slots=args.slots,
@@ -76,6 +152,10 @@ def main():
             plen, n = lens[i % len(lens)]
             prompt = [(j * 7 + i) % cfg.vocab_size for j in range(plen)]
             eng.submit(prompt, max_new_tokens=n)
+
+    if args.workload == "replay":
+        run_replay(args, eng, lens, cfg)
+        return
 
     def one_run():
         s0 = eng._steps

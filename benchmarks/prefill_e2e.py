@@ -70,7 +70,7 @@ def main():
                   f"{args.quant_type}: {dt*1e3:8.1f} ms = "
                   f"{T*B/dt:9.1f} tok/s", flush=True)
         except Exception as e:
-            print(f"prefill T={T} B={B}: FAILED {str(e)[:200]}",
+            print(f"prefill T={T} B={B}: FAILED {str(e)[:2000]}",
                   flush=True)
 
 

@@ -261,6 +261,12 @@ class Engine:
         self._temp = temperature
         self._top_k, self._top_p = top_k, top_p
         self.on_token = None   # optional callable(Request, token_id)
+        # pluggable speculative drafter: (hist tokens, k) -> k draft
+        # ids. Default = host prompt-lookup; harnesses inject replay/
+        # oracle drafters to measure verify-window efficiency at a
+        # CONTROLLED acceptance rate (benchmarks/engine_probe.py
+        # --workload replay), and callers can plug a real draft model.
+        self.draft_fn = draft_lookup_host
         self.pos = np.zeros(slots, np.int32)         # next write offset
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: Deque[Request] = deque()
@@ -669,7 +675,7 @@ class Engine:
         for i in act:
             r = self.active[i]
             hist = r.prompt_ids + r.output_ids + [int(self._cur_tok[i])]
-            d = draft_lookup_host(hist, k)
+            d = self.draft_fn(hist, k)
             draft[i] = d
             feed[i, 0] = self._cur_tok[i]
             feed[i, 1:] = d[:k - 1]

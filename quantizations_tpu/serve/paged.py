@@ -721,6 +721,11 @@ class PagedEngine:
         self.max_seq = max_seq
         self.slots = slots
         self.mesh = mesh
+        # pluggable speculative drafter (see Engine.draft_fn); the
+        # on-device drafting of step_spec_multi is unaffected
+        from .engine import draft_lookup_host
+
+        self.draft_fn = draft_lookup_host
         self.max_pages = max_seq // page_size
         self.pages = PagedKVCache.create(cfg, num_pages, page_size)
         if mesh is not None:
@@ -1363,7 +1368,7 @@ class PagedEngine:
         for i in act:
             r = self.active[i]
             hist = r.prompt_ids + r.output_ids + [int(self._cur[i])]
-            d = draft_lookup_host(hist, k)
+            d = self.draft_fn(hist, k)
             draft[i] = d
             feed[i, 0] = self._cur[i]
             feed[i, 1:] = d[:k - 1]

@@ -116,3 +116,39 @@ def test_spec_engine_temperature_smoke(params):
     done = eng.run(spec_k=4)
     assert done[u_greedy].output_ids == ref
     assert len(done[u_temp].output_ids) == 8
+
+
+def test_custom_draft_fn_token_identical_and_accepts(params):
+    """Engine.draft_fn is pluggable (replay/oracle drafters, custom
+    draft models): an ADVERSARIAL drafter must not change the greedy
+    stream (verify corrects every wrong draft), and an ORACLE drafter
+    (replaying the plain stream) must hit near-full acceptance."""
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8, 2, 8, 1, 8]]
+    lens = [10, 12]
+    ref = _run_plain(params, prompts, lens)
+
+    serve = ServeConfig(max_seq_len=MAX_SEQ)
+    eng = Engine(params, CFG, serve, slots=2, prefill_buckets=(8,))
+    eng.draft_fn = lambda hist, k: [0] * k          # always-wrong drafts
+    uids = [eng.submit(p, max_new_tokens=n)
+            for p, n in zip(prompts, lens)]
+    done = eng.run(spec_k=4)
+    assert [done[u].output_ids for u in uids] == ref
+    assert eng.stats()["spec_accept_rate"] < 0.3
+
+    recorded = [list(p) + r for p, r in zip(prompts, ref)]
+
+    def oracle(hist, k):
+        for s in recorded:
+            if len(s) > len(hist) and s[:len(hist)] == hist:
+                nxt = s[len(hist):len(hist) + k]
+                return nxt + [0] * (k - len(nxt))
+        return [0] * k
+
+    eng2 = Engine(params, CFG, serve, slots=2, prefill_buckets=(8,))
+    eng2.draft_fn = oracle
+    uids = [eng2.submit(p, max_new_tokens=n)
+            for p, n in zip(prompts, lens)]
+    done = eng2.run(spec_k=4)
+    assert [done[u].output_ids for u in uids] == ref
+    assert eng2.stats()["spec_accept_rate"] > 0.6
