@@ -57,6 +57,8 @@ def top_ops(log_dir: str, n: int = 14):
 
     data, _ = rtd.xspace_to_tool_data([runs[-1]], "framework_op_stats", {})
     rows = json.loads(data) if isinstance(data, (str, bytes)) else data
+    if isinstance(rows, list) and len(rows) == 1:
+        rows = rows[0]
     # rows: list of dicts or gviz table; handle the common json form
     try:
         cols = [c["label"] for c in rows["cols"]]
@@ -84,6 +86,14 @@ def main():
     p.add_argument("--layers", type=int, default=8)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max-seq", type=int, default=128)
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse projections (the bench default): the "
+                        "e2e tax only shows with the full bench "
+                        "config — tests fusion x scale-dtype")
+    p.add_argument("--generate", action="store_true",
+                   help="time a 16-token make_generate_fn loop instead "
+                        "of one decode_step (tests the while-loop x "
+                        "scale-dtype interaction)")
     args = p.parse_args()
 
     results = {}
@@ -92,17 +102,50 @@ def main():
             LLAMA3_8B, num_hidden_layers=args.layers,
             quant=QuantConfig(scales_dtype=sd))
         params = init_llama_params(cfg, seed=0)
+        if args.fuse:
+            from quantizations_tpu.models.llama import fuse_projections
+
+            params = fuse_projections(params)
         jax.block_until_ready(params)
         cache = KVCache.create(cfg, args.batch, args.max_seq)
         pos = jnp.full((args.batch,), 17, jnp.int32)
         tok0 = jnp.full((args.batch, 1), 7, jnp.int32)
 
+        if args.generate:
+            import time as _time
+
+            from quantizations_tpu.config import ServeConfig
+            from quantizations_tpu.serve.generate import make_generate_fn
+
+            serve = ServeConfig(max_seq_len=args.max_seq,
+                                max_new_tokens=16, temperature=0.0,
+                                donate_cache=True)
+            gen = make_generate_fn(cfg, serve)
+            ids = jnp.full((args.batch, 4), 7, jnp.int32)
+            key = jax.random.PRNGKey(0)
+
+            def run():
+                c = KVCache.create(cfg, args.batch, args.max_seq)
+                t0 = _time.perf_counter()
+                toks, _ = gen(params, ids, c, key)
+                np.asarray(toks)
+                return _time.perf_counter() - t0
+
+            run()
+            dt = min(run() for _ in range(4)) / 16
+            results[sd_name] = dt
+            print(f"scales={sd_name}: generate step {dt*1e3:8.2f} ms "
+                  f"(B={args.batch}, L={args.layers}, fuse={args.fuse})",
+                  flush=True)
+            del params
+            continue
         dt = time_scan_chain(
             lambda t, prm, c: decode_step(prm, t, c, pos, cfg)[0],
             tok0, iters=20, trials=2, consts=(params, cache))
         results[sd_name] = dt
         print(f"scales={sd_name}: decode step {dt*1e3:8.2f} ms "
-              f"(B={args.batch}, L={args.layers})", flush=True)
+              f"(B={args.batch}, L={args.layers}, fuse={args.fuse})",
+              flush=True)
 
         log_dir = f"/tmp/scales_tax_{sd_name}"
         step = jax.jit(lambda prm, t, c: decode_step(prm, t, c, pos, cfg))
