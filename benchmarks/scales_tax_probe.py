@@ -57,19 +57,21 @@ def top_ops(log_dir: str, n: int = 14):
 
     data, _ = rtd.xspace_to_tool_data([runs[-1]], "framework_op_stats", {})
     rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    if isinstance(rows, list) and len(rows) == 1:
-        rows = rows[0]
-    # rows: list of dicts or gviz table; handle the common json form
-    try:
-        cols = [c["label"] for c in rows["cols"]]
-        recs = [{cols[i]: (cell["v"] if cell else None)
-                 for i, cell in enumerate(r["c"])} for r in rows["rows"]]
-    except (TypeError, KeyError):
-        recs = rows
-    key_t = next((k for k in ("Total self-time (us)", "total_self_time_us",
-                              "Self time (us)")
+    # xprof returns a LIST of gviz tables (device, host); take every
+    # table that has rows. Columns: 'Operation Name',
+    # 'Total self-time (us)' (schema pinned by a CPU trace).
+    tables = rows if isinstance(rows, list) else [rows]
+    recs = []
+    for t in tables:
+        if not (isinstance(t, dict) and t.get("rows")):
+            continue
+        cols = [c["label"] for c in t["cols"]]
+        recs += [{cols[i]: (cell.get("v") if cell else None)
+                  for i, cell in enumerate(r["c"])} for r in t["rows"]]
+    key_t = next((k for k in ("Total self-time (us)",
+                              "Total self time (us)")
                   if recs and k in recs[0]), None)
-    key_n = next((k for k in ("Type", "Operation", "op_name", "Name")
+    key_n = next((k for k in ("Operation Name", "Operation", "Name")
                   if recs and k in recs[0]), None)
     if key_t is None:
         print("  (unrecognized op-stats schema; keys: "
@@ -77,8 +79,8 @@ def top_ops(log_dir: str, n: int = 14):
         return
     recs.sort(key=lambda r: -float(r[key_t] or 0))
     for r in recs[:n]:
-        print(f"  {float(r[key_t] or 0):12.1f} us  {r.get(key_n)}",
-              flush=True)
+        print(f"  {float(r[key_t] or 0):12.1f} us  "
+              f"{r.get('Host/device')}  {r.get(key_n)}", flush=True)
 
 
 def main():
