@@ -33,4 +33,5 @@ step tax_fuse_step 4800 python benchmarks/scales_tax_probe.py --fuse
 step tax_gen_fused 6000 python benchmarks/scales_tax_probe.py --generate --fuse --layers 32 --batch 1
 step tax_gen_plain 6000 python benchmarks/scales_tax_probe.py --generate --layers 32 --batch 1
 step bench_sc_nofuse 4800 python bench.py --lean-scales --no-fuse --no-lean-embed
+step ilp_rates    3600 python benchmarks/pair_decode_probe3.py ilp
 echo "=== CHAIN DONE ($(date +%H:%M:%S)) ===" >>"$L"

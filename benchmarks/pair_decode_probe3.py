@@ -223,9 +223,65 @@ def run_kernel():
 
 if __name__ == "__main__":
     modes = sys.argv[1:] or ["rates", "decode", "kernel"]
+    if "ilp" in modes:
+        run_ilp()
     if "rates" in modes:
         run_rates()
     if "decode" in modes:
         run_decode()
     if "kernel" in modes:
         run_kernel()
+
+
+# ------------------------------------------------------------ ilp rates
+
+def _ilp_kernel(x_ref, o_ref, *, n, dtype):
+    """8 INDEPENDENT multiply chains (ILP-exposed) — measures packed
+    THROUGHPUT rather than the serial chains' latency: if Mosaic packs
+    bf16 elementwise ops 2/lane, the bf16 throughput here doubles the
+    serial-chain rate and the pair kernel's 27us scale stage has
+    headroom; if not, the stage is at its floor."""
+    xs = [x_ref[:] + jnp.asarray(i, dtype) for i in range(8)]
+    for _ in range(n):
+        xs = [x * jnp.asarray(1.0009765625, dtype) for x in xs]
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = acc + x
+    o_ref[:] = acc
+
+
+def run_ilp():
+    import functools as ft
+    print("== ILP-exposed elementwise throughput (8 chains) ==",
+          flush=True)
+    shape = (256, 512)
+    for dtype in (jnp.float32, jnp.bfloat16, jnp.int32):
+        x0 = jnp.asarray(
+            np.random.default_rng(0).random(shape) + 0.5, jnp.float32
+        ).astype(dtype)
+
+        def runner(n):
+            if jnp.issubdtype(dtype, jnp.integer):
+                kern = ft.partial(_rate_kernel, n=n,
+                                  group=lambda x: x + (x >> 1))
+                opsper = 2 * n
+            else:
+                kern = ft.partial(_ilp_kernel, n=n, dtype=dtype)
+                opsper = 8 * n
+            call = pl.pallas_call(
+                kern,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(shape, dtype),
+            )
+            return jax.jit(call), opsper
+
+        n1, n2 = 32, 128
+        r1, o1 = runner(n1)
+        r2, o2 = runner(n2)
+        t1 = time_scan_chain(lambda x: r1(x), x0, iters=50)
+        t2 = time_scan_chain(lambda x: r2(x), x0, iters=50)
+        per_op = (t2 - t1) / (o2 - o1)
+        elems = shape[0] * shape[1]
+        print(f"ILP {np.dtype(dtype).name:9s} per-op {per_op*1e9:8.3f} ns"
+              f"  ({elems/per_op/1e12:7.3f} T lanes/s)", flush=True)
