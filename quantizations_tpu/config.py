@@ -48,7 +48,12 @@ class QuantConfig:
     # to bf16 in-kernel) — but measured ~10% SLOWER end-to-end on v5e
     # (standalone kernel time is flat; the regression is XLA-level in
     # the full decode program), so it stays a footprint knob, off by
-    # default.
+    # default. "bf16x2" (round 4) stores MERGED bf16 row-pair words
+    # (int32 [out/2, in/64] — the pair kernels' own in-kernel form,
+    # ops/qmatmul.pack_scale_pairs): same bytes as bfloat16, zero
+    # per-step transform, and the array dtype stays int32 (pair layout
+    # only; serving-time — TP/PP factories and the bnb exporter
+    # consume the float form).
     scales_dtype: Any = jnp.float32
     # decode-band pair-kernel weight streaming: "grid" = Pallas
     # grid-pipelined kernel; "manual" = explicit double-buffered DMA
@@ -110,6 +115,16 @@ class QuantConfig:
             raise ValueError(
                 f"nf4_decode {self.nf4_decode!r} not in "
                 f"('mix', 'mix_bt', 'mix_g3')")
+        if self.scales_dtype != "bf16x2":
+            try:
+                ok = jnp.dtype(self.scales_dtype) in (
+                    jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+            except TypeError:
+                ok = False
+            if not ok:
+                raise ValueError(
+                    f"scales_dtype {self.scales_dtype!r} not in "
+                    f"(float32, bfloat16, 'bf16x2')")
         if self.blocksize not in VALID_BLOCKSIZES:
             raise ValueError(
                 f"blocksize {self.blocksize} not in {VALID_BLOCKSIZES}"

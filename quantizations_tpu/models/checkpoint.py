@@ -28,8 +28,9 @@ def _cfg_to_json(cfg: LlamaConfig) -> str:
     d = dataclasses.asdict(cfg)
     d["quant"]["compute_dtype"] = str(
         jax.numpy.dtype(cfg.quant.compute_dtype).name)
-    d["quant"]["scales_dtype"] = str(
-        jax.numpy.dtype(cfg.quant.scales_dtype).name)
+    d["quant"]["scales_dtype"] = (
+        "bf16x2" if cfg.quant.scales_dtype == "bf16x2"
+        else str(jax.numpy.dtype(cfg.quant.scales_dtype).name))
     return json.dumps(d, indent=1)
 
 
@@ -37,7 +38,8 @@ def _cfg_from_json(s: str) -> LlamaConfig:
     d = json.loads(s)
     q = d.pop("quant")
     q["compute_dtype"] = jax.numpy.dtype(q["compute_dtype"])
-    q["scales_dtype"] = jax.numpy.dtype(q.get("scales_dtype", "float32"))
+    sd = q.get("scales_dtype", "float32")
+    q["scales_dtype"] = sd if sd == "bf16x2" else jax.numpy.dtype(sd)
     rs = d.get("rope_scaling")
     if rs is not None:
         d["rope_scaling"] = tuple(rs)

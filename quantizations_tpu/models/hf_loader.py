@@ -234,7 +234,15 @@ def load_hf_llama(
                 # quantize_linear's auto)
                 lay = "pair" if state.shape[0] % 2 == 0 else "planar"
             wp, scales = qlinear_arrays_from_bnb(packed, state, layout=lay)
-            ql = QLinear(wp=wp, scales=scales.astype(q.scales_dtype))
+            if q.scales_dtype == "bf16x2" and lay == "pair":
+                from ..ops.qmatmul import pack_scale_pairs
+
+                ql = QLinear(wp=wp, scales=pack_scale_pairs(scales))
+            elif q.scales_dtype == "bf16x2":
+                # planar (row-sharded) weights keep fp32 scales
+                ql = QLinear(wp=wp, scales=scales.astype(jnp.float32))
+            else:
+                ql = QLinear(wp=wp, scales=scales.astype(q.scales_dtype))
         else:
             W = read(name)
             ql = quantize_linear(
@@ -312,10 +320,12 @@ def load_hf_llama(
 
     embed_w = read("model.embed_tokens.weight")
     if q.quantize_embedding:
+        # row-gathered at lookup — packed row-pair scales don't apply
         embed = quantize_linear(
             embed_w, blocksize=q.blocksize, quant_type=q.quant_type,
             compress_statistics=q.compress_statistics,
-            scales_dtype=q.scales_dtype)
+            scales_dtype=(jnp.bfloat16 if q.scales_dtype == "bf16x2"
+                          else q.scales_dtype))
     else:
         embed = embed_w.astype(jnp.bfloat16)
     if cfg.tie_word_embeddings or "lm_head.weight" not in read.names:
@@ -516,8 +526,16 @@ def _bnb_payload(ql: QLinear, quant_type: str, compress: bool):
     # (inverse of ops/gemv.pack_i32_rows)
     b = np.ascontiguousarray(np.asarray(wp, np.int32)).view(np.uint8)
     packed = b.reshape(M * K // 2, 1)
+    scales = ql.scales
+    if ql.scales_packed:
+        # bf16x2 storage: widen the merged row-pair words back to the
+        # per-row float absmax the bnb schema stores (the exported
+        # values are the runtime's actual bf16-rounded scales)
+        from ..ops.qmatmul import unpack_scale_pairs
+
+        scales = unpack_scale_pairs(scales)
     absmax = jnp.asarray(
-        np.asarray(ql.scales, np.float32).reshape(-1))
+        np.asarray(scales, np.float32).reshape(-1))
     code = jnp.asarray(get_4bit_code(quant_type))
     if compress:
         offset = jnp.mean(absmax)

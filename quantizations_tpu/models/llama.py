@@ -210,16 +210,26 @@ class QLinear:
     """
 
     wp: jnp.ndarray       # int32 [out, in//8] (planar) or [out/2, in//4]
-    scales: jnp.ndarray   # float32 [out, in // 64]
+    scales: jnp.ndarray   # float32/bf16 [out, in//64], or the bf16x2
+    # packed row-pair storage: int32 [out/2, in//64] (merged bf16
+    # pairs, ops/qmatmul.pack_scale_pairs — pair layout only; the pair
+    # kernels consume it with zero per-step transform)
+
+    @property
+    def scales_packed(self) -> bool:
+        return self.scales.dtype == jnp.int32
 
     @property
     def layout(self) -> str:
+        if self.scales_packed:
+            return "pair"
         return ("planar" if self.wp.shape[-2] == self.scales.shape[-2]
                 else "pair")
 
     @property
     def out_features(self) -> int:
-        return self.scales.shape[-2]
+        rows = self.scales.shape[-2]
+        return 2 * rows if self.scales_packed else rows
 
     @property
     def in_features(self) -> int:
@@ -296,6 +306,11 @@ def fuse_projections(params: LlamaParams) -> LlamaParams:
         layouts = {l.layout for l in lins}
         if len(layouts) != 1:
             raise ValueError(f"cannot fuse mixed layouts {layouts}")
+        sdt = {l.scales.dtype for l in lins}
+        if len(sdt) != 1:
+            raise ValueError(f"cannot fuse mixed scale dtypes {sdt}")
+        # packed bf16x2 scales concatenate exactly like the wp words:
+        # the pair layout is row-pair-local, each piece has even rows
         return QLinear(
             wp=jnp.concatenate([l.wp for l in lins], axis=-2),
             scales=jnp.concatenate([l.scales for l in lins], axis=-2))
@@ -418,6 +433,17 @@ def quantize_linear(
         from ..ops.qmatmul import planar_to_pair
 
         wp = planar_to_pair(wp)
+    if scales_dtype == "bf16x2":
+        if layout != "pair":
+            # planar/row-sharded weights keep float scales (the packed
+            # row-pair word has no meaning there) — fp32, the
+            # kernel-neutral storage. TP's o/down shards land here.
+            return QLinear(wp=wp, scales=scales.astype(jnp.float32))
+        # merged bf16 row-pair scale words (half the fp32 bytes; the
+        # pair kernels' own storage form)
+        from ..ops.qmatmul import pack_scale_pairs
+
+        return QLinear(wp=wp, scales=pack_scale_pairs(scales))
     return QLinear(wp=wp, scales=scales.astype(scales_dtype))
 
 
@@ -497,12 +523,13 @@ def init_llama_params(
             ).astype(jnp.bfloat16)
         return jnp.ones((h,), jnp.bfloat16)
 
-    def qlin(key, out_f, in_f):
+    def qlin(key, out_f, in_f, scales_dtype=None):
         W = dense(key, out_f, in_f)
         return quantize_linear(
             W, blocksize=q.blocksize, quant_type=q.quant_type,
             compress_statistics=q.compress_statistics,
-            scales_dtype=q.scales_dtype,
+            scales_dtype=(q.scales_dtype if scales_dtype is None
+                          else scales_dtype),
         )
 
     def make_layer(i: int) -> LlamaLayer:
@@ -551,7 +578,13 @@ def init_llama_params(
 
     ke, kh, kn = jax.random.split(jax.random.fold_in(key, 10**6), 3)
     if q.quantize_embedding:
-        embed = qlin(ke, cfg.vocab_size, h)
+        # the embedding is a per-token ROW GATHER (embed_lookup), so
+        # packed row-pair scales don't apply — bf16 scales give the
+        # same bytes as bf16x2 and stay gatherable
+        embed = qlin(ke, cfg.vocab_size, h,
+                     scales_dtype=(jnp.bfloat16
+                                   if q.scales_dtype == "bf16x2"
+                                   else None))
     else:
         embed = (dense(ke, cfg.vocab_size, h).astype(jnp.bfloat16)
                  if proxy else
@@ -705,11 +738,14 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
                 and pair_tokens_ok(tokens)):
             from ..ops.qmatmul import manual_vmem_ok
 
+            # bf16x2 packed scales: 2 effective bytes per logical row
+            s_item = (2 if lin.scales_packed
+                      else lin.scales.dtype.itemsize)
             if (qcfg.pair_pipeline == "manual"
                     and (2 * lin.wp.shape[-2]) % 128 == 0
                     and manual_vmem_ok(
                         2 * lin.wp.shape[-2], 4 * lin.wp.shape[-1],
-                        tokens, lin.scales.dtype.itemsize)):
+                        tokens, s_item)):
                 from ..ops.qmatmul import matmul_4bit_pair_manual_stacked
 
                 return matmul_4bit_pair_manual_stacked(

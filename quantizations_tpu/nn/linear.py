@@ -108,6 +108,10 @@ def dense_weight(wp: jnp.ndarray, scales: jnp.ndarray, quant_type: str,
         from ..ops.qmatmul import pair_to_planar
 
         wp = pair_to_planar(wp)
+    if scales.dtype == jnp.int32:
+        from ..ops.qmatmul import unpack_scale_pairs
+
+        scales = unpack_scale_pairs(scales)
     Wp = dequantize_permuted(wp, scales, quant_type, dtype=jnp.bfloat16)
     M, K = Wp.shape
     # invert the plane permutation: permuted col j*K/8 + c -> original 8c+j
@@ -172,7 +176,8 @@ def apply_4bit(
     """
     tokens = x2.shape[0]
     on_tpu = use_pallas and jax.default_backend() == "tpu"
-    pair = wp.shape[-2] != scales.shape[-2]      # SWAR row-pair layout
+    spacked = scales.dtype == jnp.int32          # bf16x2 packed pairs
+    pair = spacked or wp.shape[-2] != scales.shape[-2]
     if pair and on_tpu:
         # fused pair kernel up to its measured crossover vs the dense
         # pair matmul, then dequant straight from the pair layout
@@ -181,9 +186,12 @@ def apply_4bit(
         if tokens <= PAIR_QMATMUL_MAX_TOKENS and pair_tokens_ok(tokens):
             from ..ops.qmatmul import manual_vmem_ok
 
+            # bf16x2 packed scales hold two rows per int32 word: 2
+            # effective bytes per logical row in the VMEM budget
+            s_item = 2 if spacked else scales.dtype.itemsize
             if (pair_pipeline == "manual" and (2 * wp.shape[-2]) % 128 == 0
                     and manual_vmem_ok(2 * wp.shape[-2], 4 * wp.shape[-1],
-                                       tokens, scales.dtype.itemsize)):
+                                       tokens, s_item)):
                 from ..ops.qmatmul import matmul_4bit_pair_manual
 
                 return matmul_4bit_pair_manual(
@@ -194,6 +202,10 @@ def apply_4bit(
             return matmul_4bit_pair_pallas(
                 wp, scales, x2.astype(compute_dtype),
                 quant_type=quant_type, decode=fp4_decode)
+        if spacked:
+            from ..ops.qmatmul import unpack_scale_pairs
+
+            scales = unpack_scale_pairs(scales)
         return dense_matmul_pair(x2, wp, scales, quant_type,
                                  compute_dtype=compute_dtype)
     if pair:
@@ -202,6 +214,10 @@ def apply_4bit(
         from ..ops.qmatmul import pair_to_planar
 
         wp = pair_to_planar(wp)
+        if spacked:
+            from ..ops.qmatmul import unpack_scale_pairs
+
+            scales = unpack_scale_pairs(scales)
     # the fused dequant+matmul kernel wins at EVERY small batch size on
     # v5e (B=1: 215us vs the VPU-fma GEMV's 235us at [14336,4096]; B=8:
     # 231 vs 633 — the MXU absorbs the per-row multiply-accumulate); the

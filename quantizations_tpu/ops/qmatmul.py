@@ -322,6 +322,51 @@ def pack_pair_rows(packed_u8: jnp.ndarray, rows: int,
     return planar_to_pair(pack_i32_rows(packed_u8, rows, cols))
 
 
+def pack_scale_pairs(scales: jnp.ndarray) -> jnp.ndarray:
+    """fp32/bf16 scales ``[..., M, NB]`` -> merged bf16 row-pair words
+    ``int32 [..., M/2, NB]`` (row 2i in the LOW half — the layout
+    ``pltpu.bitcast(bf16 [TM, NB], int32)`` produces in-kernel, so the
+    pair kernels consume this storage with zero per-step transform).
+    This is the ``scales_dtype="bf16x2"`` storage: half the fp32 scale
+    bytes at the pair path's own bf16 scale-rounding numerics class."""
+    sb = scales.astype(jnp.bfloat16)
+    M, NB = sb.shape[-2], sb.shape[-1]
+    pairs = sb.reshape(*sb.shape[:-2], M // 2, 2, NB)
+    # bitcast_convert_type packs the MINOR axis little-endian: index 0
+    # (the even row) lands in the low 16 bits
+    return jax.lax.bitcast_convert_type(
+        pairs.swapaxes(-1, -2), jnp.int32)
+
+
+def unpack_scale_pairs(packed: jnp.ndarray,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of :func:`pack_scale_pairs`:
+    ``int32 [..., M/2, NB] -> [..., M, NB]`` (bf16 values widened)."""
+    pairs = jax.lax.bitcast_convert_type(packed, jnp.bfloat16)
+    M2, NB = packed.shape[-2], packed.shape[-1]
+    return pairs.swapaxes(-1, -2).reshape(
+        *packed.shape[:-2], 2 * M2, NB).astype(dtype)
+
+
+def _scale_pairs(s, out_factor):
+    """In-kernel: scale block -> merged int32 row-pair scale words
+    ``[TM2, NB]``. Accepts float ``[TM, NB]`` (merge-bitcast) or the
+    pre-packed int32 ``[TM2, NB]`` storage (pass-through; out_factor
+    applied in the bf16 view)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if s.dtype == jnp.int32:
+        if out_factor != 1.0:
+            sf = (pltpu.bitcast(s, jnp.bfloat16)
+                  * jnp.bfloat16(out_factor))
+            return pltpu.bitcast(sf, jnp.int32)
+        return s
+    sf = s.astype(jnp.bfloat16)
+    if out_factor != 1.0:
+        sf = sf * jnp.bfloat16(out_factor)
+    return pltpu.bitcast(sf, jnp.int32)
+
+
 def pair_permute_activation(x: jnp.ndarray) -> jnp.ndarray:
     """``[T, K] -> [T, 4, K/4]`` matching the pair layout's block-major
     column map: ``xp[t, p, r*NB+b] = x[t, 64b + 8r + p]`` for ``r < 8``,
@@ -449,10 +494,7 @@ def _pair_kernel(wp_ref, xp_ref, s_ref, *rest, out_factor, kc4,
     # row pairs, so srep lands in the decoded weights' layout class
     # (the bf16 scale rounding is this path's numerics class).
     nb_total = s.shape[1]
-    sf = s.astype(jnp.bfloat16)
-    if out_factor != 1.0:
-        sf = sf * jnp.bfloat16(out_factor)
-    sp = pltpu.bitcast(sf, jnp.int32)                     # [TM2, NB]
+    sp = _scale_pairs(s, out_factor)                      # [TM2, NB]
     srep = pltpu.bitcast(pltpu.repeat(sp, kc4 // nb_total, axis=1),
                          jnp.bfloat16)                    # [TM, kc4]
 
@@ -561,7 +603,9 @@ def matmul_4bit_pair_pallas(
     M, K = 2 * M2, 4 * K4
     T = x.shape[0]
     assert x.shape[1] == K
-    assert scales.shape == (M, K // 64), (scales.shape, (M, K // 64))
+    spacked = scales.dtype == jnp.int32      # bf16x2 packed row pairs
+    srows = M2 if spacked else M
+    assert scales.shape == (srows, K // 64), (scales.shape, srows)
     while T % tile_t:
         tile_t //= 2
     tile_t = min(tile_t, T)
@@ -579,7 +623,8 @@ def matmul_4bit_pair_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_t, 4, kc4), lambda t, i, kq: (t, 0, kq),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_m, K // 64), lambda t, i, kq: (i, 0),
+        pl.BlockSpec((tile_m // 2 if spacked else tile_m, K // 64),
+                     lambda t, i, kq: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [wp2, xp, scales]
@@ -629,7 +674,9 @@ def matmul_4bit_pair_pallas_stacked(
     M, K = 2 * M2, 4 * K4
     T = x.shape[0]
     assert x.shape[1] == K
-    assert scales.shape == (L, M, K // 64)
+    spacked = scales.dtype == jnp.int32      # bf16x2 packed row pairs
+    srows = M2 if spacked else M
+    assert scales.shape == (L, srows, K // 64)
     while T % tile_t:
         tile_t //= 2
     tile_t = min(tile_t, T)
@@ -655,7 +702,7 @@ def matmul_4bit_pair_pallas_stacked(
                      lambda t, i, kq, idx: (idx[0], i, kq)),
         pl.BlockSpec((tile_t, 4, kc4),
                      lambda t, i, kq, idx: (t, 0, kq)),
-        pl.BlockSpec((1, tile_m, K // 64),
+        pl.BlockSpec((1, tile_m // 2 if spacked else tile_m, K // 64),
                      lambda t, i, kq, idx: (idx[0], i, 0)),
     ]
     operands = [wp2, xp, scales]
@@ -764,11 +811,7 @@ def _manual_kernel_body(dma_src, s_slice, xp_ref, tbl_ref, o_ref, *,
 
             dma(slot, ci).wait()
             wp = wbuf[slot]
-            s = s_slice(ci)
-            sf = s.astype(jnp.bfloat16)
-            if out_factor != 1.0:
-                sf = sf * jnp.bfloat16(out_factor)
-            sp = pltpu.bitcast(sf, jnp.int32)
+            sp = _scale_pairs(s_slice(ci), out_factor)
             srep = pltpu.bitcast(
                 pltpu.repeat(sp, K4 // nb_total, axis=1), jnp.bfloat16)
             if has_tbl:
@@ -814,7 +857,8 @@ def matmul_4bit_pair_manual(
     M, K = 2 * M2, 4 * K4
     T = x.shape[0]
     assert x.shape[1] == K
-    assert scales.shape == (M, K // 64)
+    spacked = scales.dtype == jnp.int32      # bf16x2 packed row pairs
+    assert scales.shape == ((M2 if spacked else M), K // 64)
     tm = tile_m or _pick_tile_manual(M, K4)
     assert tm and M % tm == 0 and tm % 128 == 0
     pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
@@ -828,7 +872,9 @@ def matmul_4bit_pair_manual(
             tbl_ref, (o_ref,) = None, rest
         _manual_kernel_body(
             lambda ci: wp_ref.at[pl.ds(ci * (tm // 2), tm // 2), :],
-            lambda ci: s_ref[pl.ds(ci * tm, tm), :],
+            (lambda ci: s_ref[pl.ds(ci * (tm // 2), tm // 2), :])
+            if spacked else
+            (lambda ci: s_ref[pl.ds(ci * tm, tm), :]),
             xp_ref, tbl_ref, o_ref,
             nchunk=M // tm, tm=tm, K4=K4, nb_total=K // 64,
             pair_fn=pair_fn, out_factor=out_factor, has_tbl=has_tbl)
@@ -872,7 +918,8 @@ def matmul_4bit_pair_manual_stacked(
     M, K = 2 * M2, 4 * K4
     T = x.shape[0]
     assert x.shape[1] == K
-    assert scales.shape == (L, M, K // 64)
+    spacked = scales.dtype == jnp.int32      # bf16x2 packed row pairs
+    assert scales.shape == (L, (M2 if spacked else M), K // 64)
     tm = tile_m or _pick_tile_manual(M, K4)
     assert tm and M % tm == 0 and tm % 128 == 0
     pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
@@ -887,7 +934,9 @@ def matmul_4bit_pair_manual_stacked(
         _manual_kernel_body(
             lambda ci: wp_ref.at[idx_ref[0],
                                  pl.ds(ci * (tm // 2), tm // 2), :],
-            lambda ci: s_ref[0, pl.ds(ci * tm, tm), :],
+            (lambda ci: s_ref[0, pl.ds(ci * (tm // 2), tm // 2), :])
+            if spacked else
+            (lambda ci: s_ref[0, pl.ds(ci * tm, tm), :]),
             xp_ref, tbl_ref, o_ref,
             nchunk=M // tm, tm=tm, K4=K4, nb_total=K // 64,
             pair_fn=pair_fn, out_factor=out_factor, has_tbl=has_tbl)
@@ -895,7 +944,8 @@ def matmul_4bit_pair_manual_stacked(
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec((T, 4, K4), lambda g, idx: (0, 0, 0)),
-        pl.BlockSpec((1, M, K // 64), lambda g, idx: (idx[0], 0, 0)),
+        pl.BlockSpec((1, (M2 if spacked else M), K // 64),
+                     lambda g, idx: (idx[0], 0, 0)),
     ]
     operands = [wp2, xp, scales]
     if has_tbl:

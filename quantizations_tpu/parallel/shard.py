@@ -142,9 +142,14 @@ def _ensure_planar(ql: QLinear) -> QLinear:
     placement. Column-parallel pair weights shard fine on the row axis."""
     if ql.layout == "pair":
         from ..models.llama import QLinear as QL
-        from ..ops.qmatmul import pair_to_planar
+        from ..ops.qmatmul import pair_to_planar, unpack_scale_pairs
 
-        return QL(wp=pair_to_planar(ql.wp), scales=ql.scales)
+        scales = ql.scales
+        if ql.scales_packed:
+            # planar scales are per-ROW float arrays — widen the packed
+            # bf16x2 row-pair words back out (fp32, kernel-neutral)
+            scales = unpack_scale_pairs(scales)
+        return QL(wp=pair_to_planar(ql.wp), scales=scales)
     return ql
 
 
