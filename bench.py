@@ -145,6 +145,14 @@ def main() -> None:
     p.add_argument("--lean-scales", action="store_true",
                    help="bf16 scale storage ONLY (isolates the "
                         "scale-dtype half of --lean's TPS tax)")
+    p.add_argument("--scales-dtype", default=None,
+                   choices=["fp32", "bf16", "bf16x2"],
+                   help="scale storage override: fp32 (kernel-neutral), "
+                        "bf16 (measured ~10%% e2e tax, XLA-level), or "
+                        "bf16x2 (packed bf16 row-pair words — the pair "
+                        "kernels' own in-kernel form at half the fp32 "
+                        "bytes, zero per-step transform). Overrides "
+                        "--lean/--lean-scales' bf16 when given")
     p.add_argument("--batch-sweep", action="store_true",
                    help="also measure batch 16/32 aggregate TPS")
     p.add_argument("--prefill", action="store_true",
@@ -198,6 +206,10 @@ def main() -> None:
         qkw["quantize_embedding"] = True
     if args.lean or args.lean_scales:
         qkw["scales_dtype"] = jnp.bfloat16
+    if args.scales_dtype is not None:
+        qkw["scales_dtype"] = {
+            "fp32": jnp.float32, "bf16": jnp.bfloat16,
+            "bf16x2": "bf16x2"}[args.scales_dtype]
     cfg = dataclasses.replace(
         base, kv_cache_dtype=args.kv_dtype,
         quant=QuantConfig(quant_type=args.quant_type,
@@ -310,7 +322,9 @@ def main() -> None:
         "metric": (f"decode_tps_llama3_{args.preset}_{args.quant_type}"
                    + ("_lean" if args.lean else "")
                    + ("_bf16emb" if not args.lean_embed else "")
-                   + ("_leansc" if args.lean_scales else "") + "_b1"),
+                   + ("_leansc" if args.lean_scales else "")
+                   + (f"_s{args.scales_dtype}" if args.scales_dtype
+                      else "") + "_b1"),
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / REFERENCE_QUANT_TPS, 4),

@@ -110,6 +110,15 @@ def run_pair_variants():
     x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
     wp2_st = jnp.stack([wp2, wp2 + 0, wp2])
     sc_st = jnp.stack([scales, scales, scales])
+    # bf16x2 packed-scale cells must ALSO be bit-identical: the host
+    # pack (lax.bitcast_convert_type, even row in the low 16 bits) has
+    # to match the in-kernel pltpu.bitcast sublane-merge convention —
+    # a mismatch swaps even/odd row scales ON HARDWARE ONLY (interpret
+    # mode is self-consistent), exactly the class this file exists for
+    from quantizations_tpu.ops.qmatmul import pack_scale_pairs
+
+    sc_packed = pack_scale_pairs(scales)
+    sc_packed_st = pack_scale_pairs(sc_st)
 
     for qt, strategies in PAIR_STRATEGIES.items():
         ref = None
@@ -148,6 +157,25 @@ def run_pair_variants():
                     print(f"pair {qt}/{name}/{variant}: FAILED "
                           f"{str(e)[:160]}", flush=True)
                     ok = False
+        # packed bf16x2 scales, default decode, all three pipelines
+        for variant, fn in (
+            ("grid", lambda: matmul_4bit_pair_pallas(
+                wp2, sc_packed, x, quant_type=qt)),
+            ("manual", lambda: matmul_4bit_pair_manual(
+                wp2, sc_packed, x, quant_type=qt)),
+            ("stacked", lambda: matmul_4bit_pair_pallas_stacked(
+                wp2_st, sc_packed_st, x, jnp.int32(1), quant_type=qt)),
+        ):
+            try:
+                o2 = np.asarray(fn())
+                same = bool((o2 == ref).all())
+                print(f"pair {qt}/bf16x2/{variant}: bit-identical={same}",
+                      flush=True)
+                ok &= same
+            except Exception as e:
+                print(f"pair {qt}/bf16x2/{variant}: FAILED "
+                      f"{str(e)[:160]}", flush=True)
+                ok = False
 
 
 # ----------------------------------------------------- attention grid

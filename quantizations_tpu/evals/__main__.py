@@ -26,6 +26,18 @@ def main() -> None:
     p.add_argument("--quant-type", default="fp4", choices=["fp4", "nf4"])
     p.add_argument("--parity", action="store_true",
                    help="logit-parity report (quantized vs dequantized)")
+    p.add_argument("--parity-control", action="store_true",
+                   help="ALSO run the parity with the model-path arm in "
+                        "dense-twin mode (both arms then use the SAME "
+                        "dense weights; any disagreement is pure "
+                        "implementation rounding — flash attention vs "
+                        "the einsum reference, bf16 MXU passes — "
+                        "amplified by the network exactly like "
+                        "quantization error). On a RANDOM-weight deep "
+                        "proxy this is the chaos floor the quantized "
+                        "parity must be read against: random nets "
+                        "amplify ANY per-layer perturbation "
+                        "exponentially in depth, trained nets don't")
     p.add_argument("--parity-tokens", type=int, default=128)
     p.add_argument("--ifeval", help="path to IFEval input_data.jsonl")
     p.add_argument("--ifeval-proxy", action="store_true",
@@ -107,6 +119,12 @@ def main() -> None:
             rng.integers(0, cfg.vocab_size, (1, args.parity_tokens)),
             jnp.int32)
         out["parity"] = logit_parity(params, cfg, ids).to_dict()
+        if args.parity_control:
+            twin_cfg = dataclasses.replace(
+                cfg, quant=dataclasses.replace(cfg.quant,
+                                               dense_twin=True))
+            out["parity_control"] = logit_parity(
+                params, twin_cfg, ids).to_dict()
 
     if args.ifeval:
         if tokenizer is None:
