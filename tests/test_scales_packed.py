@@ -232,6 +232,44 @@ def test_fuse_projections_packed(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_tp_generate_bf16x2(rng):
+    """TP sharding composes with packed scales: column-parallel shards
+    keep the packed words (row axis shards through the word rows),
+    row-parallel o/down repack to planar with widened fp32 scales
+    (_ensure_planar), and the sharded generate reproduces the
+    single-device bf16x2 tokens."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from quantizations_tpu.config import ServeConfig
+    from quantizations_tpu.models.llama import KVCache, init_llama_params
+    from quantizations_tpu.parallel import (
+        make_mesh, make_sharded_generate_fn, shard_llama_params)
+    from quantizations_tpu.parallel.shard import cache_pspec
+    from quantizations_tpu.serve.generate import make_generate_fn
+    from jax.sharding import NamedSharding
+
+    cfg = _tiny_cfg("bf16x2")
+    serve = ServeConfig(max_seq_len=32, max_new_tokens=5,
+                        temperature=0.0, donate_cache=False)
+    params = init_llama_params(cfg, seed=0)
+    ids = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    ref_toks, _ = make_generate_fn(cfg, serve)(
+        params, ids, KVCache.create(cfg, 1, serve.max_seq_len), key)
+
+    mesh = make_mesh((2,), ("tp",))
+    sharded = shard_llama_params(params, mesh, cfg)
+    assert sharded.layers.q.scales_packed          # col-parallel: packed
+    assert not sharded.layers.o.scales_packed      # row-parallel: fp32
+    assert sharded.layers.o.scales.dtype == jnp.float32
+    cache = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        KVCache.create(cfg, 1, serve.max_seq_len), cache_pspec())
+    toks, _ = make_sharded_generate_fn(cfg, serve, mesh)(
+        sharded, ids, cache, key)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+
 def test_ensure_planar_unpacks(rng):
     from quantizations_tpu.models.llama import quantize_linear
     from quantizations_tpu.parallel.shard import _ensure_planar
