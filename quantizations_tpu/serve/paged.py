@@ -709,9 +709,13 @@ class PagedEngine:
             # v5e (paged_sweep chain_r3d, B=8 ~1900-tok ctx: p128 337us
             # vs slot 191.2; p256 191.2 — 0% tax; with the default
             # pages_per_step=2 multi-page DMA steps, 169.1 = 12% BELOW
-            # the slot cache). Auto-pick the largest page <= 256 that
-            # divides max_seq (tiny test configs keep working).
-            page_size = next((p for p in (256, 128, 64, 32, 16, 8)
+            # the slot cache). p384 kernels run 124-145us and WIN the
+            # e2e race too (chain_r4d, max_seq 768 mixed 24-request
+            # workload: 110.0 vs 108.4 tok/s aggregate), so prefer it
+            # when max_seq allows; the cost is coarser pool granularity
+            # (a short sequence pins a 384-token page). Tiny test
+            # configs keep working via the small fallbacks.
+            page_size = next((p for p in (384, 256, 128, 64, 32, 16, 8)
                               if max_seq % p == 0), 0)
         if not page_size or max_seq % page_size:
             raise ValueError("max_seq must be a multiple of page_size")
