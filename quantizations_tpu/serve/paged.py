@@ -1469,12 +1469,19 @@ class PagedEngine:
         accs = np.asarray(accs)       # [n, slots]
         self._steps += n
         self._spec_windows += n
-        self._spec_drafted += n * (k - 1) * len(act)
         for i in act:
             r = self.active[i]
             cur = int(self._cur[i])
             done = False
             for j in range(n):
+                # Drafted is counted per WALKED window (not n*len(act)
+                # up front): a slot that finishes mid-dispatch stops
+                # consuming windows, and counting its unwalked windows
+                # as drafted-with-zero-accepted would understate
+                # spec_accept_rate on workloads with mid-window
+                # EOS/length finishes (advisor r4). Accepted below is
+                # on the same window set.
+                self._spec_drafted += k - 1
                 a = int(accs[j, i])
                 self._spec_accepted += min(a, k - 1)
                 for t in [cur] + [int(t) for t in gs[j, i, :a]]:
