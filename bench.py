@@ -180,6 +180,14 @@ def main() -> None:
                         "single-device serving configuration; measured "
                         "+2.3%% b1 on v5e (60.9 vs 59.7 tok/s round 3). "
                         "--no-fuse restores the unfused module form")
+    p.add_argument("--nf4-b1", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="also measure NF4 batch-1 decode in the same "
+                        "run and emit it as nf4_b1 (VERDICT r4 #4: the "
+                        "bit-exact-NF4-at-reference-FP4-speed claim "
+                        "must be in the driver artifact, not prose). "
+                        "Skipped automatically when --quant-type nf4 "
+                        "(the headline already IS nf4)")
     args = p.parse_args()
 
     import jax
@@ -317,6 +325,57 @@ def main() -> None:
     mem["weight_gb"] = round(wbytes / 2**30, 3)
     mem["achieved_hbm_gbps"] = round(
         wbytes * args.new_tokens / med / 1e9, 1)
+    # Footprint companions (VERDICT r4 weak #8): the fp32-scales vs
+    # packed-bf16x2-scales trade, computed analytically from the live
+    # param tree so the driver artifact carries BOTH sides regardless
+    # of which storage the run used. Only pair-layout QLinears can
+    # pack (planar/row-sharded scales stay fp32 by the layout rule).
+    from quantizations_tpu.models.llama import QLinear
+
+    sc_packed = sc_fp32_pair = 0
+    for leaf in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, QLinear)):
+        if not isinstance(leaf, QLinear):
+            continue
+        sb = leaf.scales.size * leaf.scales.dtype.itemsize
+        if leaf.scales_packed:
+            sc_packed += sb                      # already half of fp32
+        elif leaf.layout == "pair" and leaf.scales.dtype == jnp.float32:
+            sc_fp32_pair += sb                   # could halve via bf16x2
+    mem["weight_gb_scales_fp32"] = round(
+        (wbytes + sc_packed) / 2**30, 3)
+    mem["weight_gb_scales_bf16x2"] = round(
+        (wbytes - sc_fp32_pair // 2) / 2**30, 3)
+
+    # NF4 arm (VERDICT r4 #4): same model shapes, bit-exact NF4
+    # codebook, measured in the SAME driver artifact. b1 only — the
+    # claim under audit is nf4_b1 vs the reference's 37.5 FP4 headline.
+    nf4_stats = {}
+    if args.nf4_b1 and args.quant_type != "nf4":
+        cfg_nf4 = dataclasses.replace(
+            cfg, quant=dataclasses.replace(cfg.quant, quant_type="nf4"))
+        params_nf4 = init_llama_params(cfg_nf4, seed=0)
+        if args.fuse:
+            params_nf4 = fuse_projections(params_nf4)
+        jax.block_until_ready(params_nf4)
+        gen_nf4 = make_generate_fn(cfg_nf4, serve)
+
+        def run_nf4():
+            cache = KVCache.create(cfg_nf4, 1, serve.max_seq_len)
+            t0 = time.perf_counter()
+            toks, _ = gen_nf4(params_nf4, ids, cache, key)
+            np.asarray(toks)
+            return time.perf_counter() - t0
+
+        nf4_compile = run_nf4()
+        nf4_times = [run_nf4() for _ in range(max(3, args.iters - 2))]
+        nf4_med = statistics.median(nf4_times)
+        nf4_stats = {
+            "nf4_b1": round(args.new_tokens / nf4_med, 3),
+            "nf4_median_iter_s": round(nf4_med, 4),
+            "nf4_compile_s": round(nf4_compile, 2),
+        }
+        del params_nf4
 
     line = {
         "metric": (f"decode_tps_llama3_{args.preset}_{args.quant_type}"
@@ -334,6 +393,24 @@ def main() -> None:
         # includes backend-outage waiting (that is the supervisor's
         # backend_wait_s — an outage kills this inner process)
         "compile_s": round(compile_t, 2),
+        # deprecated alias (one round): pre-r4 records used this key
+        "compile_plus_first_s": round(compile_t, 2),
+        # Config fingerprint (advisor r4: the metric name alone no
+        # longer identifies the measured configuration — defaults moved
+        # across rounds: 4-bit embedding in r4, packed scales in r5).
+        "config": {
+            "quant_type": args.quant_type,
+            "scales_dtype": (args.scales_dtype or
+                             ("bf16" if (args.lean or args.lean_scales)
+                              else _default_scales_name(cfg))),
+            "fuse": args.fuse,
+            "lean_embed": bool(args.lean or args.lean_embed),
+            "kv_dtype": args.kv_dtype,
+            "pipeline": args.pipeline,
+            "fp4_decode": args.fp4_decode,
+            "nf4_decode": args.nf4_decode,
+            "max_seq": args.max_seq,
+        },
         "batch4_tokens_per_s": round(tps4, 3),
         "batch4_vs_baseline": round(tps4 / REFERENCE_QUANT_TPS, 4),
         "batch8_tokens_per_s": round(tps8, 3),
@@ -346,8 +423,18 @@ def main() -> None:
         "backend": jax.default_backend(),
         **prefill_stats,
         **mem,
+        **nf4_stats,
     }
     print(json.dumps(line))
+
+
+def _default_scales_name(cfg) -> str:
+    sd = cfg.quant.scales_dtype
+    if sd == "bf16x2":
+        return "bf16x2"
+    import jax.numpy as jnp
+
+    return "bf16" if jnp.dtype(sd) == jnp.dtype(jnp.bfloat16) else "fp32"
 
 
 if __name__ == "__main__":
