@@ -202,6 +202,139 @@ PROXY_DATASET: List[dict] = [
 ]
 
 
+# Variant expansion (VERDICT r4 #7: 31 instructions is too small — one
+# flipped verdict moves the score 3.2 points). Three extra examples per
+# instruction id with rotated topics and kwargs, bringing every id to
+# >=4 prompts (~110 examples / ~130 scored instructions), so the parity
+# delta is reported at an n where +-1 verdict is <1 point.
+
+_TOPICS = ("the spring market", "the city harbor", "the research team",
+           "the night train", "the teacher council", "the water system")
+
+_VARIANT_SPECS: Dict[str, List[dict]] = {
+    "keywords:existence": [
+        {"keywords": ["water", "the"]}, {"keywords": ["night"]},
+        {"keywords": ["zyzzyva"]}],                 # near-sure fail arm
+    "keywords:forbidden_words": [
+        {"forbidden_words": ["the"]},               # near-sure fail arm
+        {"forbidden_words": ["xylotomy"]},
+        {"forbidden_words": ["market", "harbor"]}],
+    "keywords:frequency": [
+        {"keyword": "the", "frequency": 3, "relation": "at least"},
+        {"keyword": "of", "frequency": 2, "relation": "less than"},
+        {"keyword": "water", "frequency": 1, "relation": "at least"}],
+    "keywords:letter_frequency": [
+        {"letter": "t", "let_frequency": 20, "let_relation": "at least"},
+        {"letter": "z", "let_frequency": 3, "let_relation": "less than"},
+        {"letter": "e", "let_frequency": 40, "let_relation": "at least"}],
+    "language:response_language": [
+        {"language": "en"}, {"language": "en"}, {"language": "en"}],
+    "length_constraints:number_words": [
+        {"num_words": 20, "relation": "at least"},
+        {"num_words": 400, "relation": "less than"},
+        {"num_words": 120, "relation": "at least"}],
+    "length_constraints:number_sentences": [
+        {"num_sentences": 2, "relation": "at least"},
+        {"num_sentences": 12, "relation": "less than"},
+        {"num_sentences": 6, "relation": "at least"}],
+    "length_constraints:number_paragraphs": [
+        {"num_paragraphs": 1}, {"num_paragraphs": 3},
+        {"num_paragraphs": 2}],
+    "length_constraints:nth_paragraph_first_word": [
+        {"num_paragraphs": 2, "nth_paragraph": 1, "first_word": "The"},
+        {"num_paragraphs": 2, "nth_paragraph": 2, "first_word": "However"},
+        {"num_paragraphs": 3, "nth_paragraph": 3, "first_word": "Therefore"}],
+    "detectable_content:number_placeholders": [
+        {"num_placeholders": 2}, {"num_placeholders": 1},
+        {"num_placeholders": 3}],
+    "detectable_content:postscript": [
+        {"postscript_marker": "P.S."}, {"postscript_marker": "P.P.S"},
+        {"postscript_marker": "P.S."}],
+    "detectable_format:constrained_response": [{}, {}, {}],
+    "detectable_format:json_format": [{}, {}, {}],
+    "detectable_format:multiple_sections": [
+        {"num_sections": 3, "section_spliter": "Section"},
+        {"num_sections": 2, "section_spliter": "SECTION"},
+        {"num_sections": 2, "section_spliter": "Section"}],
+    "detectable_format:number_bullet_lists": [
+        {"num_bullets": 1}, {"num_bullets": 3}, {"num_bullets": 2}],
+    "detectable_format:number_highlighted_sections": [
+        {"num_highlights": 2}, {"num_highlights": 1},
+        {"num_highlights": 3}],
+    "detectable_format:title": [{}, {}, {}],
+    "change_case:english_lowercase": [{}, {}, {}],
+    "change_case:english_capital": [{}, {}, {}],
+    "change_case:capital_word_frequency": [
+        {"capital_frequency": 2, "capital_relation": "at least"},
+        {"capital_frequency": 6, "capital_relation": "less than"},
+        {"capital_frequency": 1, "capital_relation": "at least"}],
+    "combination:repeat_prompt": [
+        {"prompt_to_repeat": "Please describe"},
+        {"prompt_to_repeat": "Now explain"},
+        {"prompt_to_repeat": "Kindly summarize"}],
+    "combination:two_responses": [{}, {}, {}],
+    "punctuation:no_comma": [{}, {}, {}],
+    "startend:end_checker": [
+        {"end_phrase": "the end"},
+        {"end_phrase": "any other questions?"},
+        {"end_phrase": "that is all"}],
+    "startend:quotation": [{}, {}, {}],
+}
+
+_PROMPT_VERBS = {          # ids whose prompt must echo the kwargs
+    "combination:repeat_prompt": ("Please describe", "Now explain",
+                                  "Kindly summarize"),
+}
+
+
+def _expand_variants() -> List[dict]:
+    out: List[dict] = []
+    key = 100
+    for j, iid in enumerate(sorted(_VARIANT_SPECS)):
+        for k, kw in enumerate(_VARIANT_SPECS[iid]):
+            topic = _TOPICS[(j + k) % len(_TOPICS)]
+            if iid in _PROMPT_VERBS:
+                prompt = f"{_PROMPT_VERBS[iid][k]} {topic}."
+            else:
+                prompt = (f"Write about {topic}, variant {k + 1}, "
+                          f"following the instruction.")
+            out.append(_ex(key, prompt, [iid], [kw]))
+            key += 1
+    # extra multi-instruction mixes (prompt-level strict accuracy)
+    out.extend([
+        _ex(900, "Describe the night train schedule in detail.",
+            ["punctuation:no_comma", "change_case:english_lowercase",
+             "length_constraints:number_words"],
+            [{}, {}, {"num_words": 25, "relation": "at least"}]),
+        _ex(901, "Summarize the water system report with highlights.",
+            ["detectable_format:number_highlighted_sections",
+             "detectable_content:number_placeholders"],
+            [{"num_highlights": 1}, {"num_placeholders": 1}]),
+        _ex(902, "Write a titled note about the teacher council.",
+            ["detectable_format:title", "startend:quotation"],
+            [{}, {}]),
+        _ex(903, "List the harbor problems, ending with 'the end'.",
+            ["detectable_format:number_bullet_lists",
+             "startend:end_checker"],
+            [{"num_bullets": 2}, {"end_phrase": "the end"}]),
+        _ex(904, "Explain the market data in two paragraphs.",
+            ["length_constraints:number_paragraphs",
+             "keywords:existence"],
+            [{"num_paragraphs": 2}, {"keywords": ["data"]}]),
+        _ex(905, "Report on the research team in English sentences.",
+            ["language:response_language",
+             "length_constraints:number_sentences",
+             "keywords:frequency"],
+            [{"language": "en"},
+             {"num_sentences": 3, "relation": "at least"},
+             {"keyword": "team", "frequency": 1, "relation": "at least"}]),
+    ])
+    return out
+
+
+PROXY_DATASET.extend(_expand_variants())
+
+
 def _covered() -> set:
     s = set()
     for ex in PROXY_DATASET:
@@ -288,6 +421,7 @@ def run_ifeval_proxy(preset: str = "8b", quant_type: str = "fp4",
         },
         "verdict_agreement": agree / total if total else 1.0,
         "n_examples": len(PROXY_DATASET),
+        "n_instructions": total,
         "max_new_tokens": max_new_tokens,
     }
 
