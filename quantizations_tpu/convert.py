@@ -13,6 +13,11 @@ Formats:
 
 The reference quantizes lazily at every load (core.py:139-161); this
 tool amortizes that one-time cost into an artifact.
+
+Note: a ``scales_dtype="bf16x2"`` source exports its bf16-rounded
+RUNTIME scales (widened to fp32), not re-derived fp32 absmax — bnb
+exports are faithful to the model-as-served, not bit-stable across the
+scales_dtype knob (see ``save_bnb_checkpoint``).
 """
 
 from __future__ import annotations

@@ -563,7 +563,14 @@ def save_bnb_checkpoint(params: LlamaParams, cfg: LlamaConfig,
     scales) or written as fp32 absmax when not (exact round-trip).
     Embedding / lm_head / norms are written dense (fp32 — HF+bnb keeps
     them unquantized). ``load_hf_llama(out_dir)`` reloads the packed
-    bytes drop-in."""
+    bytes drop-in.
+
+    ``scales_dtype="bf16x2"`` models export their RUNTIME scales — the
+    bf16-rounded values the kernels actually compute with — widened to
+    fp32 absmax. Re-quantizing the same weights with fp32 scales and
+    exporting yields different absmax bytes, so export round-trips are
+    faithful to the model-as-served but not bit-stable across the
+    scales_dtype knob (intentional; advisor r4)."""
     from safetensors.numpy import save_file
 
     from ..quant.bnb_io import bnb_flat_tensors
