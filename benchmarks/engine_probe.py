@@ -98,7 +98,7 @@ def main():
                         "tax incl. spd/spec amortization)")
     p.add_argument("--prefix-cache", action="store_true")
     p.add_argument("--workload", default="mixed",
-                   choices=["mixed", "repetitive", "replay"],
+                   choices=["mixed", "repetitive", "replay", "longctx"],
                    help="repetitive: short prompts + long greedy "
                         "generations — small-vocab greedy streams "
                         "loop, so prompt-lookup drafts hit (52.8%% "
@@ -113,7 +113,10 @@ def main():
                         "same tokens, so acceptance is controlled by "
                         "--corrupt) — the engine-efficiency ceiling "
                         "of the verify-window machinery at known "
-                        "acceptance")
+                        "acceptance. longctx: ~1.5-1.9k-token prompts "
+                        "+ short generations (needs --max-seq 2048) — "
+                        "the decode-at-long-context arm where the int8 "
+                        "KV cache's halved attention bytes should show")
     p.add_argument("--corrupt", type=float, default=0.0,
                    help="replay mode: corrupt each draft token with "
                         "this probability (sets the acceptance rate)")
@@ -124,12 +127,29 @@ def main():
     p.add_argument("--page-size", type=int, default=256,
                    help="paged pool page size (256 erases the paged-DMA "
                         "tax on v5e, paged_sweep r3)")
+    p.add_argument("--fuse", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="serving-time qkv/gate_up fusion (the bench "
+                        "default config — paged-vs-slot comparisons "
+                        "should match it)")
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
+                   help="KV cache element type for both engines")
     args = p.parse_args()
 
+    import dataclasses
+
     cfg = LLAMA3_8B if args.preset == "8b" else TINY_LLAMA
+    cfg = dataclasses.replace(cfg, kv_cache_dtype=args.kv_dtype)
     params = init_llama_params(cfg, seed=0)
+    if args.fuse:
+        from quantizations_tpu.models.llama import fuse_projections
+
+        params = fuse_projections(params)
     jax.block_until_ready(params)
 
+    # long prompts admit in bucket-size chunk rounds; 64-token chunks
+    # would put 24x29 prefill dispatches in the timed region
+    buckets = (64, 512) if args.workload == "longctx" else (16, 64)
     serve = ServeConfig(max_seq_len=args.max_seq)
     if args.engine == "paged":
         from quantizations_tpu.serve.paged import PagedEngine
@@ -139,13 +159,17 @@ def main():
             params, cfg,
             num_pages=args.slots * (args.max_seq // psz) + 8,
             page_size=psz, slots=args.slots, max_seq=args.max_seq,
-            prefill_buckets=(16, 64), prefix_cache=args.prefix_cache)
+            prefill_buckets=buckets, prefix_cache=args.prefix_cache)
     else:
         eng = Engine(params, cfg, serve, slots=args.slots,
-                     prefill_buckets=(16, 64))
+                     prefill_buckets=buckets)
     lens = [(13, 48), (40, 96), (7, 32), (60, 64)]
     if args.workload == "repetitive":
         lens = [(8, 160), (12, 192), (8, 128), (16, 160)]
+    elif args.workload == "longctx":
+        if args.max_seq < 2048:
+            sys.exit("--workload longctx needs --max-seq 2048")
+        lens = [(1800, 64), (1500, 64), (1900, 48), (1600, 56)]
 
     def submit_all():
         for i in range(args.requests):
