@@ -63,4 +63,6 @@ step eng_lc_paged_int8 5400 python benchmarks/engine_probe.py --engine paged --w
 step ifeval_n109   9000 python -m quantizations_tpu.evals --ifeval-proxy --preset 8b
 # #3 prefill e2e grid (rerun in case chain_r4f's copy was outage-lost)
 step prefill_grid  7200 python benchmarks/prefill_e2e.py
+# weak #2: explain the e2e-vs-kernel prefill MFU gap by op class
+step prefill_share 5400 python benchmarks/prefill_share_probe.py
 echo "=== CHAIN DONE ($(date +%H:%M:%S)) ===" >>"$L"
