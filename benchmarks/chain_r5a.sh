@@ -42,6 +42,13 @@ step() {
 
 # #4 BENCH_r05 preview at the (possibly flipped) defaults
 step bench_default 5400 python bench.py
+# #1 clean bf16x2 re-race (chain_r4f's ran through a sick backend:
+# compile_s 901, one 1.75s outlier iter; b1 55.6 vs fp32 61.9 = -10%
+# with b4 FLAT — re-measure back-to-back under one healthy session
+# before accepting the refutation)
+step bench_x2_clean 5400 python bench.py --scales-dtype bf16x2 --no-nf4-b1
+# localize the bf16x2 b1 tax by op name (generate mode reproduces it)
+step tax_x2_gen    6000 python benchmarks/scales_tax_probe.py --generate --fuse --layers 32 --batch 1 --dtypes fp32,bf16x2 --lean-embed
 # #3 b16/b32 refresh (skip the nf4 arm: measured in bench_default)
 step bench_sweep   5400 python bench.py --batch-sweep --no-nf4-b1
 # #2 slot-style 2k-context decode, both cache dtypes

@@ -49,7 +49,10 @@ def top_ops(log_dir: str, n: int = 14):
     except Exception as e:                      # pragma: no cover
         print(f"  (xprof unavailable: {e})")
         return
-    runs = sorted(glob.glob(f"{log_dir}/plugins/profile/*"))
+    # directories only: a prior parse drops ALL_HOSTS.op_stats.pb files
+    # into the profile dir which would otherwise sort last and win
+    runs = sorted(p for p in glob.glob(f"{log_dir}/plugins/profile/*")
+                  if Path(p).is_dir())
     if not runs:
         print("  (no trace runs found)")
         return
@@ -96,13 +99,25 @@ def main():
                    help="time a 16-token make_generate_fn loop instead "
                         "of one decode_step (tests the while-loop x "
                         "scale-dtype interaction)")
+    p.add_argument("--dtypes", default="fp32,bf16",
+                   help="comma list of scale storages to race "
+                        "(fp32,bf16,bf16x2) — bf16x2 localizes the "
+                        "packed-word b1 tax seen in chain_r4f")
+    p.add_argument("--lean-embed", action="store_true",
+                   help="quantize the embedding too (the bench default "
+                        "config; under bf16/bf16x2 the gathered "
+                        "embedding keeps unpacked bf16 scales)")
     args = p.parse_args()
 
+    dtype_map = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+                 "bf16x2": "bf16x2"}
     results = {}
-    for sd_name, sd in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+    for sd_name in args.dtypes.split(","):
+        sd = dtype_map[sd_name]
         cfg = dataclasses.replace(
             LLAMA3_8B, num_hidden_layers=args.layers,
-            quant=QuantConfig(scales_dtype=sd))
+            quant=QuantConfig(scales_dtype=sd,
+                              quantize_embedding=args.lean_embed))
         params = init_llama_params(cfg, seed=0)
         if args.fuse:
             from quantizations_tpu.models.llama import fuse_projections
@@ -139,6 +154,11 @@ def main():
             print(f"scales={sd_name}: generate step {dt*1e3:8.2f} ms "
                   f"(B={args.batch}, L={args.layers}, fuse={args.fuse})",
                   flush=True)
+            log_dir = f"/tmp/scales_tax_gen_{sd_name}"
+            with trace(log_dir):
+                run()
+            print(f"-- top ops (generate, {sd_name}) --", flush=True)
+            top_ops(log_dir, n=18)
             del params
             continue
         dt = time_scan_chain(
@@ -161,9 +181,13 @@ def main():
         top_ops(log_dir)
         del params, cache
 
-    if all(k in results for k in ("fp32", "bf16")):
-        d = results["bf16"] / results["fp32"] - 1
-        print(f"\nbf16-scales step tax: {d*100:+.1f}%", flush=True)
+    if "fp32" in results:
+        for name, dt in results.items():
+            if name == "fp32":
+                continue
+            d = dt / results["fp32"] - 1
+            print(f"\n{name}-scales step tax vs fp32: {d*100:+.1f}%",
+                  flush=True)
 
 
 if __name__ == "__main__":
