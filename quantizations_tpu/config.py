@@ -54,7 +54,7 @@ class QuantConfig:
     # per-step transform, and the array dtype stays int32 (pair layout
     # only; serving-time — TP/PP factories and the bnb exporter
     # consume the float form).
-    scales_dtype: Any = "bf16x2"
+    scales_dtype: Any = jnp.float32
     # decode-band pair-kernel weight streaming: "grid" = Pallas
     # grid-pipelined kernel; "manual" = explicit double-buffered DMA
     # pipeline (ops/qmatmul.py manual variants — steady-state

@@ -97,7 +97,13 @@ def test_model_pair_vs_planar_equivalence(rng):
 
     def to_planar(leaf):
         if isinstance(leaf, QLinear) and leaf.layout == "pair":
-            return QLinear(wp=pair_to_planar(leaf.wp), scales=leaf.scales)
+            from quantizations_tpu.ops.qmatmul import unpack_scale_pairs
+
+            # packed bf16x2 scales are a pair-layout-only storage form;
+            # the planar twin needs the widened per-row float scales
+            scales = (unpack_scale_pairs(leaf.scales)
+                      if leaf.scales_packed else leaf.scales)
+            return QLinear(wp=pair_to_planar(leaf.wp), scales=scales)
         return leaf
 
     params_planar = jax.tree.map(
