@@ -1,23 +1,18 @@
 #!/bin/bash
-# Round-5 chain A (VERDICT r4 asks):
-#  #2  int8 KV e2e at 2048-token context: bench b1/b4/b8 bf16-cache vs
-#      int8-cache (slot-style generate), + engine longctx arms (slot &
-#      paged, both kv dtypes) — replaces the round-1 2k row with both
-#      arms measured.
-#  #3  refresh stale headline rows at current defaults: b16/b32
-#      (--batch-sweep), prefill e2e grid (rerun; chain_r4f's copy may
-#      be outage-lost).
-#  #4  BENCH_r05 preview: plain `python bench.py` with the new nf4_b1
-#      arm + footprint companions (and the bf16x2 default if flipped).
-#  #6  paged vs slot on the IDENTICAL mixed workload (same max_seq,
-#      request mix, spd; + prefix-cache and spec replay arms).
+# Round-5 chain A (VERDICT r4 asks), priority-ordered so outages eat
+# the tail, not the head:
+#  #4  BENCH_r05 preview: plain bench.py with the nf4_b1 arm +
+#      footprint companions.
+#  #1  clean bf16x2 re-race (chain_r4f's ran through a sick backend:
+#      compile_s 901, one 1.75s outlier iter; b1 55.6 vs fp32 61.9 with
+#      b4 FLAT — re-measure under one healthy session before accepting
+#      the refutation), then localization if it still regresses.
+#  #2  int8 KV e2e at 2048-token context (slot bench + engine longctx).
+#  #6  paged vs slot on the IDENTICAL mixed workload.
 #  #7  IFEval proxy parity at n=109 examples / 120 instructions.
-# Queues behind chain_r4f.
+#  #3  b16/b32 refresh, prefill share/grid.
 cd /root/repo
 L=/tmp/chain_r5a.log
-while ps -ef | grep -v grep | grep -q "[c]hain_r4f.sh"; do
-  sleep 60
-done
 probe() {
   timeout 150 python -c "
 import jax, jax.numpy as jnp, numpy as np
@@ -40,23 +35,23 @@ step() {
   echo "--- rc=$? ($(date +%H:%M:%S))" >>"$L"
 }
 
-# #4 BENCH_r05 preview at the (possibly flipped) defaults
+# #4 BENCH_r05 preview at current defaults (fp32 control + clean nf4_b1)
 step bench_default 5400 python bench.py
-# #1 clean bf16x2 re-race (chain_r4f's ran through a sick backend:
-# compile_s 901, one 1.75s outlier iter; b1 55.6 vs fp32 61.9 = -10%
-# with b4 FLAT — re-measure back-to-back under one healthy session
-# before accepting the refutation)
+# #1 clean bf16x2 re-race, back-to-back with the control above
 step bench_x2_clean 5400 python bench.py --scales-dtype bf16x2 --no-nf4-b1
-# localize the bf16x2 b1 tax by op name (generate mode reproduces it)
-step tax_x2_gen    6000 python benchmarks/scales_tax_probe.py --generate --fuse --layers 32 --batch 1 --dtypes fp32,bf16x2 --lean-embed
-# #3 b16/b32 refresh (skip the nf4 arm: measured in bench_default)
-step bench_sweep   5400 python bench.py --batch-sweep --no-nf4-b1
 # #2 slot-style 2k-context decode, both cache dtypes
 step bench_2k_bf16 5400 python bench.py --max-seq 2048 --no-nf4-b1
 step bench_2k_int8 5400 python bench.py --max-seq 2048 --kv-dtype int8 --no-nf4-b1
 # #6 paged vs slot, identical workload (mixed, max_seq 768, p256)
 step eng_slot      4800 python benchmarks/engine_probe.py --engine slot --max-seq 768
 step eng_paged     4800 python benchmarks/engine_probe.py --engine paged --max-seq 768 --page-size 256
+# #7 proxy IFEval parity at n=109/120
+step ifeval_n109   9000 python -m quantizations_tpu.evals --ifeval-proxy --preset 8b
+# #3 b16/b32 refresh (skip the nf4 arm: measured in bench_default)
+step bench_sweep   5400 python bench.py --batch-sweep --no-nf4-b1
+# #1 localize the bf16x2 b1 tax by op name (matters if x2_clean regresses)
+step tax_x2_gen    6000 python benchmarks/scales_tax_probe.py --generate --fuse --layers 32 --batch 1 --dtypes fp32,bf16x2 --lean-embed
+# #6 remaining engine arms
 step eng_slot_spd4 4800 python benchmarks/engine_probe.py --engine slot --max-seq 768 --steps-per-dispatch 4
 step eng_paged_spd4 4800 python benchmarks/engine_probe.py --engine paged --max-seq 768 --page-size 256 --steps-per-dispatch 4
 step eng_paged_pfx 4800 python benchmarks/engine_probe.py --engine paged --max-seq 768 --page-size 256 --prefix-cache
@@ -66,10 +61,6 @@ step eng_lc_slot_bf16 5400 python benchmarks/engine_probe.py --engine slot --wor
 step eng_lc_slot_int8 5400 python benchmarks/engine_probe.py --engine slot --workload longctx --max-seq 2048 --requests 8 --kv-dtype int8
 step eng_lc_paged_bf16 5400 python benchmarks/engine_probe.py --engine paged --workload longctx --max-seq 2048 --requests 8 --page-size 256
 step eng_lc_paged_int8 5400 python benchmarks/engine_probe.py --engine paged --workload longctx --max-seq 2048 --requests 8 --page-size 256 --kv-dtype int8
-# #7 proxy IFEval parity at n=109/120
-step ifeval_n109   9000 python -m quantizations_tpu.evals --ifeval-proxy --preset 8b
-# #3 prefill e2e grid (rerun in case chain_r4f's copy was outage-lost)
-step prefill_grid  7200 python benchmarks/prefill_e2e.py
 # weak #2: explain the e2e-vs-kernel prefill MFU gap by op class
 step prefill_share 5400 python benchmarks/prefill_share_probe.py
 echo "=== CHAIN DONE ($(date +%H:%M:%S)) ===" >>"$L"
