@@ -173,6 +173,12 @@ def main() -> None:
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
                    help="KV cache element type (int8 halves attention "
                         "HBM traffic at long context)")
+    p.add_argument("--flash", action="store_true",
+                   help="decode attention via the Pallas flash kernel "
+                        "(scalar-prefetch full-buffer indexing) instead "
+                        "of the XLA einsum path — the einsum's per-layer "
+                        "cache slices are exactly the op class that "
+                        "regresses under packed scales (r5 xprof diff)")
     p.add_argument("--fuse", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fuse qkv / gate_up projections (4 weight "
@@ -220,6 +226,7 @@ def main() -> None:
             "bf16x2": "bf16x2"}[args.scales_dtype]
     cfg = dataclasses.replace(
         base, kv_cache_dtype=args.kv_dtype,
+        use_flash_attention=args.flash,
         quant=QuantConfig(quant_type=args.quant_type,
                           pair_pipeline=args.pipeline,
                           fp4_decode=args.fp4_decode,
@@ -406,6 +413,7 @@ def main() -> None:
             "fuse": args.fuse,
             "lean_embed": bool(args.lean or args.lean_embed),
             "kv_dtype": args.kv_dtype,
+            "flash": args.flash,
             "pipeline": args.pipeline,
             "fp4_decode": args.fp4_decode,
             "nf4_decode": args.nf4_decode,

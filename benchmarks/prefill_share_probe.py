@@ -63,14 +63,31 @@ def device_rows(log_dir: str):
         return []
     data, _ = rtd.xspace_to_tool_data([runs[-1]], "framework_op_stats", {})
     rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    tables = rows if isinstance(rows, list) else [rows]
+    # gviz nesting varies across xprof versions/backends — walk the
+    # whole JSON and collect any dict that looks like a gviz table
     recs = []
-    for t in tables:
-        if not (isinstance(t, dict) and t.get("rows")):
-            continue
-        cols = [c["label"] for c in t["cols"]]
-        recs += [{cols[i]: (cell.get("v") if cell else None)
-                  for i, cell in enumerate(r["c"])} for r in t["rows"]]
+
+    def walk(obj):
+        if isinstance(obj, dict):
+            if "cols" in obj and "rows" in obj:
+                try:
+                    cols = [c["label"] for c in obj["cols"]]
+                    for r in obj["rows"] or []:
+                        cells = r.get("c", []) if isinstance(r, dict) else r
+                        recs.append({
+                            cols[i]: (cell.get("v") if isinstance(
+                                cell, dict) else cell)
+                            for i, cell in enumerate(cells)
+                            if i < len(cols)})
+                except Exception:
+                    pass
+            for v in obj.values():
+                walk(v)
+        elif isinstance(obj, list):
+            for v in obj:
+                walk(v)
+
+    walk(rows)
     key_t = next((k for k in ("Total self-time (us)",
                               "Total self time (us)")
                   if recs and k in recs[0]), None)

@@ -60,25 +60,51 @@ def top_ops(log_dir: str, n: int = 14):
 
     data, _ = rtd.xspace_to_tool_data([runs[-1]], "framework_op_stats", {})
     rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # xprof returns a LIST of gviz tables (device, host); take every
-    # table that has rows. Columns: 'Operation Name',
-    # 'Total self-time (us)' (schema pinned by a CPU trace).
-    tables = rows if isinstance(rows, list) else [rows]
+    # The gviz payload nesting varies across xprof versions AND backends
+    # (TPU traces returned [[table, ...]] / wrapper dicts where the CPU
+    # pin was a flat list — round-4 chips logged 'unrecognized schema'
+    # every time). Walk the whole JSON and collect ANY dict that looks
+    # like a gviz table (has cols+rows).
     recs = []
-    for t in tables:
-        if not (isinstance(t, dict) and t.get("rows")):
-            continue
-        cols = [c["label"] for c in t["cols"]]
-        recs += [{cols[i]: (cell.get("v") if cell else None)
-                  for i, cell in enumerate(r["c"])} for r in t["rows"]]
+
+    def walk(obj):
+        if isinstance(obj, dict):
+            if "cols" in obj and "rows" in obj:
+                try:
+                    cols = [c["label"] for c in obj["cols"]]
+                    for r in obj["rows"] or []:
+                        cells = r.get("c", []) if isinstance(r, dict) else r
+                        recs.append({
+                            cols[i]: (cell.get("v") if isinstance(
+                                cell, dict) else cell)
+                            for i, cell in enumerate(cells)
+                            if i < len(cols)})
+                except Exception:
+                    pass
+            for v in obj.values():
+                walk(v)
+        elif isinstance(obj, list):
+            for v in obj:
+                walk(v)
+
+    walk(rows)
     key_t = next((k for k in ("Total self-time (us)",
                               "Total self time (us)")
                   if recs and k in recs[0]), None)
     key_n = next((k for k in ("Operation Name", "Operation", "Name")
                   if recs and k in recs[0]), None)
     if key_t is None:
+        def shape(o, d=0):
+            if d > 3:
+                return "..."
+            if isinstance(o, dict):
+                return {k: shape(v, d + 1) for k, v in list(o.items())[:6]}
+            if isinstance(o, list):
+                return [shape(o[0], d + 1), f"...x{len(o)}"] if o else []
+            return type(o).__name__
         print("  (unrecognized op-stats schema; keys: "
-              f"{list(recs[0]) if recs else []})")
+              f"{list(recs[0]) if recs else []}; payload shape: "
+              f"{shape(rows)})")
         return
     recs.sort(key=lambda r: -float(r[key_t] or 0))
     for r in recs[:n]:
