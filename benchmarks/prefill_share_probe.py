@@ -40,68 +40,57 @@ from quantizations_tpu.utils.profiling import trace
 V5E_BF16_TFLOPS = 197.0
 
 _CLASSES = (
-    # weight-path matmuls: the dense-pair dequant+MXU prefill dispatch
-    ("weight_matmul", re.compile(
-        r"dense_weight|qmatmul|dequant|dot_general|dot\b|convert_8m",
-        re.I)),
+    # hlo_category markers from the chrome trace (r5 measured shares at
+    # T=512: conv 43.4% / loop-fusion dequant 35.4% / data-formatting
+    # copies 16.0% — the matmuls themselves run ~88% MFU; the e2e gap
+    # IS the dense-dequant materialization + stacked-word slice copies)
+    ("mxu_matmul", re.compile(r"\[convolution", re.I)),
+    ("dequant_loop", re.compile(r"\[loop fusion\]", re.I)),
+    ("copy_layout", re.compile(
+        r"\[data formatting\]|copy|transpose|reshape|bitcast|slice"
+        r"|concatenate|pad", re.I)),
+    ("pallas_call", re.compile(r"custom", re.I)),
     ("attention", re.compile(r"attention|flash|softmax|attend", re.I)),
     ("norm_elemwise", re.compile(
         r"rms|norm|rsqrt|mul|add|sub|exp|rotary|rope", re.I)),
-    ("copy_layout", re.compile(
-        r"copy|transpose|reshape|bitcast|slice|concatenate|pad", re.I)),
 )
 
 
 def device_rows(log_dir: str):
-    from xprof.convert import raw_to_tool_data as rtd
+    """Aggregate device op durations straight from the chrome trace —
+    xprof's framework_op_stats tool returns ZERO rows for traces taken
+    through the axon tunnel (every round-4 attempt failed the same
+    way), while the trace.json.gz demonstrably carries the full
+    /device:TPU event stream (r5 finding)."""
+    import collections
+    import gzip
 
-    # directories only: a prior parse drops ALL_HOSTS.op_stats.pb files
-    # into the profile dir which would otherwise sort last and win
-    runs = sorted(p for p in glob.glob(f"{log_dir}/plugins/profile/*")
-                  if Path(p).is_dir())
-    if not runs:
+    traces = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*"
+                              ".trace.json.gz"))
+    if not traces:
         return []
-    data, _ = rtd.xspace_to_tool_data([runs[-1]], "framework_op_stats", {})
-    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # gviz nesting varies across xprof versions/backends — walk the
-    # whole JSON and collect any dict that looks like a gviz table
-    recs = []
-
-    def walk(obj):
-        if isinstance(obj, dict):
-            if "cols" in obj and "rows" in obj:
-                try:
-                    cols = [c["label"] for c in obj["cols"]]
-                    for r in obj["rows"] or []:
-                        cells = r.get("c", []) if isinstance(r, dict) else r
-                        recs.append({
-                            cols[i]: (cell.get("v") if isinstance(
-                                cell, dict) else cell)
-                            for i, cell in enumerate(cells)
-                            if i < len(cols)})
-                except Exception:
-                    pass
-            for v in obj.values():
-                walk(v)
-        elif isinstance(obj, list):
-            for v in obj:
-                walk(v)
-
-    walk(rows)
-    key_t = next((k for k in ("Total self-time (us)",
-                              "Total self time (us)")
-                  if recs and k in recs[0]), None)
-    key_n = next((k for k in ("Operation Name", "Operation", "Name")
-                  if recs and k in recs[0]), None)
-    dev, allr = [], []
-    for r in recs:
-        row = (str(r.get(key_n)), float(r.get(key_t) or 0.0))
-        allr.append(row)
-        if not str(r.get("Host/device", "")).lower().startswith("host"):
-            dev.append(row)
-    # TPU traces label device rows; CPU traces may mark everything Host
-    # — fall back so the probe still smokes on CPU
-    return dev or allr
+    d = json.loads(gzip.open(traces[-1]).read())
+    ev = d.get("traceEvents", [])
+    names = {e["pid"]: e["args"].get("name", "")
+             for e in ev
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in names.items() if "device" in n.lower()}
+    if not dev_pids:        # CPU smoke: take the busiest pid
+        cnt = collections.Counter(e.get("pid") for e in ev
+                                  if e.get("ph") == "X")
+        dev_pids = {cnt.most_common(1)[0][0]} if cnt else set()
+    tot = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        # container events (jit wrapper, while loop) nest their children
+        # and would double-count
+        if e.get("name", "").startswith(("jit_", "while", "body",
+                                         "condition")):
+            continue
+        cat = e.get("args", {}).get("hlo_category", "?")
+        tot[(e["name"], cat)] += e.get("dur", 0)
+    return [(f"[{c}] {n}", t) for (n, c), t in tot.items()]
 
 
 def classify(name: str) -> str:
@@ -173,17 +162,17 @@ def main():
         agg = {}
         for name, t in rows:
             agg[classify(name)] = agg.get(classify(name), 0.0) + t
-        print(f"  device self-time total {tot/1e3:.1f} ms; shares:",
-              flush=True)
+        print(f"  device self-time total {tot/1e3:.1f} ms (3 traced "
+              f"calls); shares:", flush=True)
         for cls in sorted(agg, key=lambda c: -agg[c]):
             print(f"    {cls:14s} {agg[cls]/1e3:8.2f} ms  "
                   f"{agg[cls]/tot*100:5.1f}%", flush=True)
-        # the weight-matmul class at device time = its own-kernel MFU
-        wm = agg.get("weight_matmul", 0.0) * 1e-6
+        # the MXU class at device time = the matmuls' own-kernel MFU
+        wm = agg.get("mxu_matmul", 0.0) * 1e-6 / 3   # trace holds 3 calls
         if wm:
-            print(f"  weight-matmul class alone: "
+            print(f"  mxu class alone: "
                   f"{mm_flops/wm/1e12/V5E_BF16_TFLOPS*100:.1f}% MFU "
-                  f"over {wm*1e3:.1f} ms", flush=True)
+                  f"over {wm*1e3:.1f} ms/call", flush=True)
         print("  top ops:", flush=True)
         for name, t in sorted(rows, key=lambda r: -r[1])[:10]:
             print(f"    {t:10.1f} us  {name}", flush=True)
