@@ -187,9 +187,14 @@ def apply_4bit(
             from ..ops.qmatmul import manual_vmem_ok
 
             # bf16x2 packed scales hold two rows per int32 word: 2
-            # effective bytes per logical row in the VMEM budget
+            # effective bytes per logical row in the VMEM budget.
+            # Packed + manual at tokens>=4 OOMs Mosaic's scoped stack
+            # on chip (chain_r5e: [4096,4096] T=4 manual_stacked dies
+            # where the estimate passes) — and grid ties manual at
+            # decode shapes anyway, so packed scales stay on grid.
             s_item = 2 if spacked else scales.dtype.itemsize
-            if (pair_pipeline == "manual" and (2 * wp.shape[-2]) % 128 == 0
+            if (pair_pipeline == "manual" and not spacked
+                    and (2 * wp.shape[-2]) % 128 == 0
                     and manual_vmem_ok(2 * wp.shape[-2], 4 * wp.shape[-1],
                                        tokens, s_item)):
                 from ..ops.qmatmul import matmul_4bit_pair_manual
