@@ -738,10 +738,14 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
                 and pair_tokens_ok(tokens)):
             from ..ops.qmatmul import manual_vmem_ok
 
-            # bf16x2 packed scales: 2 effective bytes per logical row
+            # bf16x2 packed scales: 2 effective bytes per logical row.
+            # Packed + manual at tokens>=4 OOMs Mosaic's scoped stack
+            # on chip (chain_r5e) — packed scales stay on grid (which
+            # ties manual at decode shapes anyway).
             s_item = (2 if lin.scales_packed
                       else lin.scales.dtype.itemsize)
             if (qcfg.pair_pipeline == "manual"
+                    and not lin.scales_packed
                     and (2 * lin.wp.shape[-2]) % 128 == 0
                     and manual_vmem_ok(
                         2 * lin.wp.shape[-2], 4 * lin.wp.shape[-1],
