@@ -58,6 +58,30 @@ def sample_logits(
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def _pin_natural_layout(cache: KVCache) -> KVCache:
+    """Constrain every cache array to the natural (row-major)
+    major-to-minor layout. Opt-in via QT_PIN_CACHE_LAYOUT=1: under
+    packed bf16x2 scales XLA's layout assignment flips the scan-carried
+    cache into a permuted layout ({4,2,3,1,0}) and pays per-layer
+    relayout copies in the decode body (the r5 trace-diff localization
+    of the -9% b1 tax); pinning the carry natural is the surgical
+    counter-move. Applied inside the jitted program (layout constraint
+    op), TPU only — other backends ignore layouts."""
+    import jax.experimental.layout as jl
+
+    def pin(x):
+        if not hasattr(x, "ndim") or x.ndim < 2:
+            return x
+        fmt = jl.Format(jl.Layout(tuple(range(x.ndim))))
+        return jl.with_layout_constraint(x, fmt)
+
+    return jax.tree.map(pin, cache)
+
+
+_PIN_CACHE_LAYOUT = bool(int(
+    __import__("os").environ.get("QT_PIN_CACHE_LAYOUT", "0")))
+
+
 def _generate_impl(
     params: LlamaParams,
     prompt_ids: jnp.ndarray,    # [B, P] int32
@@ -84,10 +108,15 @@ def _generate_impl(
     done = (jnp.full((B,), False) if eos_id is None
             else tok == jnp.int32(eos_id))
 
+    if _PIN_CACHE_LAYOUT and jax.default_backend() == "tpu":
+        cache = _pin_natural_layout(cache)
+
     def step(carry, _):
         tok, done, cache, pos, key = carry
         logits, cache = decode_step(params, tok[:, None], cache, pos, cfg,
                                     axis_name=axis_name)
+        if _PIN_CACHE_LAYOUT and jax.default_backend() == "tpu":
+            cache = _pin_natural_layout(cache)
         key, sub = jax.random.split(key)
         nxt = sample_logits(logits, sub, temperature, top_k, top_p)
         if eos_id is not None:
