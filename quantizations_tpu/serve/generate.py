@@ -69,10 +69,15 @@ def _pin_natural_layout(cache: KVCache) -> KVCache:
     op), TPU only — other backends ignore layouts."""
     import jax.experimental.layout as jl
 
+    from jax.sharding import SingleDeviceSharding
+
+    dev = jax.devices()[0]
+
     def pin(x):
         if not hasattr(x, "ndim") or x.ndim < 2:
             return x
-        fmt = jl.Format(jl.Layout(tuple(range(x.ndim))))
+        fmt = jl.Format(jl.Layout(tuple(range(x.ndim))),
+                        SingleDeviceSharding(dev))
         return jl.with_layout_constraint(x, fmt)
 
     return jax.tree.map(pin, cache)
@@ -108,14 +113,16 @@ def _generate_impl(
     done = (jnp.full((B,), False) if eos_id is None
             else tok == jnp.int32(eos_id))
 
-    if _PIN_CACHE_LAYOUT and jax.default_backend() == "tpu":
+    do_pin = (_PIN_CACHE_LAYOUT and axis_name is None
+              and jax.default_backend() == "tpu")
+    if do_pin:
         cache = _pin_natural_layout(cache)
 
     def step(carry, _):
         tok, done, cache, pos, key = carry
         logits, cache = decode_step(params, tok[:, None], cache, pos, cfg,
                                     axis_name=axis_name)
-        if _PIN_CACHE_LAYOUT and jax.default_backend() == "tpu":
+        if do_pin:
             cache = _pin_natural_layout(cache)
         key, sub = jax.random.split(key)
         nxt = sample_logits(logits, sub, temperature, top_k, top_p)
