@@ -69,16 +69,11 @@ def _pin_natural_layout(cache: KVCache) -> KVCache:
     op), TPU only — other backends ignore layouts."""
     import jax.experimental.layout as jl
 
-    from jax.sharding import SingleDeviceSharding
-
-    dev = jax.devices()[0]
-
     def pin(x):
         if not hasattr(x, "ndim") or x.ndim < 2:
             return x
-        fmt = jl.Format(jl.Layout(tuple(range(x.ndim))),
-                        SingleDeviceSharding(dev))
-        return jl.with_layout_constraint(x, fmt)
+        return jl.with_layout_constraint(
+            x, jl.Layout(tuple(range(x.ndim))))
 
     return jax.tree.map(pin, cache)
 
