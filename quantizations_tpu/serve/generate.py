@@ -64,9 +64,13 @@ def _pin_natural_layout(cache: KVCache) -> KVCache:
     packed bf16x2 scales XLA's layout assignment flips the scan-carried
     cache into a permuted layout ({4,2,3,1,0}) and pays per-layer
     relayout copies in the decode body (the r5 trace-diff localization
-    of the -9% b1 tax); pinning the carry natural is the surgical
-    counter-move. Applied inside the jitted program (layout constraint
-    op), TPU only — other backends ignore layouts."""
+    of the -9% b1 tax); pinning the carry natural was the surgical
+    counter-move. RACED ON CHIP AND REFUTED (chain_r5h: bf16x2+pin
+    56.05 vs unpinned 56.04 — the body still relayouts its cache
+    SLICES for the attention einsum; the carry constraint is satisfied
+    trivially). Kept as the documented experiment + CPU-testable
+    machinery (flag=2 pins on any backend; 4 LayoutConstraint ops
+    verified in the lowered HLO, tokens identical)."""
     import jax.experimental.layout as jl
 
     def pin(x):
@@ -78,8 +82,9 @@ def _pin_natural_layout(cache: KVCache) -> KVCache:
     return jax.tree.map(pin, cache)
 
 
-_PIN_CACHE_LAYOUT = bool(int(
-    __import__("os").environ.get("QT_PIN_CACHE_LAYOUT", "0")))
+# 0 = off; 1 = pin on TPU; 2 = pin on any backend (CPU testing)
+_PIN_CACHE_LAYOUT = int(
+    __import__("os").environ.get("QT_PIN_CACHE_LAYOUT", "0"))
 
 
 def _generate_impl(
@@ -109,7 +114,14 @@ def _generate_impl(
             else tok == jnp.int32(eos_id))
 
     do_pin = (_PIN_CACHE_LAYOUT and axis_name is None
-              and jax.default_backend() == "tpu")
+              and (_PIN_CACHE_LAYOUT >= 2
+                   or jax.default_backend() == "tpu"))
+    if _PIN_CACHE_LAYOUT:
+        import sys as _sys
+
+        print(f"# pin_cache_layout: flag={_PIN_CACHE_LAYOUT} "
+              f"backend={jax.default_backend()} do_pin={do_pin}",
+              file=_sys.stderr, flush=True)
     if do_pin:
         cache = _pin_natural_layout(cache)
 
