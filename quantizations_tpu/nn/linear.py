@@ -22,6 +22,7 @@ pytrees:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -56,8 +57,14 @@ QMATMUL_MAX_TOKENS = 64
 
 # The SWAR pair kernel holds on longer before the dense pair matmul
 # takes over (measured at [14336,4096]: T=256 fused 404us vs dense
-# 433us; T=512: 782 vs 625).
-PAIR_QMATMUL_MAX_TOKENS = 256
+# 433us; T=512: 782 vs 625). NOTE: that race was KERNEL-level only —
+# the r5 prefill trace decomposition showed the dense path's e2e cost
+# also includes the dequant materialization (loop fusions writing
+# 235 MB/layer bf16 planes, 35.4% of device time) and stacked-word
+# slice copies (16.0%) that the kernel comparison never counted, so
+# the e2e crossover sits much higher than 256. QT_PAIR_MAX_TOKENS
+# overrides for the e2e race (chain_r5i).
+PAIR_QMATMUL_MAX_TOKENS = int(os.environ.get("QT_PAIR_MAX_TOKENS", "256"))
 
 _SHIFTS = tuple(8 * (j // 2) + (4 - 4 * (j % 2)) for j in range(8))
 
