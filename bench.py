@@ -375,7 +375,7 @@ def main() -> None:
             return time.perf_counter() - t0
 
         nf4_compile = run_nf4()
-        nf4_times = [run_nf4() for _ in range(max(3, args.iters - 2))]
+        nf4_times = [run_nf4() for _ in range(max(3, args.iters))]
         nf4_med = statistics.median(nf4_times)
         nf4_stats = {
             "nf4_b1": round(args.new_tokens / nf4_med, 3),
