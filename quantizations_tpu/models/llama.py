@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -31,6 +32,11 @@ from flax import struct
 
 from ..config import QuantConfig
 from ..nn.linear import apply_4bit
+
+# round-5 experimental: route prefill-shaped projections through the
+# decode-once pair kernel instead of the dense dequant-materialization
+# path (QT_PREFILL_PAIR=1; raced on chip by chain_r5j)
+_PREFILL_PAIR = int(os.environ.get("QT_PREFILL_PAIR", "0"))
 from ..quant.functional import dequantize_absmax, quantize_4bit
 from ..ops.gemv import gemv_4bit_pallas_stacked, pack_i32_rows
 
@@ -761,6 +767,18 @@ def _ql(x2: jnp.ndarray, lin: QLinear, qcfg: QuantConfig,
             return matmul_4bit_pair_pallas_stacked(
                 lin.wp, lin.scales, x2.astype(qcfg.compute_dtype), idx,
                 quant_type=qcfg.quant_type, decode=qcfg.pair_decode)
+        if pair and on_tpu and _PREFILL_PAIR and tokens % 8 == 0:
+            # round-5 experimental prefill path (QT_PREFILL_PAIR=1):
+            # decode-once pair kernel instead of the dense dequant
+            # materialization; raced on chip by chain_r5j
+            from ..ops.qmatmul import pair_prefill_matmul, prefill_pair_ok
+
+            if prefill_pair_ok(2 * lin.wp.shape[-2], lin.wp.shape[-1],
+                               min(tokens, 512)):
+                return pair_prefill_matmul(
+                    lin.wp, lin.scales, x2.astype(qcfg.compute_dtype),
+                    qcfg.quant_type, decode=qcfg.pair_decode,
+                    layer_idx=idx)
         qmm_ok = tokens in (1, 2, 4) or tokens % 8 == 0
         if not pair and tokens <= QMATMUL_MAX_TOKENS and qmm_ok and on_tpu:
             from ..ops.qmatmul import matmul_4bit_pallas_stacked

@@ -31,8 +31,10 @@ from .gemv import _lut_setup, _pick_tiles, _plane_fn
 from .lut import fp4_pair_patterns_all, pair_patterns_tree
 
 __all__ = ["matmul_4bit_pallas", "matmul_4bit_pallas_stacked",
-           "pair_tokens_ok",
+           "pair_tokens_ok", "prefill_pair_ok",
            "matmul_4bit_pair_pallas", "matmul_4bit_pair_pallas_stacked",
+           "matmul_4bit_pair_prefill_pallas",
+           "matmul_4bit_pair_prefill_pallas_stacked",
            "matmul_4bit_pair_manual", "matmul_4bit_pair_manual_stacked",
            "pack_pair_rows", "planar_to_pair", "pair_to_planar",
            "pair_permute_activation"]
@@ -731,6 +733,264 @@ def matmul_4bit_pair_pallas_stacked(
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *operands)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Prefill-shaped pair kernel (round 5)
+#
+# The decode-band pair kernels grid over (T, M, K) with T OUTERMOST, so
+# at prefill shapes every T-tile re-fetches AND re-decodes the weight
+# tile; measured e2e they spend ~2x their standalone projection
+# (chain_r5i: 197 ms of pallas time per T=512 prefill call vs the dense
+# path's 102 ms program). This variant grids over (M, K) only, keeps
+# the ENTIRE permuted activation resident in VMEM, decodes each weight
+# tile ONCE into four bf16 plane matrices, and loops the T tiles
+# in-kernel — the "decode once, MXU across all T" shape the dense path
+# approximates by materializing weights through HBM, without the
+# 235 MB/layer materialization. T is capped by the VMEM residency of
+# the activation block (callers chunk larger T).
+# ---------------------------------------------------------------------------
+
+
+def _pair_prefill_kernel(wp_ref, xp_ref, s_ref, *rest, out_factor, kc4,
+                         tile_t, pair_fn=fp4_pair_patterns_all,
+                         has_tbl=False):
+    if has_tbl:
+        tbl_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    wp = wp_ref[:] if len(wp_ref.shape) == 2 else wp_ref[0]  # [TM2, kc4]
+    s = s_ref[:] if len(s_ref.shape) == 2 else s_ref[0]
+    tm2 = wp.shape[0]
+    tm = 2 * tm2
+    k_id = pl.program_id(1)
+
+    nb_total = s.shape[1]
+    sp = _scale_pairs(s, out_factor)                      # [TM2, NB]
+    srep = pltpu.bitcast(pltpu.repeat(sp, kc4 // nb_total, axis=1),
+                         jnp.bfloat16)                    # [TM, kc4]
+    if has_tbl:
+        tbl128 = jnp.broadcast_to(tbl_ref[0:1, :128], (tm2, 128))
+        Ds = pair_fn(wp, tbl128)
+    else:
+        Ds = pair_fn(wp)
+    # decode ONCE; all four plane matrices stay live across the T loop
+    Wjs = [pltpu.bitcast(Ds[p], jnp.bfloat16) * srep for p in range(4)]
+
+    T = xp_ref.shape[0]
+    for t0 in range(0, T, tile_t):
+        part = jnp.zeros((tile_t, tm), jnp.float32)
+        for p in range(4):
+            xj = xp_ref[t0:t0 + tile_t, p, :].astype(jnp.bfloat16)
+            part = part + jax.lax.dot_general(
+                xj, Wjs[p], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [tile_t, TM]
+
+        @pl.when(k_id == 0)
+        def _(part=part, t0=t0):
+            o_ref[t0:t0 + tile_t, :] = part
+
+        @pl.when(k_id != 0)
+        def _(part=part, t0=t0):
+            o_ref[t0:t0 + tile_t, :] = o_ref[t0:t0 + tile_t, :] + part
+
+
+def _prefill_vmem_est(T, tile_t, tile_m, kc4, nb_total, x_itemsize,
+                      s_itemsize) -> int:
+    nb_lanes = -(-nb_total // 128) * 128
+    tm2 = tile_m // 2
+    blocks = 2 * (tm2 * kc4 * 4                      # wp2
+                  + T * 4 * kc4 * x_itemsize         # full-T activation
+                  + tile_m * nb_lanes * s_itemsize   # scales
+                  + T * tile_m * 4)                  # out
+    live = (4 * tm2 * kc4 * 4                        # decoded planes
+            + 4 * tile_m * kc4 * 2                   # 4 live Wj planes
+            + tile_m * kc4 * 2                       # srep
+            + tile_t * tile_m * 4)                   # partial
+    return blocks + live
+
+
+def _pick_tiles_pair_prefill(M, K4, T, x_itemsize, s_itemsize=4):
+    """(tile_m, kc4, tile_t) for the prefill pair kernel, or None when
+    no configuration fits the scoped-VMEM budget (callers fall back to
+    the dense path)."""
+    nb = K4 // 16
+    tile_t = min(T, 256)
+    while T % tile_t:
+        tile_t //= 2
+    for kc4 in [d for d in range(min(K4, 896), 0, -nb)
+                if K4 % d == 0 and d % nb == 0] or [K4]:
+        for tile_m in (512, 256, 128):
+            if M % tile_m:
+                continue
+            if _prefill_vmem_est(T, tile_t, tile_m, kc4, K4 // 16,
+                                 x_itemsize,
+                                 s_itemsize) < _PAIR_VMEM_BUDGET:
+                return tile_m, kc4, tile_t
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("quant_type", "interpret", "decode"),
+)
+def matmul_4bit_pair_prefill_pallas(
+    wp2: jnp.ndarray,      # [M/2, K/4] int32 pair layout
+    scales: jnp.ndarray,   # [M, K/64] float or packed int32 [M/2, K/64]
+    x: jnp.ndarray,        # [T, K]
+    quant_type: str = "fp4",
+    interpret: bool = False,
+    decode: Optional[str] = None,
+) -> jnp.ndarray:
+    M2, K4 = wp2.shape
+    M, K = 2 * M2, 4 * K4
+    T = x.shape[0]
+    spacked = scales.dtype == jnp.int32
+    s_item = 2 if spacked else scales.dtype.itemsize
+    tiles = _pick_tiles_pair_prefill(M, K4, T, 2, s_item)
+    assert tiles is not None, "caller must check prefill_pair_ok"
+    tile_m, kc4, tile_t = tiles
+
+    xp = pair_permute_activation(x.astype(jnp.bfloat16))
+    pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
+    has_tbl = tbl_vals is not None
+    kernel = functools.partial(
+        _pair_prefill_kernel, out_factor=out_factor, kc4=kc4,
+        tile_t=tile_t, pair_fn=pair_fn, has_tbl=has_tbl)
+    in_specs = [
+        pl.BlockSpec((tile_m // 2, kc4), lambda i, kq: (i, kq)),
+        pl.BlockSpec((T, 4, kc4), lambda i, kq: (0, 0, kq)),
+        pl.BlockSpec((tile_m // 2 if spacked else tile_m, K // 64),
+                     lambda i, kq: (i, 0)),
+    ]
+    operands = [wp2, xp, scales]
+    if has_tbl:
+        in_specs.append(pl.BlockSpec((1, 128), lambda i, kq: (0, 0)))
+        operands.append(_pattern_table(tbl_vals))
+    return pl.pallas_call(
+        kernel,
+        grid=(M // tile_m, K4 // kc4),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, tile_m), lambda i, kq: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((T, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * M * K,
+            bytes_accessed=M2 * K4 * 4 + T * K * 2 + T * M * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("quant_type", "interpret", "decode"),
+)
+def matmul_4bit_pair_prefill_pallas_stacked(
+    wp2: jnp.ndarray,        # [L, M/2, K/4]
+    scales: jnp.ndarray,     # [L, M, K/64] float or [L, M/2, K/64] int32
+    x: jnp.ndarray,          # [T, K]
+    layer_idx: jnp.ndarray,  # scalar int32
+    quant_type: str = "fp4",
+    interpret: bool = False,
+    decode: Optional[str] = None,
+) -> jnp.ndarray:
+    """Layer-indexed prefill pair kernel (scalar-prefetch stacked
+    weights, same decode-once/T-loop body)."""
+    L, M2, K4 = wp2.shape
+    M, K = 2 * M2, 4 * K4
+    T = x.shape[0]
+    spacked = scales.dtype == jnp.int32
+    s_item = 2 if spacked else scales.dtype.itemsize
+    tiles = _pick_tiles_pair_prefill(M, K4, T, 2, s_item)
+    assert tiles is not None, "caller must check prefill_pair_ok"
+    tile_m, kc4, tile_t = tiles
+
+    xp = pair_permute_activation(x.astype(jnp.bfloat16))
+    pair_fn, out_factor, tbl_vals = _pair_fn(quant_type, decode)
+    has_tbl = tbl_vals is not None
+
+    if has_tbl:
+        def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, tbl_ref, o_ref):
+            _pair_prefill_kernel(wp_ref[0], xp_ref, s_ref[0], tbl_ref,
+                                 o_ref, out_factor=out_factor, kc4=kc4,
+                                 tile_t=tile_t, pair_fn=pair_fn,
+                                 has_tbl=True)
+    else:
+        def k_wrap(idx_ref, wp_ref, xp_ref, s_ref, o_ref):
+            _pair_prefill_kernel(wp_ref[0], xp_ref, s_ref[0], o_ref,
+                                 out_factor=out_factor, kc4=kc4,
+                                 tile_t=tile_t, pair_fn=pair_fn)
+
+    in_specs = [
+        pl.BlockSpec((1, tile_m // 2, kc4),
+                     lambda i, kq, idx: (idx[0], i, kq)),
+        pl.BlockSpec((T, 4, kc4), lambda i, kq, idx: (0, 0, kq)),
+        pl.BlockSpec((1, tile_m // 2 if spacked else tile_m, K // 64),
+                     lambda i, kq, idx: (idx[0], i, 0)),
+    ]
+    operands = [wp2, xp, scales]
+    if has_tbl:
+        in_specs.append(pl.BlockSpec((1, 128),
+                                     lambda i, kq, idx: (0, 0)))
+        operands.append(_pattern_table(tbl_vals))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // tile_m, K4 // kc4),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, tile_m), lambda i, kq, idx: (0, i)),
+    )
+    return pl.pallas_call(
+        k_wrap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * M * K,
+            bytes_accessed=M2 * K4 * 4 + T * K * 2 + T * M * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *operands)
+
+
+def prefill_pair_ok(M: int, K4: int, T: int,
+                    s_itemsize: int = 4) -> bool:
+    """Whether the prefill pair kernel has a VMEM-feasible tiling for
+    these shapes (x is held resident: large T needs caller chunking)."""
+    return (M % 2 == 0 and T % 8 == 0
+            and _pick_tiles_pair_prefill(M, K4, T, 2, s_itemsize)
+            is not None)
+
+
+# x-residency cap per prefill-kernel call; larger T chunks through it
+PREFILL_PAIR_CHUNK_T = 512
+
+
+def pair_prefill_matmul(wp2, scales, x, quant_type: str,
+                        decode: Optional[str] = None,
+                        layer_idx=None, interpret: bool = False):
+    """Prefill matmul via the decode-once pair kernel, chunking T into
+    <=PREFILL_PAIR_CHUNK_T slices (the VMEM activation-residency cap;
+    each chunk re-streams+re-decodes the weights, so chunks are as
+    large as residency allows)."""
+    T = x.shape[0]
+    step = PREFILL_PAIR_CHUNK_T
+    outs = []
+    for t0 in range(0, T, step):
+        xc = x[t0:t0 + step]
+        if layer_idx is None:
+            outs.append(matmul_4bit_pair_prefill_pallas(
+                wp2, scales, xc, quant_type=quant_type, decode=decode,
+                interpret=interpret))
+        else:
+            outs.append(matmul_4bit_pair_prefill_pallas_stacked(
+                wp2, scales, xc, layer_idx, quant_type=quant_type,
+                decode=decode, interpret=interpret))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 # ---------------------------------------------------------------------------
